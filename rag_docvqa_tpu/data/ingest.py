@@ -1,0 +1,163 @@
+"""Host ingestion: ragged OCR documents -> fixed-shape ChunkedBatch arrays.
+
+Replaces, at ingest time, work the reference does per forward pass:
+  * chunking               (src/_modules.py:873-1100 -> ops/chunking.py)
+  * chunk text compaction  (src/_modules.py:1102-1132)
+  * per-word tokenization  (src/VT5.py:155-164 -> precomputed token/box align)
+  * prompt construction    (src/VT5.py:132)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from rag_docvqa_tpu.data.contract import Caps, ChunkedBatch, RawDocument
+from rag_docvqa_tpu.data.tokenizer import BaseTokenizer
+from rag_docvqa_tpu.ops.chunking import ChunkSpec, chunk_page, compact_chunk_box
+
+
+class DocVQAIngestor:
+    def __init__(
+        self,
+        tokenizer: BaseTokenizer,
+        spec: Optional[ChunkSpec] = None,
+        caps: Optional[Caps] = None,
+    ) -> None:
+        self.tokenizer = tokenizer
+        self.spec = spec or ChunkSpec()
+        self.caps = caps or Caps()
+
+    # ------------------------------------------------------------------ #
+    def ingest(self, docs: List[RawDocument]) -> Tuple[ChunkedBatch, Dict[str, Any]]:
+        """Returns the device batch plus a host-side aux dict (strings, images)."""
+        B = len(docs)
+        c = self.caps
+        tk = self.tokenizer
+
+        chunk_emb_tokens = np.zeros((B, c.max_chunks, c.embed_tokens), np.int32)
+        chunk_emb_mask = np.zeros((B, c.max_chunks, c.embed_tokens), bool)
+        q_tokens = np.zeros((B, c.question_tokens), np.int32)
+        q_mask = np.zeros((B, c.question_tokens), bool)
+        chunk_mask = np.zeros((B, c.max_chunks), bool)
+        chunk_page_arr = np.zeros((B, c.max_chunks), np.int32)
+        chunk_label = np.zeros((B, c.max_chunks), np.int32)
+        chunk_box = np.zeros((B, c.max_chunks, 4), np.float32)
+        chunk_slot_start = np.zeros((B, c.max_chunks), np.int32)
+        chunk_slot_len = np.zeros((B, c.max_chunks), np.int32)
+        slot_tokens = np.zeros((B, c.max_slots, c.tokens_per_word), np.int32)
+        slot_ntok = np.zeros((B, c.max_slots), np.int32)
+        slot_box = np.zeros((B, c.max_slots, 4), np.float32)
+        slot_page = np.zeros((B, c.max_slots), np.int32)
+        slot_label = np.zeros((B, c.max_slots), np.int32)
+        slot_mask = np.zeros((B, c.max_slots), bool)
+        page_slot_start = np.zeros((B, c.max_pages), np.int32)
+        page_slot_end = np.zeros((B, c.max_pages), np.int32)
+        prompt_tokens = np.zeros((B, c.prompt_tokens), np.int32)
+        prompt_len = np.zeros((B,), np.int32)
+        num_pages = np.zeros((B,), np.int32)
+        answer_page = np.zeros((B,), np.int32)
+
+        aux: Dict[str, Any] = {
+            "questions": [],
+            "answers": [],
+            "answer_types": [],
+            "question_ids": [],
+            "images": [],
+            "chunk_texts": [],  # (B, n_chunks) compacted text, for eval_retrieval
+        }
+
+        for b, doc in enumerate(docs):
+            n_pages = min(len(doc.words), c.max_pages)
+            num_pages[b] = n_pages
+            answer_page[b] = min(doc.answer_page_idx, max(n_pages - 1, 0))
+            aux["questions"].append(doc.question)
+            aux["answers"].append(list(doc.answers))
+            aux["answer_types"].append(doc.answer_type)
+            aux["question_ids"].append(doc.question_id)
+            aux["images"].append(doc.images)
+
+            # question + prompt tokens
+            q_ids = tk.encode(doc.question)[: c.question_tokens]
+            q_tokens[b, : len(q_ids)] = q_ids
+            q_mask[b, : len(q_ids)] = True
+            p_ids = tk.encode(f"question: {doc.question}  context:")[: c.prompt_tokens]
+            prompt_tokens[b, : len(p_ids)] = p_ids
+            prompt_len[b] = len(p_ids)
+
+            slot_cursor = 0
+            chunk_cursor = 0
+            texts_b: List[str] = []
+            for p in range(n_pages):
+                words = doc.words[p]
+                boxes = doc.boxes[p]
+                page_slot_start[b, p] = slot_cursor
+                layout = (doc.layout[p] if doc.layout is not None and p < len(doc.layout) else None) or {}
+                pc = chunk_page(
+                    words,
+                    boxes,
+                    self.spec,
+                    layout_boxes=layout.get("boxes"),
+                    layout_labels=layout.get("labels"),
+                    layout_clusters=layout.get("clusters"),
+                )
+                for widx, label in zip(pc.word_indices, pc.labels):
+                    if chunk_cursor >= c.max_chunks:
+                        break
+                    n_fit = min(len(widx), c.max_slots - slot_cursor)
+                    widx = widx[:n_fit]
+                    # chunk metadata
+                    text = " ".join(words[i] for i in widx)
+                    texts_b.append(text)
+                    emb_ids = tk.encode(text)[: c.embed_tokens]
+                    chunk_emb_tokens[b, chunk_cursor, : len(emb_ids)] = emb_ids
+                    chunk_emb_mask[b, chunk_cursor, : len(emb_ids)] = True
+                    chunk_mask[b, chunk_cursor] = True
+                    chunk_page_arr[b, chunk_cursor] = p
+                    chunk_label[b, chunk_cursor] = label
+                    chunk_box[b, chunk_cursor] = compact_chunk_box(boxes, widx)
+                    chunk_slot_start[b, chunk_cursor] = slot_cursor
+                    chunk_slot_len[b, chunk_cursor] = len(widx)
+                    # word slots
+                    for i in widx:
+                        ids = tk.encode_word(words[i])[: c.tokens_per_word]
+                        slot_tokens[b, slot_cursor, : len(ids)] = ids
+                        slot_ntok[b, slot_cursor] = len(ids)
+                        slot_box[b, slot_cursor] = np.asarray(boxes[i], np.float32)
+                        slot_page[b, slot_cursor] = p
+                        slot_label[b, slot_cursor] = label
+                        slot_mask[b, slot_cursor] = True
+                        slot_cursor += 1
+                    chunk_cursor += 1
+                page_slot_end[b, p] = slot_cursor
+            # pages beyond n_pages keep start == end == slot_cursor
+            page_slot_start[b, n_pages:] = slot_cursor
+            page_slot_end[b, n_pages:] = slot_cursor
+            aux["chunk_texts"].append(texts_b)
+
+        batch = ChunkedBatch(
+            chunk_emb_tokens=chunk_emb_tokens,
+            chunk_emb_mask=chunk_emb_mask,
+            q_tokens=q_tokens,
+            q_mask=q_mask,
+            chunk_mask=chunk_mask,
+            chunk_page=chunk_page_arr,
+            chunk_label=chunk_label,
+            chunk_box=chunk_box,
+            chunk_slot_start=chunk_slot_start,
+            chunk_slot_len=chunk_slot_len,
+            slot_tokens=slot_tokens,
+            slot_ntok=slot_ntok,
+            slot_box=slot_box,
+            slot_page=slot_page,
+            slot_label=slot_label,
+            slot_mask=slot_mask,
+            page_slot_start=page_slot_start,
+            page_slot_end=page_slot_end,
+            prompt_tokens=prompt_tokens,
+            prompt_len=prompt_len,
+            num_pages=num_pages,
+            answer_page=answer_page,
+        )
+        return batch, aux

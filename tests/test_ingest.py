@@ -1,0 +1,72 @@
+"""Ingestor tests: the fixed-shape contract must faithfully encode the ragged
+documents (slot coordinate system, chunk spans, page ranges, tokenization)."""
+
+import numpy as np
+
+from rag_docvqa_tpu.data import ByteTokenizer, DocVQAIngestor, RawDocument
+from rag_docvqa_tpu.data.contract import Caps
+from rag_docvqa_tpu.ops.chunking import ChunkSpec
+
+
+def make_doc(n_pages=2, words_per_page=7, q="what is x"):
+    words = [[f"p{p}w{i}" for i in range(words_per_page)] for p in range(n_pages)]
+    boxes = [
+        [[i / 10, p / 10, i / 10 + 0.05, p / 10 + 0.05] for i in range(words_per_page)]
+        for p in range(n_pages)
+    ]
+    return RawDocument(question=q, words=words, boxes=boxes, answers=["p0w3"], answer_page_idx=0)
+
+
+def test_ingest_shapes_and_masks():
+    tok = ByteTokenizer()
+    caps = Caps(max_pages=4, max_chunks=16, max_slots=64, tokens_per_word=8, embed_tokens=48)
+    ing = DocVQAIngestor(tok, ChunkSpec(chunk_size=5, overlap=1), caps)
+    batch, aux = ing.ingest([make_doc(), make_doc(n_pages=1, words_per_page=3)])
+
+    assert batch.chunk_mask.shape == (2, 16)
+    assert batch.slot_tokens.shape == (2, 64, 8)
+    assert batch.num_pages.tolist() == [2, 1]
+
+    # doc 0: 7 words/page, chunk_size 5 overlap 1 -> chunks [0:5], [4:7](merged?
+    # stride=4: i=0 chunk 5 words; i=4 chunk 3 words, merge check 5+(3-1)=7 > 5*1.2=6 -> new chunk)
+    # so 2 chunks per page, 4 total; slots = 5+3 per page = 8, 16 total
+    assert batch.chunk_mask[0].sum() == 4
+    assert batch.slot_mask[0].sum() == 16
+    assert batch.page_slot_start[0, :2].tolist() == [0, 8]
+    assert batch.page_slot_end[0, :2].tolist() == [8, 16]
+    assert batch.chunk_slot_start[0, :4].tolist() == [0, 5, 8, 13]
+    assert batch.chunk_slot_len[0, :4].tolist() == [5, 3, 5, 3]
+    # overlap duplicate: slot 5 repeats word index 4 of page 0
+    assert batch.slot_box[0, 5].tolist() == batch.slot_box[0, 4].tolist()
+
+    # chunk pages
+    assert batch.chunk_page[0, :4].tolist() == [0, 0, 1, 1]
+
+    # aux carries strings for the metric layer
+    assert aux["questions"][0] == "what is x"
+    assert aux["chunk_texts"][0][0] == "p0w0 p0w1 p0w2 p0w3 p0w4"
+
+
+def test_ingest_tokens_roundtrip():
+    tok = ByteTokenizer()
+    ing = DocVQAIngestor(tok, ChunkSpec(chunk_size=5, overlap=1), Caps(max_pages=2, max_chunks=8, max_slots=32, tokens_per_word=8))
+    batch, aux = ing.ingest([make_doc(n_pages=1, words_per_page=3)])
+    # decode slot 0 tokens back to the word
+    ids = batch.slot_tokens[0, 0, : batch.slot_ntok[0, 0]].tolist()
+    assert tok.decode(ids) == "p0w0"
+    # question tokens decode back
+    q_ids = batch.q_tokens[0][batch.q_mask[0]].tolist()
+    assert tok.decode(q_ids) == "what is x"
+
+
+def test_ingest_truncation_respects_caps():
+    tok = ByteTokenizer()
+    caps = Caps(max_pages=1, max_chunks=2, max_slots=6, tokens_per_word=4)
+    ing = DocVQAIngestor(tok, ChunkSpec(chunk_size=5, overlap=1), caps)
+    batch, _ = ing.ingest([make_doc(n_pages=3, words_per_page=50)])
+    assert batch.num_pages[0] == 1
+    assert batch.chunk_mask[0].sum() <= 2
+    assert batch.slot_mask[0].sum() <= 6
+    # chunk slot spans stay in bounds
+    ends = batch.chunk_slot_start[0] + batch.chunk_slot_len[0]
+    assert (ends <= 6).all()
