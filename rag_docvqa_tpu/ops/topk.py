@@ -1,0 +1,193 @@
+"""Fused similarity scoring + top-k selection.
+
+This is the TPU-native replacement for the reference Retriever's per-sample
+Python loop (`_get_similarities` src/_modules.py:1978-1997 + `torch.topk`
+src/_modules.py:2014-2016): one batched matmul over an L2-normalized index and
+a masked top-k.
+
+Two implementations with identical semantics:
+  * ``cosine_topk_xla``    — jnp reference (matmul + lax.top_k), used for
+                             correctness baselines and small problems.
+  * ``cosine_topk_pallas`` — fused Pallas kernel that streams index tiles
+                             HBM -> VMEM once, keeps the running top-k in VMEM,
+                             and never materializes the (B, N) score matrix in
+                             HBM. Falls back to interpret mode off-TPU.
+
+Scores are cosine similarities; the index is expected pre-normalized (done
+once at index build — the reference re-normalizes per query,
+src/_modules.py:1990-1993, which is redundant work we hoist).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30  # plain float so Pallas kernels don't capture a traced const
+
+
+def l2_normalize(x: jax.Array, axis: int = -1, eps: float = 1e-8) -> jax.Array:
+    """Match the reference's eps placement: x / (||x|| + eps)."""
+    norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    return x / (norm + eps)
+
+
+def masked_topk(
+    scores: jax.Array,  # (..., N) float
+    mask: Optional[jax.Array],  # (..., N) bool, True = valid
+    k: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Top-k over the last axis ignoring masked entries.
+
+    Returns (values, indices, valid) where valid marks entries that came from
+    real (unmasked) candidates — the fixed-shape analogue of the reference's
+    `k_min = min(k, n_chunks)` clamp (src/_modules.py:2015).
+    """
+    if mask is not None:
+        scores = jnp.where(mask, scores, NEG_INF)
+    vals, idx = jax.lax.top_k(scores, k)
+    valid = vals > NEG_INF / 2
+    return vals, idx, valid
+
+
+def cosine_topk_xla(
+    index: jax.Array,  # (N, D) pre-normalized
+    queries: jax.Array,  # (B, D) unnormalized
+    k: int,
+    index_mask: Optional[jax.Array] = None,  # (N,) bool
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Reference implementation: one matmul + masked top-k."""
+    q = l2_normalize(queries.astype(jnp.float32))
+    scores = jax.lax.dot_general(
+        q,
+        index.astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (B, N)
+    mask = None if index_mask is None else jnp.broadcast_to(index_mask[None, :], scores.shape)
+    return masked_topk(scores, mask, k)
+
+
+# --------------------------------------------------------------------------- #
+# Pallas fused kernel
+# --------------------------------------------------------------------------- #
+def _topk_merge(cand_vals: jax.Array, cand_idx: jax.Array, k: int):
+    """Extract the k largest (value, index) pairs from candidates.
+
+    Iterative max-extraction: k passes of max/argmax over the candidate axis.
+    First-match argmax reproduces lax.top_k's lowest-index tie behavior as
+    long as candidates are ordered by ascending global index, which the
+    caller guarantees (running top-k entries precede the new tile).
+    """
+    B, C = cand_vals.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
+    out_col = jax.lax.broadcasted_iota(jnp.int32, (B, k), 1)
+
+    def body(j, carry):
+        cvals, out_vals, out_idx = carry
+        m = jnp.max(cvals, axis=-1)  # (B,)
+        am = jnp.argmax(cvals, axis=-1)  # (B,)
+        sel = col == am[:, None]
+        picked_idx = jnp.sum(jnp.where(sel, cand_idx, 0), axis=-1)
+        # one-hot column writes (Mosaic has no dynamic_update_slice on values)
+        write = out_col == j
+        out_vals = jnp.where(write, m[:, None], out_vals)
+        out_idx = jnp.where(write, picked_idx[:, None], out_idx)
+        cvals = jnp.where(sel, NEG_INF, cvals)
+        return cvals, out_vals, out_idx
+
+    out_vals = jnp.full((B, k), NEG_INF, jnp.float32)
+    out_idx = jnp.zeros((B, k), jnp.int32)
+    _, out_vals, out_idx = jax.lax.fori_loop(0, k, body, (cand_vals, out_vals, out_idx))
+    return out_vals, out_idx
+
+
+def _fused_kernel(n_valid_ref, q_ref, idx_tile_ref, vals_ref, idx_ref, k: int, tile_n: int):
+    """Grid step over index tiles: matmul on MXU, running top-k in VMEM."""
+    t = pl.program_id(0)
+    n_valid = n_valid_ref[0]
+
+    @pl.when(t == 0)
+    def _init():
+        vals_ref[:] = jnp.full_like(vals_ref, NEG_INF)
+        idx_ref[:] = jnp.zeros_like(idx_ref)
+
+    # (B, D) x (T, D)^T -> (B, T)
+    scores = jax.lax.dot_general(
+        q_ref[:],
+        idx_tile_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    B = scores.shape[0]
+    global_idx = t * tile_n + jax.lax.broadcasted_iota(jnp.int32, (B, tile_n), 1)
+    scores = jnp.where(global_idx < n_valid, scores, NEG_INF)
+
+    cand_vals = jnp.concatenate([vals_ref[:], scores], axis=-1)
+    cand_idx = jnp.concatenate([idx_ref[:], global_idx], axis=-1)
+    new_vals, new_idx = _topk_merge(cand_vals, cand_idx, k)
+    vals_ref[:] = new_vals
+    idx_ref[:] = new_idx
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))
+def cosine_topk_pallas(
+    index: jax.Array,  # (N, D) pre-normalized, N % tile_n == 0 (pad upstream)
+    queries: jax.Array,  # (B, D)
+    n_valid: jax.Array,  # () int32 — entries >= n_valid are padding
+    k: int,
+    tile_n: int = 512,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Fused scoring + top-k. Returns (values, indices, valid) like masked_topk."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    N, D = index.shape
+    B = queries.shape[0]
+    assert N % tile_n == 0, f"pad index length {N} to a multiple of tile_n={tile_n}"
+
+    q = l2_normalize(queries.astype(jnp.float32))
+    grid = (N // tile_n,)
+    kernel = functools.partial(_fused_kernel, k=k, tile_n=tile_n)
+
+    vals, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # n_valid scalar
+            pl.BlockSpec((B, D), lambda t: (0, 0), memory_space=pltpu.VMEM),  # queries (replicated)
+            pl.BlockSpec((tile_n, D), lambda t: (t, 0), memory_space=pltpu.VMEM),  # index tile
+        ],
+        out_specs=(
+            pl.BlockSpec((B, k), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, k), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, k), jnp.float32),
+            jax.ShapeDtypeStruct((B, k), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * D,
+            bytes_accessed=N * D * index.dtype.itemsize + B * D * 4 + 2 * B * k * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray([n_valid], jnp.int32).reshape(1), q, index)
+
+    valid = vals > NEG_INF / 2
+    return vals, idx, valid
+
+
+def pad_index(embeddings: jax.Array, tile_n: int = 512) -> Tuple[jax.Array, jax.Array]:
+    """Pad an (N, D) index to a tile multiple; returns (padded, n_valid)."""
+    N = embeddings.shape[0]
+    target = ((N + tile_n - 1) // tile_n) * tile_n
+    if target != N:
+        pad = jnp.zeros((target - N, embeddings.shape[1]), embeddings.dtype)
+        embeddings = jnp.concatenate([embeddings, pad], axis=0)
+    return embeddings, jnp.int32(N)

@@ -1,0 +1,141 @@
+"""HBM-resident, chip-sharded embedding index with global top-k queries.
+
+This is the north-star component (BASELINE.json): the reference scores chunks
+per sample in a Python loop on one GPU (src/_modules.py:1978-2016); here the
+chunk embedding matrix lives sharded across the mesh's "data" axis, every chip
+scores its shard with the fused Pallas matmul+top-k kernel, and the global
+top-k is produced by an all-gather of (k per shard) candidates followed by an
+on-chip merge — the only cross-chip traffic is O(devices * B * k) scalars.
+
+Sharded-vs-single-device equivalence (including tie behavior via ascending
+global candidate index order) is property-tested in tests/test_index.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rag_docvqa_tpu.ops.topk import (
+    cosine_topk_pallas,
+    cosine_topk_xla,
+    l2_normalize,
+    masked_topk,
+)
+
+
+@dataclass
+class ShardedIndex:
+    """A pre-normalized (N_pad, D) embedding matrix sharded over `axis`."""
+
+    embeddings: jax.Array  # (N_pad, D), sharded P(axis, None)
+    n_valid: int  # true number of rows
+    mesh: Mesh
+    axis: str = "data"
+    tile_n: int = 512
+    use_pallas: bool = True
+
+    # ------------------------------------------------------------------ #
+    @staticmethod
+    def build(
+        embeddings: jax.Array,  # (N, D) raw (unnormalized) chunk embeddings
+        mesh: Mesh,
+        axis: str = "data",
+        tile_n: int = 512,
+        use_pallas: bool = True,
+    ) -> "ShardedIndex":
+        """Normalize once, pad to shard x tile multiples, lay out over the mesh."""
+        n, d = embeddings.shape
+        n_shards = mesh.shape[axis]
+        mult = n_shards * tile_n
+        n_pad = ((n + mult - 1) // mult) * mult
+
+        @functools.partial(jax.jit, out_shardings=NamedSharding(mesh, P(axis, None)))
+        def _prepare(x):
+            x = l2_normalize(x.astype(jnp.float32))
+            return jnp.pad(x, ((0, n_pad - n), (0, 0)))
+
+        return ShardedIndex(
+            embeddings=_prepare(embeddings),
+            n_valid=n,
+            mesh=mesh,
+            axis=axis,
+            tile_n=tile_n,
+            use_pallas=use_pallas,
+        )
+
+    # ------------------------------------------------------------------ #
+    def query(self, queries: jax.Array, k: int) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """Global top-k for a replicated (B, D) query batch.
+
+        Returns (values, indices, valid) with indices into the original
+        (unpadded) row space, sorted descending, replicated on every device.
+        """
+        return _sharded_query(
+            self.embeddings,
+            queries,
+            mesh=self.mesh,
+            axis=self.axis,
+            n_valid=self.n_valid,
+            k=k,
+            tile_n=self.tile_n,
+            use_pallas=self.use_pallas,
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "axis", "n_valid", "k", "tile_n", "use_pallas"),
+)
+def _sharded_query(index, queries, *, mesh, axis, n_valid, k, tile_n, use_pallas):
+    n_shards = mesh.shape[axis]
+    shard_len = index.shape[0] // n_shards
+
+    def local(index_shard, q):
+        # index_shard: (shard_len, D); q: (B, D) replicated
+        sid = jax.lax.axis_index(axis)
+        # rows valid on this shard: global row id in [sid*shard_len, n_valid)
+        local_valid = jnp.clip(n_valid - sid * shard_len, 0, shard_len)
+        if use_pallas:
+            vals, idx, _ = cosine_topk_pallas(index_shard, q, local_valid, k, tile_n=tile_n)
+        else:
+            row = jax.lax.broadcasted_iota(jnp.int32, (1, shard_len), 1)
+            mask = (row < local_valid)[0]
+            vals, idx, _ = cosine_topk_xla(index_shard, q, k, index_mask=mask)
+        gidx = idx + sid * shard_len
+        # all-gather the per-shard candidates; merge identically everywhere.
+        cand_vals = jax.lax.all_gather(vals, axis)  # (S, B, k)
+        cand_idx = jax.lax.all_gather(gidx, axis)  # (S, B, k)
+        # order candidates by ascending shard id so ties resolve to the lowest
+        # global index, matching single-device lax.top_k.
+        B = q.shape[0]
+        cand_vals = jnp.transpose(cand_vals, (1, 0, 2)).reshape(B, n_shards * k)
+        cand_idx = jnp.transpose(cand_idx, (1, 0, 2)).reshape(B, n_shards * k)
+        out_vals, pos = jax.lax.top_k(cand_vals, k)
+        out_idx = jnp.take_along_axis(cand_idx, pos, axis=-1)
+        valid = out_vals > -1e29
+        return out_vals, out_idx, valid
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis, None), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )(index, queries)
+
+
+def single_device_query(
+    embeddings: jax.Array,  # (N, D) unnormalized
+    queries: jax.Array,
+    k: int,
+    index_mask: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Unsharded reference for property tests: normalize + matmul + top-k."""
+    index = l2_normalize(embeddings.astype(jnp.float32))
+    return cosine_topk_xla(index, queries, k, index_mask=index_mask)

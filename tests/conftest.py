@@ -1,14 +1,20 @@
 """Test harness: force CPU with 8 virtual devices so mesh collectives
 (sharded index all-gather, global top-k merge) are exercised without a TPU
-slice. Must run before the first `import jax` anywhere."""
+slice.
+
+The host interpreter may pre-import jax and register a TPU backend via
+sitecustomize with JAX_PLATFORMS pinned in the env; backend *initialization*
+is lazy, so overriding jax_platforms + XLA_FLAGS here (before any jax.devices()
+call) reliably lands the suite on the virtual CPU mesh."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
