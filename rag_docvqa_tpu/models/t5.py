@@ -1,0 +1,378 @@
+"""T5 encoder-decoder stack, pure-functional JAX, HF-weight compatible.
+
+The reference drives HF's `T5ForConditionalGeneration` through the VT5 wrapper
+(src/VT5.py:37, src/LayoutT5.py). This is a from-scratch implementation shaped
+for TPU execution:
+
+  * per-layer weights stacked on a leading axis, iterated with `lax.scan`
+    (flat compile time, natural pjit sharding on the stacked axes),
+  * attention logits/softmax accumulated in f32, activations bf16-friendly,
+  * explicit KV-cache decoding (`init_decode_cache` + `decode_step`) instead
+    of HF's Python generate loop, so greedy decoding is a single `lax.scan`
+    (see ops/decode.py),
+  * relative position bias shared across layers (matches HF semantics where
+    only block 0 holds the bias table and later blocks reuse it).
+
+No scaling by 1/sqrt(d_k) in attention — T5 folds it into init, and weight
+compatibility requires matching that.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from rag_docvqa_tpu.models.layers import dense, dropout, normal_init, rms_norm
+
+
+@dataclass(frozen=True)
+class T5Config:
+    vocab_size: int = 32128
+    d_model: int = 768
+    d_kv: int = 64
+    num_heads: int = 12
+    d_ff: int = 3072
+    num_encoder_layers: int = 12
+    num_decoder_layers: int = 12
+    rel_buckets: int = 32
+    rel_max_distance: int = 128
+    dropout_rate: float = 0.1
+    layer_norm_eps: float = 1e-6
+    gated_ffn: bool = False  # t5-base uses plain ReLU FFN
+    tie_word_embeddings: bool = True
+    pad_id: int = 0
+    eos_id: int = 1
+    decoder_start_token_id: int = 0
+
+    @property
+    def inner_dim(self) -> int:
+        return self.num_heads * self.d_kv
+
+
+Params = Dict[str, Any]
+
+
+# --------------------------------------------------------------------------- #
+# init
+# --------------------------------------------------------------------------- #
+def _init_attn(rng, cfg: T5Config, n_layers: int) -> Params:
+    d, inner = cfg.d_model, cfg.inner_dim
+    ks = jax.random.split(rng, 4)
+    return {
+        "q": normal_init(ks[0], (n_layers, d, inner), (d * cfg.d_kv) ** -0.5),
+        "k": normal_init(ks[1], (n_layers, d, inner), d**-0.5),
+        "v": normal_init(ks[2], (n_layers, d, inner), d**-0.5),
+        "o": normal_init(ks[3], (n_layers, inner, d), inner**-0.5),
+    }
+
+
+def _init_ffn(rng, cfg: T5Config, n_layers: int) -> Params:
+    d, f = cfg.d_model, cfg.d_ff
+    ks = jax.random.split(rng, 3)
+    p = {"wo": normal_init(ks[2], (n_layers, f, d), f**-0.5)}
+    if cfg.gated_ffn:
+        p["wi_0"] = normal_init(ks[0], (n_layers, d, f), d**-0.5)
+        p["wi_1"] = normal_init(ks[1], (n_layers, d, f), d**-0.5)
+    else:
+        p["wi"] = normal_init(ks[0], (n_layers, d, f), d**-0.5)
+    return p
+
+
+def init_t5_params(rng: jax.Array, cfg: T5Config) -> Params:
+    keys = jax.random.split(rng, 8)
+    L_e, L_d = cfg.num_encoder_layers, cfg.num_decoder_layers
+    params: Params = {
+        "shared": normal_init(keys[0], (cfg.vocab_size, cfg.d_model), 1.0),
+        "encoder": {
+            "rel_bias": normal_init(keys[1], (cfg.rel_buckets, cfg.num_heads), (cfg.d_model * cfg.d_kv) ** -0.5),
+            "attn": _init_attn(keys[2], cfg, L_e),
+            "ffn": _init_ffn(keys[3], cfg, L_e),
+            "ln0": jnp.ones((L_e, cfg.d_model)),
+            "ln1": jnp.ones((L_e, cfg.d_model)),
+            "final_ln": jnp.ones((cfg.d_model,)),
+        },
+        "decoder": {
+            "rel_bias": normal_init(keys[4], (cfg.rel_buckets, cfg.num_heads), (cfg.d_model * cfg.d_kv) ** -0.5),
+            "self_attn": _init_attn(keys[5], cfg, L_d),
+            "cross_attn": _init_attn(keys[6], cfg, L_d),
+            "ffn": _init_ffn(keys[7], cfg, L_d),
+            "ln0": jnp.ones((L_d, cfg.d_model)),
+            "ln1": jnp.ones((L_d, cfg.d_model)),
+            "ln2": jnp.ones((L_d, cfg.d_model)),
+            "final_ln": jnp.ones((cfg.d_model,)),
+        },
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = normal_init(rng, (cfg.d_model, cfg.vocab_size), cfg.d_model**-0.5)
+    return params
+
+
+# --------------------------------------------------------------------------- #
+# relative position bias
+# --------------------------------------------------------------------------- #
+def _relative_position_bucket(
+    relative_position: jax.Array, bidirectional: bool, num_buckets: int, max_distance: int
+) -> jax.Array:
+    ret = jnp.zeros_like(relative_position)
+    if bidirectional:
+        num_buckets //= 2
+        ret += (relative_position > 0).astype(jnp.int32) * num_buckets
+        n = jnp.abs(relative_position)
+    else:
+        n = -jnp.minimum(relative_position, 0)
+    max_exact = num_buckets // 2
+    is_small = n < max_exact
+    val_if_large = max_exact + (
+        jnp.log(n.astype(jnp.float32) / max_exact + 1e-9)
+        / math.log(max_distance / max_exact)
+        * (num_buckets - max_exact)
+    ).astype(jnp.int32)
+    val_if_large = jnp.minimum(val_if_large, num_buckets - 1)
+    return ret + jnp.where(is_small, n, val_if_large)
+
+
+def relative_bias(
+    rel_bias_table: jax.Array,  # (buckets, H)
+    q_pos: jax.Array,  # (Tq,)
+    k_pos: jax.Array,  # (Tk,)
+    bidirectional: bool,
+    cfg: T5Config,
+) -> jax.Array:
+    """Returns (1, H, Tq, Tk) additive attention bias."""
+    rel = k_pos[None, :] - q_pos[:, None]  # (Tq, Tk)
+    buckets = _relative_position_bucket(rel, bidirectional, cfg.rel_buckets, cfg.rel_max_distance)
+    bias = rel_bias_table[buckets]  # (Tq, Tk, H)
+    return jnp.transpose(bias, (2, 0, 1))[None]
+
+
+# --------------------------------------------------------------------------- #
+# attention / ffn primitives
+# --------------------------------------------------------------------------- #
+def _split_heads(x: jax.Array, n_heads: int) -> jax.Array:
+    b, t, _ = x.shape
+    return x.reshape(b, t, n_heads, -1)
+
+
+def _attend(
+    q: jax.Array,  # (B, Tq, H, dk)
+    k: jax.Array,  # (B, Tk, H, dk)
+    v: jax.Array,  # (B, Tk, H, dk)
+    bias: Optional[jax.Array],  # (1|B, H, Tq, Tk)
+    mask: Optional[jax.Array],  # (B, 1, Tq, Tk) bool
+) -> jax.Array:
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
+    if mask is not None:
+        scores = jnp.where(mask, scores, -1e9)
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+    return out.reshape(out.shape[0], out.shape[1], -1)
+
+
+def _ffn(p: Params, cfg: T5Config, x: jax.Array) -> jax.Array:
+    if cfg.gated_ffn:
+        h = jax.nn.gelu(dense(x, p["wi_0"]), approximate=False) * dense(x, p["wi_1"])
+    else:
+        h = jax.nn.relu(dense(x, p["wi"]))
+    return dense(h, p["wo"])
+
+
+# --------------------------------------------------------------------------- #
+# encoder
+# --------------------------------------------------------------------------- #
+def encode(
+    params: Params,
+    cfg: T5Config,
+    inputs_embeds: jax.Array,  # (B, T, D)
+    attention_mask: jax.Array,  # (B, T) bool
+    deterministic: bool = True,
+    rng: Optional[jax.Array] = None,
+) -> jax.Array:
+    enc = params["encoder"]
+    T = inputs_embeds.shape[1]
+    pos = jnp.arange(T)
+    bias = relative_bias(enc["rel_bias"], pos, pos, bidirectional=True, cfg=cfg)
+    mask = attention_mask[:, None, None, :]  # (B,1,1,T) — keys masked
+    x = dropout(inputs_embeds, cfg.dropout_rate, rng, deterministic)
+
+    def block(x, layer):
+        h = rms_norm(x, layer["ln0"], cfg.layer_norm_eps)
+        q = _split_heads(dense(h, layer["attn"]["q"]), cfg.num_heads)
+        k = _split_heads(dense(h, layer["attn"]["k"]), cfg.num_heads)
+        v = _split_heads(dense(h, layer["attn"]["v"]), cfg.num_heads)
+        a = dense(_attend(q, k, v, bias, mask), layer["attn"]["o"])
+        x = x + a
+        h = rms_norm(x, layer["ln1"], cfg.layer_norm_eps)
+        x = x + _ffn(layer["ffn"], cfg, h)
+        return x, None
+
+    stacked = {
+        "ln0": enc["ln0"],
+        "ln1": enc["ln1"],
+        "attn": enc["attn"],
+        "ffn": enc["ffn"],
+    }
+    x, _ = jax.lax.scan(lambda c, l: block(c, l), x, stacked)
+    return rms_norm(x, enc["final_ln"], cfg.layer_norm_eps)
+
+
+# --------------------------------------------------------------------------- #
+# decoder (teacher-forced)
+# --------------------------------------------------------------------------- #
+def decode_train(
+    params: Params,
+    cfg: T5Config,
+    decoder_input_ids: jax.Array,  # (B, Td)
+    encoder_hidden: jax.Array,  # (B, Te, D)
+    encoder_mask: jax.Array,  # (B, Te) bool
+    deterministic: bool = True,
+    rng: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Full-sequence decoder forward; returns (B, Td, V) logits."""
+    dec = params["decoder"]
+    B, Td = decoder_input_ids.shape
+    x = params["shared"][decoder_input_ids]
+    pos = jnp.arange(Td)
+    bias = relative_bias(dec["rel_bias"], pos, pos, bidirectional=False, cfg=cfg)
+    causal = (pos[None, :] <= pos[:, None])[None, None]  # (1,1,Td,Td)
+    cross_mask = encoder_mask[:, None, None, :]
+    x = dropout(x, cfg.dropout_rate, rng, deterministic)
+
+    def block(x, layer):
+        h = rms_norm(x, layer["ln0"], cfg.layer_norm_eps)
+        q = _split_heads(dense(h, layer["self_attn"]["q"]), cfg.num_heads)
+        k = _split_heads(dense(h, layer["self_attn"]["k"]), cfg.num_heads)
+        v = _split_heads(dense(h, layer["self_attn"]["v"]), cfg.num_heads)
+        x = x + dense(_attend(q, k, v, bias, causal), layer["self_attn"]["o"])
+        h = rms_norm(x, layer["ln1"], cfg.layer_norm_eps)
+        q = _split_heads(dense(h, layer["cross_attn"]["q"]), cfg.num_heads)
+        k = _split_heads(dense(encoder_hidden, layer["cross_attn"]["k"]), cfg.num_heads)
+        v = _split_heads(dense(encoder_hidden, layer["cross_attn"]["v"]), cfg.num_heads)
+        x = x + dense(_attend(q, k, v, None, cross_mask), layer["cross_attn"]["o"])
+        h = rms_norm(x, layer["ln2"], cfg.layer_norm_eps)
+        x = x + _ffn(layer["ffn"], cfg, h)
+        return x, None
+
+    stacked = {
+        "ln0": dec["ln0"],
+        "ln1": dec["ln1"],
+        "ln2": dec["ln2"],
+        "self_attn": dec["self_attn"],
+        "cross_attn": dec["cross_attn"],
+        "ffn": dec["ffn"],
+    }
+    x, _ = jax.lax.scan(lambda c, l: block(c, l), x, stacked)
+    x = rms_norm(x, dec["final_ln"], cfg.layer_norm_eps)
+    return lm_logits(params, cfg, x)
+
+
+def lm_logits(params: Params, cfg: T5Config, hidden: jax.Array) -> jax.Array:
+    if cfg.tie_word_embeddings:
+        hidden = hidden * (cfg.d_model**-0.5)
+        return jnp.einsum("btd,vd->btv", hidden, params["shared"].astype(hidden.dtype))
+    return dense(hidden, params["lm_head"])
+
+
+# --------------------------------------------------------------------------- #
+# incremental decoding with KV cache
+# --------------------------------------------------------------------------- #
+@struct.dataclass
+class DecodeCache:
+    self_k: jax.Array  # (L, B, Tmax, H, dk)
+    self_v: jax.Array  # (L, B, Tmax, H, dk)
+    cross_k: jax.Array  # (L, B, Te, H, dk)
+    cross_v: jax.Array  # (L, B, Te, H, dk)
+
+
+def init_decode_cache(
+    params: Params,
+    cfg: T5Config,
+    encoder_hidden: jax.Array,  # (B, Te, D)
+    max_decode_len: int,
+) -> DecodeCache:
+    """Precompute per-layer cross-attention K/V once; allocate self K/V."""
+    dec = params["decoder"]
+    B, Te, _ = encoder_hidden.shape
+    L = cfg.num_decoder_layers
+
+    def per_layer(_, layer):
+        k = _split_heads(dense(encoder_hidden, layer["k"]), cfg.num_heads)
+        v = _split_heads(dense(encoder_hidden, layer["v"]), cfg.num_heads)
+        return None, (k, v)
+
+    _, (cross_k, cross_v) = jax.lax.scan(per_layer, None, dec["cross_attn"])
+    shape = (L, B, max_decode_len, cfg.num_heads, cfg.d_kv)
+    dtype = encoder_hidden.dtype
+    return DecodeCache(
+        self_k=jnp.zeros(shape, dtype),
+        self_v=jnp.zeros(shape, dtype),
+        cross_k=cross_k,
+        cross_v=cross_v,
+    )
+
+
+def decode_step(
+    params: Params,
+    cfg: T5Config,
+    cache: DecodeCache,
+    token: jax.Array,  # (B,) int32 current input token
+    step: jax.Array,  # () int32 position of `token`
+    encoder_mask: jax.Array,  # (B, Te) bool
+) -> Tuple[jax.Array, DecodeCache]:
+    """One greedy-decode step; returns ((B, V) logits, updated cache)."""
+    dec = params["decoder"]
+    B = token.shape[0]
+    Tmax = cache.self_k.shape[2]
+    x = params["shared"][token][:, None, :]  # (B, 1, D)
+
+    # bias/mask over cached positions for this query step
+    k_pos = jnp.arange(Tmax)
+    bias = relative_bias(dec["rel_bias"], step[None], k_pos, bidirectional=False, cfg=cfg)
+    self_mask = (k_pos <= step)[None, None, None, :]  # (1,1,1,Tmax)
+    cross_mask = encoder_mask[:, None, None, :]
+
+    stacked = {
+        "ln0": dec["ln0"],
+        "ln1": dec["ln1"],
+        "ln2": dec["ln2"],
+        "self_attn": dec["self_attn"],
+        "cross_attn": dec["cross_attn"],
+        "ffn": dec["ffn"],
+    }
+
+    def block(x, layer_and_cache):
+        layer, (ck, cv, sk, sv) = layer_and_cache
+        h = rms_norm(x, layer["ln0"], cfg.layer_norm_eps)
+        q = _split_heads(dense(h, layer["self_attn"]["q"]), cfg.num_heads)
+        k_new = _split_heads(dense(h, layer["self_attn"]["k"]), cfg.num_heads)
+        v_new = _split_heads(dense(h, layer["self_attn"]["v"]), cfg.num_heads)
+        sk = jax.lax.dynamic_update_slice(sk, k_new, (0, step, 0, 0))
+        sv = jax.lax.dynamic_update_slice(sv, v_new, (0, step, 0, 0))
+        x = x + dense(_attend(q, sk, sv, bias, self_mask), layer["self_attn"]["o"])
+        h = rms_norm(x, layer["ln1"], cfg.layer_norm_eps)
+        q = _split_heads(dense(h, layer["cross_attn"]["q"]), cfg.num_heads)
+        x = x + dense(_attend(q, ck, cv, None, cross_mask), layer["cross_attn"]["o"])
+        h = rms_norm(x, layer["ln2"], cfg.layer_norm_eps)
+        x = x + _ffn(layer["ffn"], cfg, h)
+        return x, (sk, sv)
+
+    x, (new_sk, new_sv) = jax.lax.scan(
+        block, x, (stacked, (cache.cross_k, cache.cross_v, cache.self_k, cache.self_v))
+    )
+    x = rms_norm(x, dec["final_ln"], cfg.layer_norm_eps)
+    logits = lm_logits(params, cfg, x)[:, 0, :]
+    return logits, cache.replace(self_k=new_sk, self_v=new_sv)
+
+
+def shift_tokens_right(labels: jax.Array, pad_id: int, decoder_start_token_id: int) -> jax.Array:
+    """Teacher-forcing shift (src/_model_utils.py:26-41); -100 -> pad."""
+    shifted = jnp.zeros_like(labels)
+    shifted = shifted.at[:, 1:].set(labels[:, :-1])
+    shifted = shifted.at[:, 0].set(decoder_start_token_id)
+    return jnp.where(shifted == -100, pad_id, shifted)

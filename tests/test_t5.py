@@ -1,0 +1,166 @@
+"""T5 stack tests: HF parity via weight conversion + KV-cache consistency."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rag_docvqa_tpu.models import t5 as t5m
+from rag_docvqa_tpu.models.convert import convert_t5_state_dict, torch_state_dict_to_numpy
+from rag_docvqa_tpu.ops.decode import greedy_decode
+
+TINY = t5m.T5Config(
+    vocab_size=128,
+    d_model=32,
+    d_kv=8,
+    num_heads=4,
+    d_ff=64,
+    num_encoder_layers=2,
+    num_decoder_layers=2,
+    dropout_rate=0.0,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_params():
+    return init_f32(TINY)
+
+
+def init_f32(cfg):
+    return t5m.init_t5_params(jax.random.PRNGKey(0), cfg)
+
+
+def test_encode_shapes(tiny_params):
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 10, TINY.d_model))
+    mask = jnp.ones((2, 10), bool)
+    h = t5m.encode(tiny_params, TINY, x, mask)
+    assert h.shape == (2, 10, TINY.d_model)
+
+
+def test_decode_train_shapes(tiny_params):
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 10, TINY.d_model))
+    mask = jnp.ones((2, 10), bool)
+    h = t5m.encode(tiny_params, TINY, x, mask)
+    dec_ids = jnp.asarray([[0, 5, 6], [0, 7, 8]], jnp.int32)
+    logits = t5m.decode_train(tiny_params, TINY, dec_ids, h, mask)
+    assert logits.shape == (2, 3, TINY.vocab_size)
+
+
+def test_cache_decode_matches_teacher_forced(tiny_params):
+    """Incremental decode_step logits must equal full-forward logits."""
+    B, Te, Td = 2, 7, 5
+    x = jax.random.normal(jax.random.PRNGKey(2), (B, Te, TINY.d_model))
+    mask = jnp.asarray([[True] * 7, [True] * 4 + [False] * 3])
+    h = t5m.encode(tiny_params, TINY, x, mask)
+    dec_ids = jax.random.randint(jax.random.PRNGKey(3), (B, Td), 3, TINY.vocab_size)
+    dec_ids = dec_ids.at[:, 0].set(TINY.decoder_start_token_id)
+    full_logits = t5m.decode_train(tiny_params, TINY, dec_ids, h, mask)
+
+    cache = t5m.init_decode_cache(tiny_params, TINY, h, Td)
+    step_logits = []
+    for t in range(Td):
+        lg, cache = t5m.decode_step(tiny_params, TINY, cache, dec_ids[:, t], jnp.int32(t), mask)
+        step_logits.append(lg)
+    step_logits = jnp.stack(step_logits, axis=1)
+    np.testing.assert_allclose(np.asarray(full_logits), np.asarray(step_logits), rtol=2e-4, atol=2e-4)
+
+
+def test_greedy_decode_shapes_and_eos(tiny_params):
+    B, Te = 3, 6
+    x = jax.random.normal(jax.random.PRNGKey(4), (B, Te, TINY.d_model))
+    mask = jnp.ones((B, Te), bool)
+    h = t5m.encode(tiny_params, TINY, x, mask)
+    tokens, conf = greedy_decode(tiny_params, TINY, h, mask, max_new_tokens=8)
+    assert tokens.shape == (B, 8)
+    assert conf.shape == (B,)
+    assert ((conf > 0) & (conf <= 1.0 + 1e-6)).all()
+    # after an EOS, everything is pad
+    toks = np.asarray(tokens)
+    for b in range(B):
+        eos_pos = np.where(toks[b] == TINY.eos_id)[0]
+        if len(eos_pos):
+            assert (toks[b, eos_pos[0] + 1 :] == TINY.pad_id).all()
+
+
+def test_shift_tokens_right():
+    labels = jnp.asarray([[5, 6, -100], [7, 1, 2]])
+    out = t5m.shift_tokens_right(labels, pad_id=0, decoder_start_token_id=0)
+    assert out.tolist() == [[0, 5, 6], [0, 7, 1]]
+
+
+# --------------------------------------------------------------------------- #
+# HF parity (random tiny torch T5 -> convert -> compare forwards)
+# --------------------------------------------------------------------------- #
+@pytest.fixture(scope="module")
+def hf_pair():
+    torch = pytest.importorskip("torch")
+    from transformers import T5Config as HFT5Config
+    from transformers import T5ForConditionalGeneration
+
+    hf_cfg = HFT5Config(
+        vocab_size=128,
+        d_model=32,
+        d_kv=8,
+        num_heads=4,
+        d_ff=64,
+        num_layers=2,
+        num_decoder_layers=2,
+        dropout_rate=0.0,
+        feed_forward_proj="relu",
+        tie_word_embeddings=True,
+        decoder_start_token_id=0,
+    )
+    torch.manual_seed(0)
+    hf = T5ForConditionalGeneration(hf_cfg).eval()
+    params = convert_t5_state_dict(torch_state_dict_to_numpy(hf), TINY)
+    return hf, jax.tree.map(jnp.asarray, params)
+
+
+def test_hf_parity_full_forward(hf_pair):
+    torch = pytest.importorskip("torch")
+    hf, params = hf_pair
+    B, Te, Td = 2, 9, 4
+    rng = np.random.RandomState(0)
+    emb = rng.randn(B, Te, TINY.d_model).astype(np.float32)
+    enc_mask = np.ones((B, Te), np.int64)
+    enc_mask[1, 6:] = 0
+    dec_ids = rng.randint(2, 128, size=(B, Td))
+    dec_ids[:, 0] = 0
+
+    with torch.no_grad():
+        out = hf(
+            inputs_embeds=torch.from_numpy(emb),
+            attention_mask=torch.from_numpy(enc_mask),
+            decoder_input_ids=torch.from_numpy(dec_ids),
+        )
+    hf_logits = out.logits.numpy()
+
+    h = t5m.encode(params, TINY, jnp.asarray(emb), jnp.asarray(enc_mask, bool))
+    logits = t5m.decode_train(params, TINY, jnp.asarray(dec_ids), h, jnp.asarray(enc_mask, bool))
+    np.testing.assert_allclose(np.asarray(logits), hf_logits, rtol=2e-4, atol=2e-4)
+
+
+def test_hf_parity_greedy_generate(hf_pair):
+    torch = pytest.importorskip("torch")
+    hf, params = hf_pair
+    B, Te = 2, 6
+    rng = np.random.RandomState(1)
+    emb = rng.randn(B, Te, TINY.d_model).astype(np.float32)
+    enc_mask = np.ones((B, Te), np.int64)
+
+    with torch.no_grad():
+        out = hf.generate(
+            inputs_embeds=torch.from_numpy(emb),
+            attention_mask=torch.from_numpy(enc_mask),
+            max_new_tokens=6,
+            do_sample=False,
+            num_beams=1,
+        )
+    hf_tokens = out.numpy()[:, 1:]  # drop decoder_start
+
+    h = t5m.encode(params, TINY, jnp.asarray(emb), jnp.asarray(enc_mask, bool))
+    tokens, _ = greedy_decode(params, TINY, h, jnp.asarray(enc_mask, bool), max_new_tokens=6)
+    tokens = np.asarray(tokens)
+    # compare up to HF's early stop length
+    T = hf_tokens.shape[1]
+    np.testing.assert_array_equal(tokens[:, :T], hf_tokens)
