@@ -1,0 +1,144 @@
+"""Headline benchmark: embed + retrieve throughput (pages/sec/chip).
+
+Measures the BASELINE.json north-star pipeline on one chip:
+  pre-tokenized page chunks -> VT5-table chunk embeddings (batched XLA)
+  -> L2-normalized HBM index -> fused Pallas cosine+top-k queries.
+
+`vs_baseline` compares against the *reference execution structure* run on the
+same chip: a per-document loop issuing separate dispatches for chunk
+embedding, cosine similarity, and top-k — which is how Pikurrot/RAG-DocVQA
+executes retrieval (BiEncoder.batch_forward per-sample loop
+src/_modules.py:1415-1416, Retriever._get_similarities per-sample loop
+src/_modules.py:1978-2016). Same math, same hardware. The baseline loop is
+measured WITHOUT per-step host syncs (the reference syncs per sample, which
+would add full host round trips), so the reported speedup is a lower bound on
+the design delta.
+
+Timing note: on the tunneled TPU platform, block_until_ready does not reliably
+wait for remote execution; every timed region therefore ends with a host fetch
+of a value data-dependent on the full computation, and many reps amortize the
+tunnel round trip.
+
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# ---- workload --------------------------------------------------------------
+N_DOCS = 512
+PAGES_PER_DOC = 8
+CHUNKS_PER_PAGE = 2
+CHUNK_TOKENS = 64
+D_MODEL = 768
+VOCAB = 32128
+N_QUERIES = 256
+QUERY_TOKENS = 16
+TOP_K = 10
+FUSED_REPS = 20
+BASELINE_DOCS = 64  # per-doc loop timed on a subsample, then extrapolated
+
+N_PAGES = N_DOCS * PAGES_PER_DOC
+N_CHUNKS = N_PAGES * CHUNKS_PER_PAGE
+
+
+def _sync(x) -> float:
+    """Force completion with a host fetch; returns a scalar."""
+    return float(np.asarray(jax.device_get(x)).ravel()[0])
+
+
+def main():
+    from rag_docvqa_tpu.models.embedder import mean_pool
+    from rag_docvqa_tpu.ops.topk import cosine_topk_pallas, l2_normalize, pad_index
+
+    rng = np.random.RandomState(0)
+    backend = jax.default_backend()
+
+    tokens = jnp.asarray(rng.randint(3, VOCAB, size=(N_CHUNKS, CHUNK_TOKENS)), jnp.int32)
+    tok_mask = jnp.asarray(rng.rand(N_CHUNKS, CHUNK_TOKENS) < 0.9)
+    q_tokens = jnp.asarray(rng.randint(3, VOCAB, size=(N_QUERIES, QUERY_TOKENS)), jnp.int32)
+    q_mask = jnp.ones((N_QUERIES, QUERY_TOKENS), bool)
+    shared = jnp.asarray(rng.randn(VOCAB, D_MODEL).astype(np.float32))
+
+    # ---- TPU-native path -----------------------------------------------------
+    n_pad = ((N_CHUNKS + 511) // 512) * 512
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def fused_pipeline(shared, tokens, tok_mask, q_tokens, q_mask, k):
+        index = l2_normalize(mean_pool(shared[tokens], tok_mask))
+        index = jnp.pad(index, ((0, n_pad - N_CHUNKS), (0, 0)))
+        q = mean_pool(shared[q_tokens], q_mask)
+        vals, idx, valid = cosine_topk_pallas(index, q, jnp.int32(N_CHUNKS), k, tile_n=512)
+        return vals
+
+    # compile + warmup
+    _sync(fused_pipeline(shared, tokens, tok_mask, q_tokens, q_mask, TOP_K))
+
+    t0 = time.perf_counter()
+    acc = None
+    for _ in range(FUSED_REPS):
+        acc = fused_pipeline(shared, tokens, tok_mask, q_tokens, q_mask, TOP_K)
+    _sync(acc)
+    fused_time = (time.perf_counter() - t0) / FUSED_REPS
+    fused_pages_per_sec = N_PAGES / fused_time
+
+    # ---- reference-structure baseline (same chip, no host-sync penalty) ------
+    chunks_per_doc = PAGES_PER_DOC * CHUNKS_PER_PAGE
+    doc_tokens = [jnp.asarray(t) for t in np.asarray(tokens).reshape(N_DOCS, chunks_per_doc, CHUNK_TOKENS)[:BASELINE_DOCS]]
+    doc_masks = [jnp.asarray(m) for m in np.asarray(tok_mask).reshape(N_DOCS, chunks_per_doc, CHUNK_TOKENS)[:BASELINE_DOCS]]
+    q_single = mean_pool(shared[q_tokens], q_mask)
+
+    @jax.jit
+    def embed_one(shared, tokens, mask):
+        return mean_pool(shared[tokens], mask)
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def score_one(emb, q, k):
+        # reference math, unfused: normalize per query + separate top-k
+        # (src/_modules.py:1990-1993 + torch.topk :2014-2016)
+        sims = (emb @ q) / (jnp.linalg.norm(emb, axis=-1) * jnp.linalg.norm(q) + 1e-8)
+        return jax.lax.top_k(sims, k)
+
+    _sync(score_one(embed_one(shared, doc_tokens[0], doc_masks[0]), q_single[0], TOP_K)[0])
+
+    t0 = time.perf_counter()
+    last = None
+    for d in range(BASELINE_DOCS):
+        e = embed_one(shared, doc_tokens[d], doc_masks[d])
+        last, _ = score_one(e, q_single[d % N_QUERIES], TOP_K)
+    _sync(last)
+    base_time_per_doc = (time.perf_counter() - t0) / BASELINE_DOCS
+    base_pages_per_sec = PAGES_PER_DOC / base_time_per_doc
+
+    print(
+        json.dumps(
+            {
+                "metric": "embed_retrieve_pages_per_sec_per_chip",
+                "value": round(fused_pages_per_sec, 1),
+                "unit": "pages/s/chip",
+                "vs_baseline": round(fused_pages_per_sec / base_pages_per_sec, 2),
+                "detail": {
+                    "backend": backend,
+                    "device": str(jax.devices()[0]),
+                    "fused_ms_per_batch": round(fused_time * 1e3, 2),
+                    "baseline_pages_per_sec": round(base_pages_per_sec, 1),
+                    "n_pages": N_PAGES,
+                    "n_chunks": N_CHUNKS,
+                    "n_queries": N_QUERIES,
+                    "top_k": TOP_K,
+                    "baseline_def": "reference-structure per-doc dispatch loop on same chip, no host syncs",
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -82,6 +82,17 @@ class ChunkedBatch:
     page_slot_start: jax.Array  # (B, P) int32
     page_slot_end: jax.Array  # (B, P) int32
 
+    # --- raw word arrays (original page word order, no chunk duplication) —
+    # used by whole-page strategies: maxconfpage/anyconfpage/majorpage/none
+    # (src/RAGVT5.py:401-408,478-482 index batch["words"][b][page]) ---
+    raw_tokens: jax.Array  # (B, R, TW) int32
+    raw_ntok: jax.Array  # (B, R) int32
+    raw_box: jax.Array  # (B, R, 4) float32
+    raw_label: jax.Array  # (B, R) int32 per-word layout label
+    raw_mask: jax.Array  # (B, R) bool
+    page_raw_start: jax.Array  # (B, P) int32
+    page_raw_end: jax.Array  # (B, P) int32
+
     # --- generator prompt ("question: {q}  context: ", src/VT5.py:132) ---
     prompt_tokens: jax.Array  # (B, LP) int32
     prompt_len: jax.Array  # (B,) int32

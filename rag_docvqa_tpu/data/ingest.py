@@ -30,6 +30,23 @@ class DocVQAIngestor:
         self.caps = caps or Caps()
 
     # ------------------------------------------------------------------ #
+    def answer_labels(
+        self, answers: List[List[str]], max_len: int = 32, seed: int = 0
+    ) -> np.ndarray:
+        """Tokenize one gold answer per sample into (B, max_len) labels with
+        -100 padding (reference picks a random answer and masks pad,
+        src/VT5.py:209-213)."""
+        rng = np.random.RandomState(seed)
+        out = np.full((len(answers), max_len), -100, np.int32)
+        for b, ans in enumerate(answers):
+            if not ans:
+                continue
+            text = ans[rng.randint(len(ans))]
+            ids = self.tokenizer.encode(text)[: max_len - 1] + [self.tokenizer.eos_id]
+            out[b, : len(ids)] = ids
+        return out
+
+    # ------------------------------------------------------------------ #
     def ingest(self, docs: List[RawDocument]) -> Tuple[ChunkedBatch, Dict[str, Any]]:
         """Returns the device batch plus a host-side aux dict (strings, images)."""
         B = len(docs)
@@ -54,6 +71,13 @@ class DocVQAIngestor:
         slot_mask = np.zeros((B, c.max_slots), bool)
         page_slot_start = np.zeros((B, c.max_pages), np.int32)
         page_slot_end = np.zeros((B, c.max_pages), np.int32)
+        raw_tokens = np.zeros((B, c.max_slots, c.tokens_per_word), np.int32)
+        raw_ntok = np.zeros((B, c.max_slots), np.int32)
+        raw_box = np.zeros((B, c.max_slots, 4), np.float32)
+        raw_label = np.zeros((B, c.max_slots), np.int32)
+        raw_mask = np.zeros((B, c.max_slots), bool)
+        page_raw_start = np.zeros((B, c.max_pages), np.int32)
+        page_raw_end = np.zeros((B, c.max_pages), np.int32)
         prompt_tokens = np.zeros((B, c.prompt_tokens), np.int32)
         prompt_len = np.zeros((B,), np.int32)
         num_pages = np.zeros((B,), np.int32)
@@ -66,6 +90,7 @@ class DocVQAIngestor:
             "question_ids": [],
             "images": [],
             "chunk_texts": [],  # (B, n_chunks) compacted text, for eval_retrieval
+            "slot_words": [],  # (B, n_slots) word strings in slot order
         }
 
         for b, doc in enumerate(docs):
@@ -87,8 +112,10 @@ class DocVQAIngestor:
             prompt_len[b] = len(p_ids)
 
             slot_cursor = 0
+            raw_cursor = 0
             chunk_cursor = 0
             texts_b: List[str] = []
+            slot_words_b: List[str] = []
             for p in range(n_pages):
                 words = doc.words[p]
                 boxes = doc.boxes[p]
@@ -128,13 +155,31 @@ class DocVQAIngestor:
                         slot_page[b, slot_cursor] = p
                         slot_label[b, slot_cursor] = label
                         slot_mask[b, slot_cursor] = True
+                        slot_words_b.append(words[i])
                         slot_cursor += 1
                     chunk_cursor += 1
                 page_slot_end[b, p] = slot_cursor
-            # pages beyond n_pages keep start == end == slot_cursor
+                # raw word arrays in original page order (per-word labels from
+                # the layout assignment, src/_modules.py:1023-1031)
+                page_raw_start[b, p] = raw_cursor
+                for i, word in enumerate(words):
+                    if raw_cursor >= c.max_slots:
+                        break
+                    ids = tk.encode_word(word)[: c.tokens_per_word]
+                    raw_tokens[b, raw_cursor, : len(ids)] = ids
+                    raw_ntok[b, raw_cursor] = len(ids)
+                    raw_box[b, raw_cursor] = np.asarray(boxes[i], np.float32)
+                    raw_label[b, raw_cursor] = pc.word_labels[i]
+                    raw_mask[b, raw_cursor] = True
+                    raw_cursor += 1
+                page_raw_end[b, p] = raw_cursor
+            # pages beyond n_pages keep start == end == cursor
             page_slot_start[b, n_pages:] = slot_cursor
             page_slot_end[b, n_pages:] = slot_cursor
+            page_raw_start[b, n_pages:] = raw_cursor
+            page_raw_end[b, n_pages:] = raw_cursor
             aux["chunk_texts"].append(texts_b)
+            aux["slot_words"].append(slot_words_b)
 
         batch = ChunkedBatch(
             chunk_emb_tokens=chunk_emb_tokens,
@@ -155,6 +200,13 @@ class DocVQAIngestor:
             slot_mask=slot_mask,
             page_slot_start=page_slot_start,
             page_slot_end=page_slot_end,
+            raw_tokens=raw_tokens,
+            raw_ntok=raw_ntok,
+            raw_box=raw_box,
+            raw_label=raw_label,
+            raw_mask=raw_mask,
+            page_raw_start=page_raw_start,
+            page_raw_end=page_raw_end,
             prompt_tokens=prompt_tokens,
             prompt_len=prompt_len,
             num_pages=num_pages,

@@ -281,3 +281,44 @@ def assemble_per_chunk(
     )
     row_valid = (n_sel > 0) & top_k_valid
     return gen, owner, row_valid
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def assemble_page_rows(
+    batch: ChunkedBatch,
+    pages: jax.Array,  # (B, K) page index per output row
+    row_valid: jax.Array,  # (B, K)
+    cfg: AssembleConfig,
+) -> GeneratorInputs:
+    """Whole-page generator rows from the RAW word arrays (original page word
+    order, no chunk duplication) — the reference's page-level strategies index
+    batch["words"][b][page] directly (src/RAGVT5.py:401-408,478-482).
+
+    Works for K == 1 (majorpage: one row per sample) and K == top-k
+    (maxconfpage/anyconfpage: one row per retrieved chunk's page)."""
+    B, K = pages.shape
+    R = batch.raw_mask.shape[1]
+    lo = jnp.take_along_axis(batch.page_raw_start, pages, axis=1)  # (B, K)
+    hi = jnp.take_along_axis(batch.page_raw_end, pages, axis=1)
+    g = jnp.arange(R)[None, None, :]
+    in_win = (g >= lo[:, :, None]) & (g < hi[:, :, None]) & row_valid[:, :, None]  # (B, K, R)
+
+    ntok = jnp.where(in_win, batch.raw_ntok[:, None, :], 0)  # (B, K, R)
+    tokens = jnp.broadcast_to(batch.raw_tokens[:, None], (B, K) + batch.raw_tokens.shape[1:])
+    box = jnp.broadcast_to(
+        ((batch.raw_box * 1000).astype(jnp.int32))[:, None], (B, K, R, 4)
+    )
+    label = jnp.broadcast_to(batch.raw_label[:, None], (B, K, R))
+
+    prompt_rows = jnp.broadcast_to(batch.prompt_tokens[:, None], (B, K, batch.prompt_tokens.shape[1]))
+    plen_rows = jnp.broadcast_to(batch.prompt_len[:, None], (B, K))
+    TW = batch.raw_tokens.shape[2]
+    return _flatten_tokens(
+        tokens.reshape(B * K, R, TW),
+        ntok.reshape(B * K, R),
+        box.reshape(B * K, R, 4),
+        label.reshape(B * K, R),
+        prompt_rows.reshape(B * K, -1),
+        plen_rows.reshape(B * K),
+        cfg,
+    )

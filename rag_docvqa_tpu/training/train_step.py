@@ -1,0 +1,120 @@
+"""Sharded training step: retrieve -> assemble -> teacher-forced loss -> update.
+
+The whole step (including on-device retrieval and generator-input assembly)
+jits as one program over a (data, model) mesh:
+  * batch arrays sharded over "data",
+  * generator tensor-parallel over "model" (attention heads + FFN hidden via
+    the param spec below; GSPMD inserts the all-reduces),
+  * retrieval/assembly is embarrassingly data-parallel.
+
+The reference trains the generator with the retrieval stack frozen by default
+(src/RAGVT5.py:61-69, src/build_utils.py:13-24); `trainable_mask` reproduces
+the same selective trainability.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rag_docvqa_tpu.data.contract import ChunkedBatch
+from rag_docvqa_tpu.engine.rag_vt5 import RAGConfig, retrieve_device
+from rag_docvqa_tpu.models import vt5 as vt5m
+from rag_docvqa_tpu.ops.gather import assemble_concat
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+    @staticmethod
+    def create(params, tx: optax.GradientTransformation) -> "TrainState":
+        return TrainState(params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
+
+
+# --------------------------------------------------------------------------- #
+# param sharding rules
+# --------------------------------------------------------------------------- #
+def vt5_param_spec(params: Dict[str, Any], model_axis: str = "model") -> Dict[str, Any]:
+    """Tensor-parallel PartitionSpecs for the VT5 param tree.
+
+    Stacked layer weights are (L, in, out): shard attention inner dim (heads)
+    and FFN hidden dim over the model axis; embeddings/vocab over the model
+    axis on their big dim; everything else replicated.
+    """
+
+    def spec_for(path, leaf) -> P:
+        keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        name = keys[-1] if keys else ""
+        if "shared" in keys or name in ("x_emb", "y_emb", "layout_emb", "pos_embed"):
+            return P(model_axis, None) if leaf.ndim == 2 else P()
+        if name in ("q", "k", "v", "wi", "wi_0", "wi_1", "fc1"):
+            if leaf.ndim == 3:  # (L, in, out)
+                return P(None, None, model_axis)
+            if leaf.ndim == 2:
+                return P(None, model_axis)
+        if name in ("o", "wo", "fc2"):
+            if leaf.ndim == 3:  # (L, inner, d)
+                return P(None, model_axis, None)
+            if leaf.ndim == 2:
+                return P(model_axis, None)
+        if name == "kernel" and leaf.ndim >= 2 and "q" in keys + ["q"]:
+            pass
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def batch_spec(batch: ChunkedBatch, data_axis: str = "data") -> ChunkedBatch:
+    return jax.tree.map(lambda x: P(data_axis) if hasattr(x, "ndim") and x.ndim >= 1 else P(), batch)
+
+
+# --------------------------------------------------------------------------- #
+# the step
+# --------------------------------------------------------------------------- #
+def make_train_step(
+    vt5_cfg: vt5m.VT5Config,
+    rag_cfg: RAGConfig,
+    tx: optax.GradientTransformation,
+    mesh: Optional[Mesh] = None,
+) -> Callable[[TrainState, ChunkedBatch, jax.Array], Tuple[TrainState, Dict[str, jax.Array]]]:
+    """Returns a jitted train_step(state, batch, labels) -> (state, metrics).
+
+    labels: (B, Td) int32 target token ids with -100 padding (the reference
+    tokenizes a randomly chosen gold answer, src/VT5.py:209-213; ingest does
+    the same on host).
+    """
+    acfg = rag_cfg.assemble()
+
+    def step_fn(state: TrainState, batch: ChunkedBatch, labels: jax.Array):
+        def loss_fn(params):
+            ret = retrieve_device(
+                jax.lax.stop_gradient(params["t5"]["shared"]),
+                batch,
+                k=rag_cfg.chunk_num,
+                oracle=rag_cfg.page_retrieval == "oracle",
+            )
+            gen, _ = assemble_concat(batch, ret.top_k_idx, ret.top_k_valid, acfg)
+            loss, logits = vt5m.forward_train(params, vt5_cfg, gen, labels)
+            return loss, logits
+
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        gnorm = optax.global_norm(grads)
+        new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
+        return new_state, {"loss": loss, "grad_norm": gnorm}
+
+    # Sharded execution: callers `jax.device_put` params with
+    # NamedSharding(mesh, vt5_param_spec(...)) and the batch with
+    # NamedSharding(mesh, P("data")); jit then propagates the shardings and
+    # GSPMD inserts the collectives (see __graft_entry__.dryrun_multichip).
+    return jax.jit(step_fn, donate_argnums=(0,))
