@@ -155,11 +155,21 @@ def majority_page_device(ret: RetrievalResult, weighted: bool) -> jax.Array:
 class RAGVT5Engine:
     """Host-facing engine: owns params + tokenizer, drives jitted pipelines."""
 
-    def __init__(self, rag_cfg: RAGConfig, vt5_cfg: vt5m.VT5Config, params: Dict[str, Any], tokenizer):
+    def __init__(
+        self,
+        rag_cfg: RAGConfig,
+        vt5_cfg: vt5m.VT5Config,
+        params: Dict[str, Any],
+        tokenizer,
+        reranker=None,  # engine.reranker.Reranker (src/RAGVT5.py:101-104)
+        nac=None,  # (nac_params, threshold) — models/nac.py (src/RAGVT5.py:106-115)
+    ):
         self.cfg = rag_cfg
         self.vt5_cfg = vt5_cfg
         self.params = params
         self.tokenizer = tokenizer
+        self.reranker = reranker
+        self.nac = nac
 
     # ------------------------------------------------------------------ #
     def retrieve(self, batch: ChunkedBatch) -> RetrievalResult:
@@ -196,6 +206,8 @@ class RAGVT5Engine:
             )
 
         ret = self.retrieve(batch)
+        if self.reranker is not None and strategy != "oracle":
+            ret = self.reranker(batch, ret)
         K = ret.top_k_idx.shape[1]
 
         if strategy in ("oracle", "concat"):
@@ -203,6 +215,8 @@ class RAGVT5Engine:
             tokens, conf = generate_device(self.params, self.vt5_cfg, gen, acfg, cfg.max_new_tokens)
             answers = self._decode(tokens)
             confs = np.asarray(conf).tolist()
+            if self.nac is not None:
+                answers, confs, nac_probs = self._apply_nac(gen, answers, confs)
 
         elif strategy in ("maxconf", "anyconf", "anyconforacle"):
             gen, owner, row_valid = assemble_per_chunk(
@@ -251,7 +265,37 @@ class RAGVT5Engine:
             batch=batch,
             aux=aux,
             owner=owner,
+            nac_probs=locals().get("nac_probs"),
         )
+
+    # ------------------------------------------------------------------ #
+    def _apply_nac(self, gen: GeneratorInputs, answers: List[str], confs: List[float]):
+        """Not-answerable gating on the concat path (src/RAGVT5.py:382-384:
+        NAC sees the generator input embeddings and the re-embedded predicted
+        answers)."""
+        from rag_docvqa_tpu.models.embeddings import spatial_embed
+        from rag_docvqa_tpu.models.nac import nac_prob, update_results
+
+        nac_params, threshold = self.nac
+        shared = self.params["t5"]["shared"]
+        # input embeddings as the generator sees them (semantic + spatial)
+        sem = shared[gen.input_ids]
+        spa = spatial_embed(self.params["spatial"], self.vt5_cfg.spatial, gen.input_boxes)
+        input_emb = sem + spa
+        # answer embeddings via the shared table (process_text, src/VT5.py:102-108)
+        max_t = max(1, max(len(self.tokenizer.encode(a or "")) for a in answers))
+        ans_ids = np.zeros((len(answers), max_t), np.int32)
+        ans_mask = np.zeros((len(answers), max_t), bool)
+        for i, a in enumerate(answers):
+            ids = self.tokenizer.encode(a or "")[:max_t]
+            ans_ids[i, : len(ids)] = ids
+            ans_mask[i, : len(ids)] = True
+        ans_emb = shared[jnp.asarray(ans_ids)]
+        probs = nac_prob(
+            nac_params, input_emb, ans_emb,
+            input_mask=gen.attention_mask, answer_mask=jnp.asarray(ans_mask),
+        )
+        return update_results(np.asarray(probs), answers, confs, threshold)
 
     # ------------------------------------------------------------------ #
     def _decode(self, tokens: jax.Array) -> List[str]:
@@ -289,8 +333,10 @@ class RAGVT5Engine:
                 confs.append(float(conf_np[b, best]))
         return answers, confs
 
-    def _result(self, answers, confidences, pred_answer_pages, ret, batch, aux, owner=None):
+    def _result(self, answers, confidences, pred_answer_pages, ret, batch, aux, owner=None, nac_probs=None):
         retrieval: Dict[str, Any] = {"page_indices": pred_answer_pages}
+        if nac_probs is not None:
+            retrieval["not_answerable_probs"] = nac_probs
         if ret is not None:
             retrieval["similarities"] = np.asarray(ret.top_k_score)
             retrieval["top_k_layout_labels"] = np.asarray(ret.top_k_label).tolist()

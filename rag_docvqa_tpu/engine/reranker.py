@@ -1,0 +1,139 @@
+"""Cross-encoder reranking stage (reference Reranker, src/_modules.py:1544-1610).
+
+Pipeline: build [CLS] question [SEP] chunk [SEP] pair tokens for the K
+retrieved chunks -> batched cross-encoder scores (one dispatch for all B*K
+pairs, vs the reference's per-sample loop src/_modules.py:1597-1610) ->
+sort descending -> threshold filter clamped to [min_chunk_num, max_chunk_num]
+(src/_modules.py:1584-1590) -> permuted top-k indices + validity.
+
+Divergence note: the reference reranks the compacted top-k text *including
+surrounding words*; we rerank the chunk's own text (surroundings are a
+generator-input concern). With include_surroundings=0 (the common config)
+they are identical.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rag_docvqa_tpu.data.contract import ChunkedBatch, RetrievalResult
+from rag_docvqa_tpu.models.bert import BertConfig, cross_encoder_score
+
+
+@dataclass(frozen=True)
+class RerankerConfig:
+    filter_thresh: float = 0.4
+    max_chunk_num: int = 5
+    min_chunk_num: int = 1
+    cls_id: int = 0
+    sep_id: int = 2
+    pair_len: int = 192
+    question_len: int = 32
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def build_pair_tokens(
+    batch: ChunkedBatch,
+    top_k_idx: jax.Array,  # (B, K)
+    cfg: RerankerConfig,
+) -> Tuple[jax.Array, jax.Array]:
+    """(B*K, pair_len) [CLS] q [SEP] chunk [SEP] token ids + mask."""
+    B, K = top_k_idx.shape
+    LQ = batch.q_tokens.shape[1]
+    LE = batch.chunk_emb_tokens.shape[2]
+    q_len = jnp.minimum(jnp.sum(batch.q_mask, axis=1), cfg.question_len)  # (B,)
+
+    chunk_tokens = jnp.take_along_axis(batch.chunk_emb_tokens, top_k_idx[:, :, None], axis=1)  # (B, K, LE)
+    chunk_len = jnp.sum(
+        jnp.take_along_axis(batch.chunk_emb_mask, top_k_idx[:, :, None], axis=1), axis=2
+    )  # (B, K)
+
+    T = cfg.pair_len
+    pos = jnp.arange(T)[None, None, :]  # (1, 1, T)
+    ql = q_len[:, None, None]
+    cl = chunk_len[:, :, None]
+    # layout: [CLS] q[0:ql] [SEP] chunk[0:cl] [SEP]
+    sep1 = 1 + ql
+    chunk_start = sep1 + 1
+    sep2 = jnp.minimum(chunk_start + cl, T - 1)
+
+    q_idx = jnp.clip(pos - 1, 0, LQ - 1)
+    c_idx = jnp.clip(pos - chunk_start, 0, LE - 1)
+    q_tok = jnp.broadcast_to(batch.q_tokens[:, None, :], (B, K, LQ))
+    ids = jnp.where(
+        pos == 0,
+        cfg.cls_id,
+        jnp.where(
+            pos < sep1,
+            jnp.take_along_axis(q_tok, q_idx, axis=2),
+            jnp.where(
+                pos == sep1,
+                cfg.sep_id,
+                jnp.where(
+                    pos < sep2,
+                    jnp.take_along_axis(chunk_tokens, c_idx, axis=2),
+                    jnp.where(pos == sep2, cfg.sep_id, 0),
+                ),
+            ),
+        ),
+    )
+    mask = pos <= sep2
+    return ids.reshape(B * K, T).astype(jnp.int32), mask.reshape(B * K, T)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def rerank_select(
+    scores: jax.Array,  # (B, K) cross-encoder scores in [0, 1]
+    top_k_valid: jax.Array,  # (B, K)
+    cfg: RerankerConfig,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Returns (perm (B, K) — reordering of rank positions, new_valid (B, K),
+    sorted_scores). Exact clamp semantics of src/_modules.py:1582-1590."""
+    masked = jnp.where(top_k_valid, scores, -jnp.inf)
+    order = jnp.argsort(-masked, axis=1, stable=True)  # descending
+    sorted_scores = jnp.take_along_axis(masked, order, axis=1)
+    n_valid = jnp.sum(top_k_valid, axis=1)  # (B,)
+    n_pass = jnp.sum(top_k_valid & (scores >= cfg.filter_thresh), axis=1)
+    keep = jnp.where(
+        n_pass > cfg.max_chunk_num,
+        cfg.max_chunk_num,
+        jnp.where(n_pass < cfg.min_chunk_num, jnp.minimum(cfg.min_chunk_num, n_valid), n_pass),
+    )
+    new_valid = jnp.arange(scores.shape[1])[None, :] < keep[:, None]
+    return order, new_valid, sorted_scores
+
+
+def apply_rerank(ret: RetrievalResult, perm: jax.Array, new_valid: jax.Array, scores: jax.Array) -> RetrievalResult:
+    """Permute every per-rank field of the retrieval result
+    (the reference reranks all parallel arg lists, src/_modules.py:1592-1595)."""
+    take = lambda x: jnp.take_along_axis(x, perm, axis=1)
+    return RetrievalResult(
+        top_k_idx=take(ret.top_k_idx),
+        top_k_valid=new_valid,
+        top_k_score=scores,
+        top_k_page=take(ret.top_k_page),
+        top_k_label=take(ret.top_k_label),
+        top_k_box=jnp.take_along_axis(ret.top_k_box, perm[..., None], axis=1),
+        similarities=ret.similarities,
+    )
+
+
+class Reranker:
+    """Host-facing wrapper: params + config -> rerank a RetrievalResult."""
+
+    def __init__(self, cfg: RerankerConfig, bert_cfg: BertConfig, params: Dict[str, Any]):
+        self.cfg = cfg
+        self.bert_cfg = bert_cfg
+        self.params = params
+
+    def __call__(self, batch: ChunkedBatch, ret: RetrievalResult) -> RetrievalResult:
+        B, K = ret.top_k_idx.shape
+        ids, mask = build_pair_tokens(batch, ret.top_k_idx, self.cfg)
+        scores = cross_encoder_score(self.params, self.bert_cfg, ids, mask).reshape(B, K)
+        perm, new_valid, sorted_scores = rerank_select(scores, ret.top_k_valid, self.cfg)
+        return apply_rerank(ret, perm, new_valid, sorted_scores)
