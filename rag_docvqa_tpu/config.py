@@ -1,0 +1,169 @@
+"""Declarative config system.
+
+Replaces the reference's layered dict merging (src/utils.py:113-154: model
+YAML + dataset YAML + training_parameters + CLI overrides) and the sweep
+expansion of src/flatten_multi_yml.py with one schema:
+
+  * `load_config(model_yml, dataset_yml, overrides)` — same merge order as
+    the reference (dataset < model < training < overrides);
+  * `check_config` — the validity rules of src/utils.py:82-111;
+  * `expand_sweep` — list-valued keys expand to the cross product of runs
+    (flatten_multi_yml.py:44-100), replacing the screen-based multi_eval.sh;
+  * typed `build_*` helpers mapping a flat dict onto the frameworks' config
+    dataclasses (reference build_utils.py).
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Any, Dict, Iterator, List, Optional, Sequence
+
+try:
+    import yaml
+except ImportError:  # pragma: no cover
+    yaml = None
+
+from rag_docvqa_tpu.data.contract import Caps
+from rag_docvqa_tpu.engine.rag_vt5 import STRATEGIES, RAGConfig
+from rag_docvqa_tpu.models import t5 as t5m
+from rag_docvqa_tpu.models import vt5 as vt5m
+from rag_docvqa_tpu.models.embeddings import SpatialConfig
+from rag_docvqa_tpu.models.vit import ViTConfig
+from rag_docvqa_tpu.ops.chunking import ChunkSpec
+
+HIERARCHICAL_MODELS = ("hi-vt5", "hivt5", "hi-lt5", "hi-layoutlmv3")
+_CHUNKED = tuple(s for s in STRATEGIES if s not in ("oracle", "none"))
+
+
+def load_yaml(path: str) -> Dict[str, Any]:
+    assert yaml is not None, "pyyaml not available"
+    with open(path) as f:
+        return yaml.safe_load(f) or {}
+
+
+def load_config(
+    model: Optional[str] = None,
+    dataset: Optional[str] = None,
+    overrides: Optional[Dict[str, Any]] = None,
+    model_dict: Optional[Dict[str, Any]] = None,
+    dataset_dict: Optional[Dict[str, Any]] = None,
+) -> Dict[str, Any]:
+    """Merge order mirrors src/utils.py:126-135: dataset config, then model
+    config, then its training_parameters sub-dict, then explicit overrides.
+    A dataset name ending in "-Noise" selects the noise-injection dataset
+    class while loading the base dataset config (src/utils.py:115-116)."""
+    model_cfg = dict(model_dict or (load_yaml(model) if model else {}))
+    dataset_name = None
+    if dataset_dict is not None:
+        dataset_cfg = dict(dataset_dict)
+    elif dataset:
+        dataset_name = dataset
+        base = dataset[: -len("-Noise")] if dataset.endswith("-Noise") else dataset
+        dataset_cfg = load_yaml(base) if base.endswith((".yml", ".yaml")) else load_yaml(f"configs/{base}.yml")
+    else:
+        dataset_cfg = {}
+    training_cfg = model_cfg.pop("training_parameters", {}) or {}
+    config = {**dataset_cfg, **model_cfg, **training_cfg}
+    if dataset_name:
+        config["dataset_name"] = dataset_name
+    config.update({k: v for k, v in (overrides or {}).items() if v is not None})
+    config.setdefault("seed", 42)
+    config.setdefault("page_retrieval", "concat")
+    check_config(config)
+    return config
+
+
+def check_config(config: Dict[str, Any]) -> bool:
+    """Validity rules (src/utils.py:82-111)."""
+    model_name = str(config.get("model_name", "vt5")).lower()
+    pr = str(config.get("page_retrieval", "none")).lower()
+    if model_name not in HIERARCHICAL_MODELS and pr == "custom":
+        raise ValueError(f'"custom" retrieval is not allowed for {model_name}')
+    if model_name in HIERARCHICAL_MODELS and pr in _CHUNKED and pr != "custom":
+        raise ValueError(
+            f'Hierarchical model {model_name} cannot run "{pr}" retrieval; only "oracle" and "custom" are allowed.'
+        )
+    if pr in _CHUNKED and config.get("max_pages") is not None:
+        print(f"WARNING - max_pages ({config.get('max_pages')}) is ignored for {pr} page retrieval.")
+    return True
+
+
+def expand_sweep(config: Dict[str, Any], sweep_keys: Optional[Sequence[str]] = None) -> Iterator[Dict[str, Any]]:
+    """Cross-product expansion of list-valued keys (flatten_multi_yml.py)."""
+    keys = [k for k, v in config.items() if isinstance(v, list) and (sweep_keys is None or k in sweep_keys)]
+    if not keys:
+        yield dict(config)
+        return
+    for combo in itertools.product(*(config[k] for k in keys)):
+        out = dict(config)
+        out.update(dict(zip(keys, combo)))
+        yield out
+
+
+# --------------------------------------------------------------------------- #
+# typed builders (reference build_utils.py)
+# --------------------------------------------------------------------------- #
+def build_rag_config(c: Dict[str, Any]) -> RAGConfig:
+    return RAGConfig(
+        page_retrieval=str(c.get("page_retrieval", "concat")).lower(),
+        chunk_num=c.get("chunk_num", 10),
+        include_surroundings=_scalar(c.get("include_surroundings", 0)),
+        sep_token_id=c.get("sep_token_id", 0) if c.get("add_sep_token", False) else 0,
+        max_source_length=c.get("max_source_length", 512),
+        per_chunk_seq_len=c.get("per_chunk_seq_len", 256),
+        max_new_tokens=c.get("max_new_tokens", 100),
+        embed_backend=c.get("embed_model", "VT5"),
+    )
+
+
+def build_vt5_config(c: Dict[str, Any], vocab_size: int) -> vt5m.VT5Config:
+    d = c.get("d_model", 768)
+    return vt5m.VT5Config(
+        t5=t5m.T5Config(
+            vocab_size=vocab_size,
+            d_model=d,
+            d_kv=c.get("d_kv", 64),
+            num_heads=c.get("num_heads", 12),
+            d_ff=c.get("d_ff", d * 4),
+            num_encoder_layers=c.get("num_layers", 12),
+            num_decoder_layers=c.get("num_decoder_layers", c.get("num_layers", 12)),
+            dropout_rate=c.get("dropout_rate", 0.1),
+        ),
+        spatial=SpatialConfig(
+            max_2d_positions=c.get("max_2d_position_embeddings", 1024),
+            hidden_size=d,
+            dropout_rate=c.get("dropout_rate", 0.1),
+        ),
+        vit=ViTConfig(hidden_size=c.get("visual_hidden_size", 768)),
+        use_layout_labels=c.get("use_layout_labels", "Default"),
+        max_source_length=c.get("max_source_length", 512),
+        use_visual=c.get("use_visual", False),
+    )
+
+
+def build_chunk_spec(c: Dict[str, Any]) -> ChunkSpec:
+    return ChunkSpec(
+        chunk_size=c.get("chunk_size", 60),
+        chunk_size_tol=c.get("chunk_size_tol", 0.2),
+        overlap=c.get("overlap", 10),
+        mode="oracle" if str(c.get("page_retrieval", "")).lower() == "oracle" else "fixed",
+        cluster_layouts=c.get("cluster_layouts", False),
+    )
+
+
+def build_caps(c: Dict[str, Any]) -> Caps:
+    return Caps(
+        max_pages=c.get("max_pages", 20) or 20,
+        max_chunks=c.get("max_chunks", 128),
+        max_slots=c.get("max_slots", 2048),
+        tokens_per_word=c.get("tokens_per_word", 8),
+        embed_tokens=c.get("embed_tokens", 96),
+        question_tokens=c.get("question_tokens", 48),
+        prompt_tokens=c.get("prompt_tokens", 64),
+    )
+
+
+def _scalar(v):
+    if isinstance(v, (list, tuple)):
+        return v[0] if v else 0
+    return v

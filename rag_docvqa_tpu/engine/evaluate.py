@@ -1,0 +1,110 @@
+"""Evaluation loop (reference eval.py:191-440).
+
+Per batch: ingest -> engine.inference -> ANLS/accuracy/retrieval-precision/
+chunk-score; accumulates timing splits (load/retrieval/generation like
+eval.py:332-336,399-419), per-sample scores, and writes a continuous JSON
+snapshot (eval.py:386-438) so long runs are crash-resumable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from rag_docvqa_tpu.data.contract import RawDocument
+from rag_docvqa_tpu.data.ingest import DocVQAIngestor
+from rag_docvqa_tpu.metrics import Evaluator
+
+
+def evaluate(
+    engine,
+    docs: Sequence[RawDocument],
+    ingestor: DocVQAIngestor,
+    evaluator: Optional[Evaluator] = None,
+    batch_size: int = 8,
+    save_path: Optional[str] = None,
+    save_continuously: bool = False,
+) -> Dict[str, Any]:
+    evaluator = evaluator or Evaluator()
+    total_acc: List[float] = []
+    total_anls: List[float] = []
+    total_ret_prec: List[float] = []
+    total_chunk_score: List[float] = []
+    scores_by_samples: Dict[Any, Dict[str, Any]] = {}
+    load_time = retrieval_time = generation_time = 0.0
+    all_answers: List[Any] = []
+
+    for start in range(0, len(docs), batch_size):
+        chunk = list(docs[start : start + batch_size])
+        t0 = time.time()
+        batch, aux = ingestor.ingest(chunk)
+        load_time += time.time() - t0
+
+        t0 = time.time()
+        out = engine.inference(batch, aux)
+        generation_time += time.time() - t0
+
+        metrics = evaluator.get_metrics(
+            aux["answers"], out["pred_answers"], aux.get("answer_types")
+        )
+        ret_prec = evaluator.get_retrieval_metric(
+            [d.answer_page_idx for d in chunk], out["pred_answer_pages"]
+        )
+        ret_eval = evaluator.eval_retrieval(aux["answers"], out["retrieval"].get("text"))
+
+        total_acc.extend(metrics["accuracy"])
+        total_anls.extend(metrics["anls"])
+        total_ret_prec.extend(ret_prec)
+        total_chunk_score.extend(ret_eval["chunk_score"])
+        all_answers.extend(out["pred_answers"])
+
+        for i, d in enumerate(chunk):
+            scores_by_samples[d.question_id] = {
+                "question": d.question,
+                "gt_answer": d.answers,
+                "pred_answer": out["pred_answers"][i],
+                "pred_answer_conf": out["confidences"][i],
+                "pred_answer_pages": out["pred_answer_pages"][i],
+                "gt_answer_page": d.answer_page_idx,
+                "accuracy": metrics["accuracy"][i],
+                "anls": metrics["anls"][i],
+                "retrieval_precision": ret_prec[i],
+                "chunk_score": ret_eval["chunk_score"][i],
+            }
+
+        if save_continuously and save_path:
+            _save(save_path, total_acc, total_anls, total_ret_prec, total_chunk_score,
+                  scores_by_samples, load_time, retrieval_time, generation_time)
+
+    result = _summary(total_acc, total_anls, total_ret_prec, total_chunk_score,
+                      load_time, retrieval_time, generation_time)
+    result["scores_by_samples"] = scores_by_samples
+    result["pred_answers"] = all_answers
+    if save_path:
+        _save(save_path, total_acc, total_anls, total_ret_prec, total_chunk_score,
+              scores_by_samples, load_time, retrieval_time, generation_time)
+    return result
+
+
+def _summary(acc, anls, prec, chunk, load_t, ret_t, gen_t) -> Dict[str, Any]:
+    m = lambda xs: float(np.mean(xs)) if xs else 0.0
+    return {
+        "accuracy": m(acc),
+        "anls": m(anls),
+        "retrieval_precision": m(prec),
+        "chunk_score": m(chunk),
+        "n_samples": len(acc),
+        "timing": {"load_time": load_t, "retrieval_time": ret_t, "generation_time": gen_t},
+    }
+
+
+def _save(path, acc, anls, prec, chunk, samples, load_t, ret_t, gen_t) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    data = _summary(acc, anls, prec, chunk, load_t, ret_t, gen_t)
+    data["scores_by_samples"] = samples
+    with open(path, "w") as f:
+        json.dump(data, f, indent=2, default=str)

@@ -61,5 +61,8 @@ def build_optimizer(
         ),
     )
     if mask is not None:
-        tx = optax.masked(tx, mask)
+        # NOTE: optax.masked would pass frozen leaves' updates through as raw
+        # gradients; multi_transform + set_to_zero actually freezes them.
+        labels = jax.tree.map(lambda t: "train" if t else "freeze", mask)
+        tx = optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()}, labels)
     return tx

@@ -1,0 +1,128 @@
+"""Training loop: loss decreases on a tiny overfit task; checkpoint round
+trip; eval loop; config system."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rag_docvqa_tpu.data import DocVQAIngestor, HashTokenizer
+from rag_docvqa_tpu.data.contract import Caps
+from rag_docvqa_tpu.data.synthetic import make_corpus
+from rag_docvqa_tpu.engine import RAGConfig
+from rag_docvqa_tpu.models import t5 as t5m, vt5 as vt5m
+from rag_docvqa_tpu.models.embeddings import SpatialConfig
+from rag_docvqa_tpu.models.vit import ViTConfig
+from rag_docvqa_tpu.ops.chunking import ChunkSpec
+from rag_docvqa_tpu.training import TrainState, build_optimizer, make_train_step, trainable_mask
+from rag_docvqa_tpu.training.trainer import TrainLoopConfig, Trainer
+
+TOK = HashTokenizer(vocab_size=2048)
+CFG = vt5m.VT5Config(
+    t5=t5m.T5Config(vocab_size=2048, d_model=32, d_kv=8, num_heads=4, d_ff=64,
+                    num_encoder_layers=2, num_decoder_layers=2, dropout_rate=0.0),
+    spatial=SpatialConfig(hidden_size=32, dropout_rate=0.0),
+    vit=ViTConfig(hidden_size=16, num_layers=1, num_heads=2, mlp_dim=32, patch_size=8, image_size=16),
+    use_visual=False,
+)
+CAPS = Caps(max_pages=3, max_chunks=16, max_slots=256, tokens_per_word=8, embed_tokens=48)
+RAG = RAGConfig(page_retrieval="concat", chunk_num=3, max_source_length=128, max_new_tokens=4)
+
+
+def make_ingestor():
+    return DocVQAIngestor(TOK, ChunkSpec(chunk_size=10, overlap=2), CAPS)
+
+
+def test_loss_decreases_on_overfit():
+    ing = make_ingestor()
+    docs = make_corpus(4, n_pages=2, words_per_page=30, seed=1)
+    batch, aux = ing.ingest(docs)
+    labels = jnp.asarray(ing.answer_labels(aux["answers"], max_len=6, seed=0))
+
+    params = vt5m.init_vt5_params(jax.random.PRNGKey(0), CFG)
+    tx = build_optimizer(lr=3e-3, warmup_steps=2, total_steps=200, mask=trainable_mask(params, ("t5", "spatial")))
+    state = TrainState.create(params, tx)
+    step = make_train_step(CFG, RAG, tx)
+
+    first = None
+    last = None
+    for i in range(25):
+        state, m = step(state, batch, labels)
+        if first is None:
+            first = float(m["loss"])
+        last = float(m["loss"])
+    assert last < first * 0.5, f"loss did not drop: {first} -> {last}"
+
+
+def test_frozen_subtrees_not_updated():
+    ing = make_ingestor()
+    docs = make_corpus(2, n_pages=2, words_per_page=20, seed=2)
+    batch, aux = ing.ingest(docs)
+    labels = jnp.asarray(ing.answer_labels(aux["answers"], max_len=4))
+    params = vt5m.init_vt5_params(jax.random.PRNGKey(0), CFG)
+    tx = build_optimizer(lr=1e-2, warmup_steps=1, total_steps=10, mask=trainable_mask(params, ("t5",)))
+    state = TrainState.create(params, tx)
+    step = make_train_step(CFG, RAG, tx)
+    # copy to host BEFORE the step: donate_argnums donates the old buffers
+    before_spatial = np.array(params["spatial"]["x_emb"])
+    before_shared = np.array(params["t5"]["shared"])
+    state, _ = step(state, batch, labels)
+    state, _ = step(state, batch, labels)  # step 0 has lr=0 (warmup ramp)
+    np.testing.assert_array_equal(before_spatial, np.asarray(state.params["spatial"]["x_emb"]))
+    assert not np.array_equal(before_shared, np.asarray(state.params["t5"]["shared"]))
+
+
+def test_trainer_fit_and_eval(tmp_path):
+    ing = make_ingestor()
+    train_docs = make_corpus(8, n_pages=2, words_per_page=30, seed=3)
+    val_docs = make_corpus(4, n_pages=2, words_per_page=30, seed=4)
+    params = vt5m.init_vt5_params(jax.random.PRNGKey(0), CFG)
+    trainer = Trainer(
+        CFG, RAG, params, TOK, ing,
+        TrainLoopConfig(epochs=2, batch_size=4, lr=1e-3, warmup_steps=2, eval_start=False,
+                        save_dir=str(tmp_path / "ckpt"), log_every=100),
+    )
+    out = trainer.fit(train_docs, val_docs)
+    assert len(out["history"]) == 2
+    assert "accuracy" in out["history"][0]
+    assert trainer.ckpt.latest_step() is not None
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from rag_docvqa_tpu.training.checkpoint import CheckpointManager
+
+    params = vt5m.init_vt5_params(jax.random.PRNGKey(0), CFG)
+    tx = build_optimizer(lr=1e-3, warmup_steps=1, total_steps=10)
+    state = TrainState.create(params, tx)
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    mgr.save(1, state, metrics={"accuracy": 0.5})
+    zeroed = jax.tree.map(jnp.zeros_like, state)
+    restored = mgr.restore(zeroed)
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["t5"]["shared"]), np.asarray(state.params["t5"]["shared"])
+    )
+    assert int(restored.step) == 0
+    mgr.close()
+
+
+def test_config_system():
+    from rag_docvqa_tpu.config import build_rag_config, check_config, expand_sweep, load_config
+
+    cfg = load_config(
+        model_dict={"model_name": "VT5", "chunk_num": 5, "training_parameters": {"lr": 1e-4}},
+        dataset_dict={"dataset_name": "MP-DocVQA", "max_pages": None},
+        overrides={"page_retrieval": "concat"},
+    )
+    assert cfg["lr"] == 1e-4 and cfg["chunk_num"] == 5 and cfg["seed"] == 42
+    rc = build_rag_config(cfg)
+    assert rc.chunk_num == 5 and rc.page_retrieval == "concat"
+
+    with pytest.raises(ValueError):
+        check_config({"model_name": "VT5", "page_retrieval": "custom"})
+    with pytest.raises(ValueError):
+        check_config({"model_name": "Hi-VT5", "page_retrieval": "concat"})
+    check_config({"model_name": "Hi-VT5", "page_retrieval": "custom"})
+
+    runs = list(expand_sweep({"a": [1, 2], "b": "x", "c": [3, 4]}))
+    assert len(runs) == 4
+    assert all(r["b"] == "x" for r in runs)
