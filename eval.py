@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Evaluation CLI (reference eval.py:443-570).
+
+    python eval.py -m configs/VT5_tiny.yml -d configs/Synthetic.yml [k=v ...]
+
+Runs the engine over the validation split with the configured page-retrieval
+strategy; reports accuracy/ANLS/retrieval-precision/chunk-score with timing
+splits and writes a JSON results snapshot. Supports sweep configs via
+list-valued keys (replaces multi_eval.sh + flatten_multi_yml.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="rag_docvqa_tpu evaluation")
+    parser.add_argument("-m", "--model", required=True)
+    parser.add_argument("-d", "--dataset", required=True)
+    parser.add_argument("--split", default="val")
+    parser.add_argument("--save-path", default=None)
+    parser.add_argument("--sweep", action="store_true", help="expand list-valued config keys into a sweep")
+    parser.add_argument("--platform", choices=("default", "cpu", "tpu"), default="default",
+                        help="force a JAX platform (cpu for smoke runs; the host may pin a TPU)")
+    parser.add_argument("overrides", nargs="*")
+    args = parser.parse_args(argv)
+
+    from train import build_docs, parse_overrides
+
+    import jax
+
+    if args.platform != "default":
+        jax.config.update("jax_platforms", args.platform)
+
+    from rag_docvqa_tpu.config import (
+        build_caps,
+        build_chunk_spec,
+        build_rag_config,
+        build_vt5_config,
+        expand_sweep,
+        load_config,
+    )
+    from rag_docvqa_tpu.data import DocVQAIngestor, load_tokenizer
+    from rag_docvqa_tpu.engine import RAGVT5Engine
+    from rag_docvqa_tpu.engine.evaluate import evaluate
+    from rag_docvqa_tpu.metrics import Evaluator
+    from rag_docvqa_tpu.models import vt5 as vt5m
+
+    base = load_config(model=args.model, dataset=args.dataset, overrides=parse_overrides(args.overrides))
+    configs = list(expand_sweep(base)) if args.sweep else [base]
+
+    results = []
+    for run_idx, config in enumerate(configs):
+        tokenizer = load_tokenizer(config.get("tokenizer"))
+        vt5_cfg = build_vt5_config(config, tokenizer.vocab_size)
+        rag_cfg = build_rag_config(config)
+        ingestor = DocVQAIngestor(tokenizer, build_chunk_spec(config), build_caps(config))
+        params = vt5m.init_vt5_params(jax.random.PRNGKey(config["seed"]), vt5_cfg)
+        engine = RAGVT5Engine(rag_cfg, vt5_cfg, params, tokenizer)
+        docs = build_docs(config, args.split)
+
+        save_path = args.save_path
+        if save_path and len(configs) > 1:
+            stem, ext = os.path.splitext(save_path)
+            save_path = f"{stem}_{run_idx}{ext or '.json'}"
+
+        t0 = time.time()
+        out = evaluate(
+            engine, docs, ingestor, Evaluator(),
+            batch_size=config.get("batch_size", 8),
+            save_path=save_path, save_continuously=config.get("save_continuously", False),
+        )
+        summary = {k: out[k] for k in ("accuracy", "anls", "retrieval_precision", "chunk_score", "n_samples")}
+        summary["page_retrieval"] = rag_cfg.page_retrieval
+        summary["wall_time"] = round(time.time() - t0, 2)
+        print(json.dumps(summary))
+        results.append(summary)
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -57,9 +57,16 @@ def load_config(
     if dataset_dict is not None:
         dataset_cfg = dict(dataset_dict)
     elif dataset:
-        dataset_name = dataset
         base = dataset[: -len("-Noise")] if dataset.endswith("-Noise") else dataset
-        dataset_cfg = load_yaml(base) if base.endswith((".yml", ".yaml")) else load_yaml(f"configs/{base}.yml")
+        if base.endswith((".yml", ".yaml")):
+            dataset_cfg = load_yaml(base)
+            # a file path is not a dataset name; keep the yaml's own
+            # dataset_name, but honor a "-Noise" suffix on the arg
+            if dataset.endswith("-Noise") and "dataset_name" in dataset_cfg:
+                dataset_name = dataset_cfg["dataset_name"] + "-Noise"
+        else:
+            dataset_name = dataset
+            dataset_cfg = load_yaml(f"configs/{base}.yml")
     else:
         dataset_cfg = {}
     training_cfg = model_cfg.pop("training_parameters", {}) or {}

@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Training CLI (reference train.py:194-305).
+
+    python train.py -m configs/VT5_tiny.yml -d configs/Synthetic.yml [k=v ...]
+
+Builds the VT5 engine + dataset from layered YAML configs, trains with AdamW/
+linear-warmup/clip-3.0, evaluates each epoch, and checkpoints the best model.
+`dataset_name: Synthetic` trains on the planted-fact corpus (no external data
+needed); real datasets use the loaders in rag_docvqa_tpu.data.datasets.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def parse_overrides(pairs):
+    """key=value CLI overrides (reference eval.py:517-536); values parse as
+    Python literals when possible ("[2,3]" -> list, "0.5" -> float)."""
+    import ast
+
+    out = {}
+    for kv in pairs:
+        k, _, v = kv.partition("=")
+        if v in ("true", "True"):
+            v = True
+        elif v in ("false", "False"):
+            v = False
+        else:
+            try:
+                v = ast.literal_eval(v)
+            except (ValueError, SyntaxError):
+                pass  # keep as string
+        out[k] = v
+    return out
+
+
+def build_docs(config, split):
+    if config.get("dataset_name") == "Synthetic":
+        from rag_docvqa_tpu.data.synthetic import make_corpus
+
+        n = config.get("n_train_docs", 64) if split == "train" else config.get("n_val_docs", 16)
+        return make_corpus(
+            n,
+            n_pages=config.get("n_pages", 4),
+            words_per_page=config.get("words_per_page", 120),
+            seed=0 if split == "train" else 1,
+        )
+    from rag_docvqa_tpu.data.datasets import build_dataset
+
+    return list(build_dataset(config, split))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="rag_docvqa_tpu training")
+    parser.add_argument("-m", "--model", required=True, help="model config yml")
+    parser.add_argument("-d", "--dataset", required=True, help="dataset config yml")
+    parser.add_argument("--no-eval-start", action="store_false", dest="eval_start", default=True)
+    parser.add_argument("--platform", choices=("default", "cpu", "tpu"), default="default",
+                        help="force a JAX platform (cpu for smoke runs; the host may pin a TPU)")
+    parser.add_argument("overrides", nargs="*", help="key=value config overrides")
+    args = parser.parse_args(argv)
+
+    import jax
+
+    if args.platform != "default":
+        jax.config.update("jax_platforms", args.platform)
+
+    from rag_docvqa_tpu.config import (
+        build_caps,
+        build_chunk_spec,
+        build_rag_config,
+        build_vt5_config,
+        load_config,
+    )
+    from rag_docvqa_tpu.data import DocVQAIngestor, load_tokenizer
+    from rag_docvqa_tpu.models import vt5 as vt5m
+    from rag_docvqa_tpu.training.logger import RunLogger
+    from rag_docvqa_tpu.training.trainer import TrainLoopConfig, Trainer
+
+    config = load_config(model=args.model, dataset=args.dataset, overrides=parse_overrides(args.overrides))
+    tokenizer = load_tokenizer(config.get("tokenizer"))
+    vt5_cfg = build_vt5_config(config, tokenizer.vocab_size)
+    rag_cfg = build_rag_config(config)
+    ingestor = DocVQAIngestor(tokenizer, build_chunk_spec(config), build_caps(config))
+    params = vt5m.init_vt5_params(jax.random.PRNGKey(config["seed"]), vt5_cfg)
+    # TODO(weights): load converted HF checkpoints via models.convert when available
+
+    loop_cfg = TrainLoopConfig(
+        epochs=config.get("train_epochs", 10),
+        batch_size=config.get("batch_size", 8),
+        lr=float(config.get("lr", 2e-4)),
+        warmup_steps=config.get("warmup_iterations", 1000),
+        save_dir=config.get("save_dir"),
+        eval_start=args.eval_start,
+        seed=config["seed"],
+    )
+    logger = RunLogger(name=config.get("experiment_name"), config=config,
+                       use_wandb=config.get("use_wandb", False), log_dir=config.get("save_dir"))
+    trainer = Trainer(vt5_cfg, rag_cfg, params, tokenizer, ingestor, loop_cfg, logger=logger)
+
+    train_docs = build_docs(config, "train")
+    val_docs = build_docs(config, "val")
+    result = trainer.fit(train_docs, val_docs)
+    logger.log({"best_accuracy": result["best"]["accuracy"], "best_epoch": result["best"]["epoch"]})
+    logger.finish()
+    return result
+
+
+if __name__ == "__main__":
+    main()
