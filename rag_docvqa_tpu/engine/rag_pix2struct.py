@@ -1,0 +1,270 @@
+"""RAG-Pix2Struct: the OCR-free visual retrieve-then-answer engine.
+
+Reference (src/RAGPix2Struct.py): pages -> image patches (ImageChunker) ->
+Pix2Struct-encoder patch embeddings (ImageEncoder, src/_modules.py:1613-1666)
+-> late-interaction MaxSim against the rendered question
+(VisualRetriever, src/_modules.py:2183-2464) -> top-k patches + surrounding
+pattern -> merge overlapping crops -> pack retrieved crops + question header
+-> Pix2Struct generate. A no-RAG fallback scores every page and keeps the
+max-confidence answer (RAGPix2Struct.py:272-320).
+
+Device work (batched, jitted): patch-set encoding, MaxSim scoring, top-k,
+generation. Host work (index-only): image chunk grids, crop/merge of retrieved
+regions, patch packing with row offsets.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rag_docvqa_tpu.data.contract import RawDocument
+from rag_docvqa_tpu.models import pix2struct as p2s
+from rag_docvqa_tpu.ops.late_interaction import late_interaction
+from rag_docvqa_tpu.ops.patches import (
+    adaptive_normalize,
+    divide_image_into_patches,
+    extract_flattened_patches,
+    pack_multi_image_patches,
+    render_text,
+)
+from rag_docvqa_tpu.ops.topk import masked_topk
+
+
+@dataclass(frozen=True)
+class P2SRAGConfig:
+    chunk_num: int = 10  # k retrieved patches
+    include_surroundings: Union[int, Tuple[int, int]] = 0
+    chunk_mode: str = "horizontal"  # square | horizontal | page
+    image_patch_size: int = 256  # pixels per image chunk strip
+    chunk_overlap: bool = True  # half-patch overlap (src/_modules.py:1139)
+    patches_per_chunk: int = 128  # Pix2Struct patches per image chunk
+    max_chunks: int = 64  # fixed-shape cap on image chunks per doc
+    max_total_patches: int = 1024  # generator patch budget
+    max_new_tokens: int = 32
+    use_rag: bool = True
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _encode_patch_sets(params, cfg: p2s.Pix2StructConfig, patches: jax.Array, mask: jax.Array):
+    """(N, T, 2+D) patch sets -> (N, T, hidden) embeddings."""
+    return p2s.vision_encode(params, cfg, patches, mask)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _score_topk(patch_emb, patch_tok_mask, q_emb, q_tok_mask, chunk_valid, k: int):
+    scores = late_interaction(q_emb, patch_emb, query_mask=q_tok_mask, patch_mask=patch_tok_mask)
+    return masked_topk(scores, chunk_valid, k)
+
+
+class RAGPix2StructEngine:
+    def __init__(self, cfg: P2SRAGConfig, p2s_cfg: p2s.Pix2StructConfig, params: Dict[str, Any], tokenizer):
+        self.cfg = cfg
+        self.p2s_cfg = p2s_cfg
+        self.params = params
+        self.tokenizer = tokenizer
+
+    # ------------------------------------------------------------------ #
+    def _chunk_pages(self, images: Sequence[np.ndarray]):
+        """Host: pages -> image chunks + (page, row, col) coords + pixel boxes
+        + per-page matrix shapes."""
+        chunks, coords, xyxy, shapes = [], [], [], []
+        for page_idx, img in enumerate(images):
+            patches, (rows, cols), boxes = divide_image_into_patches(
+                np.asarray(img), self.cfg.image_patch_size, self.cfg.chunk_overlap, self.cfg.chunk_mode
+            )
+            shapes.append((rows, cols))
+            for i, (patch, box) in enumerate(zip(patches, boxes)):
+                chunks.append(patch)
+                coords.append((page_idx, i // cols, i % cols))
+                xyxy.append(box)
+        return chunks, coords, xyxy, shapes
+
+    def _embed_chunks(self, chunks: List[np.ndarray]):
+        """Per-chunk flattened patches -> batched vision encode (fixed shapes)."""
+        cfg = self.cfg
+        T = cfg.patches_per_chunk
+        n = min(len(chunks), cfg.max_chunks)
+        feats = np.zeros((cfg.max_chunks, T, 2 + self.p2s_cfg.vision.patch_dim), np.float32)
+        for i in range(n):
+            flat, _ = extract_flattened_patches(adaptive_normalize(chunks[i]), T, pad=True)
+            feats[i] = flat
+        tok_mask = (np.abs(feats).sum(-1) != 0).astype(np.float32)
+        emb = _encode_patch_sets(self.params, self.p2s_cfg, jnp.asarray(feats), jnp.asarray(tok_mask))
+        chunk_valid = np.zeros((cfg.max_chunks,), bool)
+        chunk_valid[:n] = True
+        return emb, jnp.asarray(tok_mask), jnp.asarray(chunk_valid)
+
+    def _embed_question(self, question: str):
+        q_img = render_text(question)
+        flat, _ = extract_flattened_patches(adaptive_normalize(q_img), self.cfg.patches_per_chunk, pad=True)
+        mask = (np.abs(flat).sum(-1) != 0).astype(np.float32)
+        emb = _encode_patch_sets(
+            self.params, self.p2s_cfg, jnp.asarray(flat)[None], jnp.asarray(mask)[None]
+        )
+        return emb[0], jnp.asarray(mask)
+
+    # ------------------------------------------------------------------ #
+    def retrieve(self, question: str, images: Sequence[np.ndarray]):
+        """Returns (merged crops, page indices, scores, steps dict)."""
+        cfg = self.cfg
+        chunks, coords, xyxy, shapes = self._chunk_pages(images)
+        patch_emb, tok_mask, chunk_valid = self._embed_chunks(chunks)
+        q_emb, q_mask = self._embed_question(question)
+        vals, idx, valid = _score_topk(patch_emb, tok_mask, q_emb, q_mask, chunk_valid, cfg.chunk_num)
+        idx, valid = np.asarray(idx), np.asarray(valid)
+
+        # surrounding-pattern expansion (host; src/_modules.py:2207-2282)
+        surround: set = set()
+        for r in range(cfg.chunk_num):
+            if not valid[r] or idx[r] >= len(coords):
+                continue
+            page_idx, row, col = coords[idx[r]]
+            rows, cols = shapes[page_idx]
+            for rc in _surrounding_coords((row, col), (rows, cols), cfg.include_surroundings):
+                surround.add((page_idx, *rc))
+
+        crops = _merge_overlapping(sorted(surround), shapes, xyxy, coords, images)
+        pages = sorted({p for p, _, _ in surround})
+        steps = {"n_chunks": len(chunks), "coords": coords, "xyxy": xyxy}
+        return crops, pages, np.asarray(vals), steps
+
+    # ------------------------------------------------------------------ #
+    def inference(self, docs: Sequence[RawDocument]) -> Dict[str, Any]:
+        """Batch inference; each doc needs `images` (page renders)."""
+        cfg = self.cfg
+        all_patches, all_masks, pred_pages = [], [], []
+        for doc in docs:
+            assert doc.images is not None, "RAGPix2Struct needs page images"
+            images = [np.asarray(im) for im in doc.images if im is not None]
+            if cfg.use_rag:
+                crops, pages, _, _ = self.retrieve(doc.question, images)
+                if not crops:
+                    crops = images  # fallback: all pages
+                    pages = list(range(len(images)))
+            else:
+                crops, pages = images, list(range(len(images)))
+            header = render_text(doc.question)
+            flat, mask = pack_multi_image_patches(
+                crops, cfg.max_total_patches, normalize=True, header=header
+            )
+            all_patches.append(flat)
+            all_masks.append(mask)
+            pred_pages.append(pages)
+
+        patches = jnp.asarray(np.stack(all_patches))
+        masks = jnp.asarray(np.stack(all_masks))
+        tokens, conf = p2s.generate(self.params, self.p2s_cfg, patches, masks, cfg.max_new_tokens)
+        answers = self._decode(tokens)
+        return {
+            "pred_answers": answers,
+            "confidences": np.asarray(conf).tolist(),
+            "pred_answer_pages": pred_pages,
+            "retrieval": {"page_indices": pred_pages},
+        }
+
+    def no_rag_max_conf(self, doc: RawDocument) -> Tuple[str, float]:
+        """Score every page separately, keep the max-confidence answer
+        (RAGPix2Struct.py:272-320)."""
+        cfg = self.cfg
+        header = render_text(doc.question)
+        flats, masks = [], []
+        for img in doc.images:
+            flat, mask = pack_multi_image_patches(
+                [np.asarray(img)], cfg.max_total_patches, normalize=True, header=header
+            )
+            flats.append(flat)
+            masks.append(mask)
+        patches = jnp.asarray(np.stack(flats))
+        m = jnp.asarray(np.stack(masks))
+        tokens, conf = p2s.generate(self.params, self.p2s_cfg, patches, m, cfg.max_new_tokens)
+        conf = np.asarray(conf)
+        best = int(np.argmax(conf))
+        return self._decode(tokens)[best], float(conf[best])
+
+    def _decode(self, tokens) -> List[str]:
+        toks = np.asarray(tokens)
+        out = []
+        for row in toks:
+            ids = []
+            for t in row:
+                if t == self.p2s_cfg.text.eos_id:
+                    break
+                if t != self.p2s_cfg.text.pad_id:
+                    ids.append(int(t))
+            out.append(self.tokenizer.decode(ids))
+        return out
+
+
+# --------------------------------------------------------------------------- #
+# host geometry helpers (ports of the reference's pattern/merge logic)
+# --------------------------------------------------------------------------- #
+def _surrounding_coords(center, shape, include: Union[int, Tuple[int, int]]):
+    """Spiral pattern for int `include`, rectangle for (x, y) tuple
+    (src/_modules.py:2207-2282)."""
+    row, col = center
+    max_rows, max_cols = shape
+    coords = set()
+    if isinstance(include, tuple) and len(include) == 2:
+        xr, yr = include
+        for r in range(row - yr, row + yr + 1):
+            for c in range(col - xr, col + xr + 1):
+                coords.add((r, c))
+    else:
+        level, phase = include // 3, include % 3
+        for r in range(row - level, row + level + 1):
+            for c in range(col - level, col + level + 1):
+                coords.add((r, c))
+        if phase > 0:
+            for r in range(row - level, row + level + 1):
+                coords.add((r, col - level - 1))
+                coords.add((r, col + level + 1))
+        if phase > 1:
+            for c in range(col - level, col + level + 1):
+                coords.add((row - level - 1, c))
+                coords.add((row + level + 1, c))
+    return [(r, c) for r, c in coords if 0 <= r < max_rows and 0 <= c < max_cols]
+
+
+def _rect_overlap(a, b) -> bool:
+    return a[0] < b[2] and a[2] > b[0] and a[1] < b[3] and a[3] > b[1]
+
+
+def _merge_overlapping(surround, shapes, xyxy, coords, images) -> List[np.ndarray]:
+    """Connected components of overlapping retrieved patches -> one bbox-union
+    crop each (src/_modules.py:2284-2384)."""
+    coord_to_flat = {c: i for i, c in enumerate(coords)}
+    by_page: Dict[int, List[List[int]]] = {}
+    for page_idx, row, col in surround:
+        flat = coord_to_flat.get((page_idx, row, col))
+        if flat is not None:
+            by_page.setdefault(page_idx, []).append(xyxy[flat])
+
+    crops: List[np.ndarray] = []
+    for page_idx, rects in sorted(by_page.items()):
+        n = len(rects)
+        seen = [False] * n
+        for i in range(n):
+            if seen[i]:
+                continue
+            cluster, queue = [], [i]
+            seen[i] = True
+            while queue:
+                u = queue.pop()
+                cluster.append(rects[u])
+                for v in range(n):
+                    if not seen[v] and _rect_overlap(rects[u], rects[v]):
+                        seen[v] = True
+                        queue.append(v)
+            x1 = min(r[0] for r in cluster)
+            y1 = min(r[1] for r in cluster)
+            x2 = max(r[2] for r in cluster)
+            y2 = max(r[3] for r in cluster)
+            img = np.asarray(images[page_idx])
+            crops.append(img[int(y1) : int(y2), int(x1) : int(x2)])
+    return crops

@@ -1,0 +1,155 @@
+"""Hi-VT5: hierarchical multi-page encoder with page-token compression.
+
+Reference (src/HiVT5.py): each page is encoded as
+  [PAGE_p] x page_tokens ++ question ++ page words (+ spatial emb),
+only the first `page_tokens` hidden states are kept per page, the
+concatenation across pages forms the document embedding the decoder
+cross-attends to (HiVT5.py:450-489,542-556), and a linear head over the
+flattened document embedding predicts the answer page with a weighted CE loss
+(PageRetrievalModule, src/_modules.py:148-175).
+
+TPU design: the reference loops pages sequentially through the encoder
+(HiVT5.py:78-104, the per-page hot loop). Here pages fold into the batch axis
+— ONE encoder pass over (B*P, K+T) with page-validity masks — and the decoder
+runs on the fixed-shape (B, P*K) document embedding. Page inputs are built on
+device from the raw word arrays (ops/gather.assemble_page_rows), so the whole
+forward jits end to end. Greedy decoding reuses the cached decode loop
+(no vendored synced greedy_search / dist.all_reduce — HiVT5.py:153-386 is
+obsolete under SPMD).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rag_docvqa_tpu.data.contract import ChunkedBatch
+from rag_docvqa_tpu.models import t5 as t5m
+from rag_docvqa_tpu.models.embeddings import SpatialConfig, init_spatial_params, spatial_embed
+from rag_docvqa_tpu.models.layers import normal_init
+from rag_docvqa_tpu.ops.decode import greedy_decode
+from rag_docvqa_tpu.ops.gather import AssembleConfig, assemble_page_rows
+
+
+@dataclass(frozen=True)
+class HiVT5Config:
+    t5: t5m.T5Config = field(default_factory=t5m.T5Config)
+    spatial: SpatialConfig = field(default_factory=SpatialConfig)
+    page_tokens: int = 10  # configs/HiVT5.yml
+    max_doc_pages: int = 20
+    page_seq_len: int = 512  # per-page token budget (max_text_tokens)
+    retrieval_loss_weight: float = 0.25  # page_retrieval_config loss_weight
+
+
+def init_hivt5_params(rng: jax.Array, cfg: HiVT5Config) -> Dict[str, Any]:
+    ks = jax.random.split(rng, 4)
+    d = cfg.t5.d_model
+    return {
+        "t5": t5m.init_t5_params(ks[0], cfg.t5),
+        "spatial": init_spatial_params(ks[1], cfg.spatial),
+        # [PAGE_p] learnable tokens, one embedding per page position
+        # (the reference adds [PAGE_i] tokens to the tokenizer, HiVT5.py:619-621)
+        "page_emb": normal_init(ks[2], (cfg.max_doc_pages, d), 1.0),
+        # PageRetrievalModule linear (src/_modules.py:153)
+        "page_head": {
+            "kernel": normal_init(ks[3], (cfg.max_doc_pages * cfg.page_tokens * d, cfg.max_doc_pages), 0.02),
+            "bias": jnp.zeros((cfg.max_doc_pages,)),
+        },
+    }
+
+
+def encode_document(
+    params: Dict[str, Any],
+    cfg: HiVT5Config,
+    batch: ChunkedBatch,
+) -> Tuple[jax.Array, jax.Array]:
+    """Hierarchical encode: returns (doc_emb (B, P*K, D), doc_mask (B, P*K)).
+
+    Page inputs come from the raw word arrays; the batch's prompt tokens
+    ("question: ... context:") play the role of the reference's per-page
+    question prefix (HiVT5.py:465-470).
+    """
+    B = batch.batch_size
+    P, K = cfg.max_doc_pages, cfg.page_tokens
+    pages = jnp.broadcast_to(jnp.arange(P)[None, :], (B, P))
+    page_valid = pages < batch.num_pages[:, None]  # (B, P)
+
+    acfg = AssembleConfig(max_source_length=cfg.page_seq_len, eos_token_id=cfg.t5.eos_id, pad_token_id=cfg.t5.pad_id)
+    gen = assemble_page_rows(batch, pages, page_valid, acfg)  # rows = B*P
+
+    # token embeddings: semantic + spatial
+    x = params["t5"]["shared"][gen.input_ids]
+    x = x + spatial_embed(params["spatial"], cfg.spatial, gen.input_boxes)
+
+    # prepend K copies of this page's [PAGE_p] embedding
+    page_tok = params["page_emb"][pages.reshape(B * P)]  # (B*P, D)
+    page_tok = jnp.broadcast_to(page_tok[:, None, :], (B * P, K, x.shape[-1]))
+    x = jnp.concatenate([page_tok.astype(x.dtype), x], axis=1)  # (B*P, K+T, D)
+    mask = jnp.concatenate(
+        [jnp.ones((B * P, K), bool), gen.attention_mask], axis=1
+    ) & page_valid.reshape(B * P)[:, None]
+
+    hidden = t5m.encode(params["t5"], cfg.t5, x, mask)  # one pass, pages in batch
+    compressed = hidden[:, :K, :]  # keep page summary tokens (HiVT5.py:489)
+    doc_emb = compressed.reshape(B, P * K, -1)
+    doc_mask = jnp.repeat(page_valid, K, axis=1)  # (B, P*K)
+    return doc_emb, doc_mask
+
+
+def page_retrieval_logits(params: Dict[str, Any], cfg: HiVT5Config, doc_emb: jax.Array) -> jax.Array:
+    """(B, max_doc_pages) page logits from the flattened document embedding."""
+    B = doc_emb.shape[0]
+    flat = doc_emb.reshape(B, -1).astype(jnp.float32)
+    h = params["page_head"]
+    return flat @ h["kernel"] + h["bias"]
+
+
+def forward_train(
+    params: Dict[str, Any],
+    cfg: HiVT5Config,
+    batch: ChunkedBatch,
+    labels: jax.Array,  # (B, Td) with -100 padding
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Returns (total loss, {'lm_loss', 'ret_loss', 'ret_logits'}).
+
+    total = LM CE + retrieval_loss_weight * page CE (train.py:69,
+    _modules.py:173)."""
+    doc_emb, doc_mask = encode_document(params, cfg, batch)
+    dec_in = t5m.shift_tokens_right(labels, cfg.t5.pad_id, cfg.t5.decoder_start_token_id)
+    logits = t5m.decode_train(params["t5"], cfg.t5, dec_in, doc_emb, doc_mask)
+    valid = labels != -100
+    safe = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    lm_loss = jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
+
+    ret_logits = page_retrieval_logits(params, cfg, doc_emb)
+    page_valid = jnp.arange(cfg.max_doc_pages)[None, :] < batch.num_pages[:, None]
+    masked_logits = jnp.where(page_valid, ret_logits, -1e9)
+    ret_nll = -jnp.take_along_axis(
+        jax.nn.log_softmax(masked_logits, axis=-1), batch.answer_page[:, None], axis=-1
+    )[:, 0]
+    ret_loss = jnp.mean(ret_nll) * cfg.retrieval_loss_weight
+    return lm_loss + ret_loss, {"lm_loss": lm_loss, "ret_loss": ret_loss, "ret_logits": ret_logits}
+
+
+def generate(
+    params: Dict[str, Any],
+    cfg: HiVT5Config,
+    batch: ChunkedBatch,
+    max_new_tokens: int = 100,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Greedy decode over the compressed document embedding.
+
+    Returns (tokens, confidence, pred_page): pred_page from the retrieval head
+    (the reference's last-step argmax quirk HiVT5.py:772-778 is replaced by
+    the head it was meant to use — the ret_logits path)."""
+    doc_emb, doc_mask = encode_document(params, cfg, batch)
+    tokens, conf = greedy_decode(params["t5"], cfg.t5, doc_emb, doc_mask, max_new_tokens)
+    ret_logits = page_retrieval_logits(params, cfg, doc_emb)
+    page_valid = jnp.arange(cfg.max_doc_pages)[None, :] < batch.num_pages[:, None]
+    pred_page = jnp.argmax(jnp.where(page_valid, ret_logits, -1e9), axis=-1)
+    return tokens, conf, pred_page

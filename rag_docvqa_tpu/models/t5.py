@@ -177,7 +177,8 @@ def _attend(
 
 def _ffn(p: Params, cfg: T5Config, x: jax.Array) -> jax.Array:
     if cfg.gated_ffn:
-        h = jax.nn.gelu(dense(x, p["wi_0"]), approximate=False) * dense(x, p["wi_1"])
+        # gated variants (t5-v1.1, Pix2Struct text) use gelu_new = tanh approx
+        h = jax.nn.gelu(dense(x, p["wi_0"]), approximate=True) * dense(x, p["wi_1"])
     else:
         h = jax.nn.relu(dense(x, p["wi"]))
     return dense(h, p["wo"])

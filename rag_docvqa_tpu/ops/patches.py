@@ -1,0 +1,212 @@
+"""Image patch math for the Pix2Struct visual path.
+
+Host-side ports (pure numpy + jax.image.resize, no torch):
+  * divide_image_into_patches — ImageChunker patch grids
+    (src/_modules.py:1146-1244: square / horizontal / page modes with
+    half-patch overlap and edge re-alignment)
+  * extract_flattened_patches — Pix2Struct patch extraction with row/col ids
+    and cross-image row offsets
+    (src/custom_pix2struct_processor.py:33-132)
+  * adaptive_normalize — per-image mean/std with the 1/sqrt(numel) floor
+    (custom_pix2struct_processor.py:176-198)
+  * render_text / render_header — question rendering
+    (HF pix2struct render_text; header used for VQA, :223-229)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+# --------------------------------------------------------------------------- #
+# chunking (ImageChunker)
+# --------------------------------------------------------------------------- #
+def divide_image_into_patches(
+    image: np.ndarray,  # (H, W, 3)
+    patch_size: int = 256,
+    overlap: bool = False,
+    mode: str = "horizontal",
+) -> Tuple[List[np.ndarray], Tuple[int, int], List[List[int]]]:
+    """Returns (patches, matrix shape (rows, cols), xyxy coords)."""
+    assert mode in ("square", "horizontal", "page")
+    height, width = image.shape[:2]
+    ov = patch_size // 2 if overlap else 0
+    step = patch_size - ov
+    patches: List[np.ndarray] = []
+    xyxy: List[List[int]] = []
+
+    if mode == "page":
+        return [image], (1, 1), [[0, 0, width, height]]
+
+    if mode == "square":
+        n_w = math.ceil((width - ov) / step)
+        n_h = math.ceil((height - ov) / step)
+        for i in range(n_h):
+            for j in range(n_w):
+                left, top = j * step, i * step
+                right, bottom = min(left + patch_size, width), min(top + patch_size, height)
+                if right - left < patch_size:
+                    left = max(right - patch_size, 0)
+                if bottom - top < patch_size:
+                    top = max(bottom - patch_size, 0)
+                patches.append(image[top:bottom, left:right])
+                xyxy.append([left, top, right, bottom])
+        return patches, (n_h, n_w), xyxy
+
+    # horizontal: full-width strips; a short tail strip merges into the last
+    # full strip (src/_modules.py:1203-1244)
+    n_h = math.ceil((height - ov) / step)
+    last_h = height - (n_h - 1) * step
+    n_actual = n_h - 1 if (0 < last_h < patch_size and n_h > 1) else n_h
+    for i in range(n_actual):
+        top = i * step
+        if i == n_actual - 1 and n_actual < n_h:
+            bottom = height
+        else:
+            bottom = min(top + patch_size, height)
+            if bottom - top < patch_size:
+                top = max(bottom - patch_size, 0)
+        patches.append(image[top:bottom, 0:width])
+        xyxy.append([0, top, width, bottom])
+    return patches, (n_actual, 1), xyxy
+
+
+# --------------------------------------------------------------------------- #
+# Pix2Struct patch extraction
+# --------------------------------------------------------------------------- #
+def _resize_bilinear(image: np.ndarray, h: int, w: int) -> np.ndarray:
+    import jax
+
+    return np.asarray(
+        jax.image.resize(image.astype(np.float32), (h, w, image.shape[2]), "bilinear", antialias=True)
+    )
+
+
+def adaptive_normalize(image: np.ndarray) -> np.ndarray:
+    """Per-image standardization with std floored at 1/sqrt(numel)."""
+    image = image.astype(np.float32)
+    mean = image.mean()
+    std = max(image.std(), 1.0 / math.sqrt(image.size))
+    return (image - mean) / std
+
+
+def extract_flattened_patches(
+    image: np.ndarray,  # (H, W, 3) float (normalized)
+    max_patches: int,
+    patch_size: int = 16,
+    row_offset: int = 0,
+    pad: bool = True,
+) -> Tuple[np.ndarray, int]:
+    """Resize so ~max_patches fit, cut non-overlapping patch_size grid, prepend
+    (row, col) ids (1-based + row_offset). Returns ((N, 2 + 3*p*p), max_row)."""
+    h, w = image.shape[:2]
+    scale = math.sqrt(max_patches * (patch_size / h) * (patch_size / w))
+    rows = max(min(math.floor(scale * h / patch_size), max_patches), 1)
+    cols = max(min(math.floor(scale * w / patch_size), max_patches), 1)
+    rh, rw = max(rows * patch_size, 1), max(cols * patch_size, 1)
+    image = _resize_bilinear(image, rh, rw)
+
+    x = image.reshape(rows, patch_size, cols, patch_size, 3)
+    x = x.transpose(0, 2, 1, 3, 4).reshape(rows * cols, patch_size * patch_size * 3)
+
+    row_ids = (np.repeat(np.arange(rows), cols) + 1 + row_offset).astype(np.float32)
+    col_ids = (np.tile(np.arange(cols), rows) + 1).astype(np.float32)
+    result = np.concatenate([row_ids[:, None], col_ids[:, None], x], axis=1)
+
+    if pad and result.shape[0] < max_patches:
+        result = np.concatenate(
+            [result, np.zeros((max_patches - result.shape[0], result.shape[1]), result.dtype)]
+        )
+    else:
+        result = result[:max_patches]
+    return result, int(row_ids.max())
+
+
+def pack_multi_image_patches(
+    images: Sequence[np.ndarray],
+    max_total_patches: int,
+    patch_size: int = 16,
+    normalize: bool = True,
+    header: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Equal patch budget per image, continued row offsets across images
+    (custom_pix2struct_processor.py:97-132). Optional header image rendered
+    above the first image. Returns (patches (max_total, 2+D), mask)."""
+    images = list(images)
+    if header is not None and images:
+        images[0] = stack_header(header, images[0])
+    elif header is not None:
+        images = [header]
+    assert images, "no images provided"
+    per_image = max_total_patches // len(images)
+    out = []
+    row_offset = 0
+    for img in images:
+        if normalize:
+            img = adaptive_normalize(img)
+        patches, row_offset = extract_flattened_patches(
+            img, per_image, patch_size=patch_size, row_offset=row_offset, pad=False
+        )
+        out.append(patches)
+    cat = np.concatenate(out, axis=0)
+    if cat.shape[0] < max_total_patches:
+        cat = np.concatenate(
+            [cat, np.zeros((max_total_patches - cat.shape[0], cat.shape[1]), cat.dtype)]
+        )
+    else:
+        cat = cat[:max_total_patches]
+    mask = (np.abs(cat).sum(axis=-1) != 0).astype(np.float32)
+    return cat, mask
+
+
+# --------------------------------------------------------------------------- #
+# text rendering (question header / question-as-image)
+# --------------------------------------------------------------------------- #
+def render_text(text: str, width: int = 448, font_size: int = 20) -> np.ndarray:
+    """Render text on a white canvas (HF pix2struct render_text equivalent;
+    used both for the VQA header and for embedding the question as an image,
+    src/RAGPix2Struct.py:147)."""
+    try:
+        from PIL import Image, ImageDraw, ImageFont
+
+        font = ImageFont.load_default()
+        probe = Image.new("RGB", (width, 10))
+        draw = ImageDraw.Draw(probe)
+        lines: List[str] = []
+        line = ""
+        for word in text.split():
+            cand = (line + " " + word).strip()
+            if draw.textlength(cand, font=font) > width - 10 and line:
+                lines.append(line)
+                line = word
+            else:
+                line = cand
+        lines.append(line)
+        height = 10 + 12 * len(lines)
+        img = Image.new("RGB", (width, height), (255, 255, 255))
+        draw = ImageDraw.Draw(img)
+        for i, ln in enumerate(lines):
+            draw.text((5, 5 + 12 * i), ln, fill=(0, 0, 0), font=font)
+        return np.asarray(img)
+    except ImportError:
+        # deterministic fallback: encode text bytes into a pixel strip
+        data = np.frombuffer(text.encode("utf-8"), np.uint8)
+        img = np.full((16, max(len(data), 16), 3), 255, np.uint8)
+        img[4:12, : len(data), 0] = data
+        return img
+
+
+def stack_header(header: np.ndarray, image: np.ndarray) -> np.ndarray:
+    """Place a header image above a body image (render_header semantics)."""
+    w = max(header.shape[1], image.shape[1])
+
+    def pad_w(x):
+        if x.shape[1] == w:
+            return x
+        pad = np.full((x.shape[0], w - x.shape[1], 3), 255, x.dtype)
+        return np.concatenate([x, pad], axis=1)
+
+    return np.concatenate([pad_w(header.astype(image.dtype)), pad_w(image)], axis=0)

@@ -1,0 +1,95 @@
+"""Hi-VT5: hierarchical encode shapes, page masking, losses, generation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rag_docvqa_tpu.data import DocVQAIngestor, HashTokenizer
+from rag_docvqa_tpu.data.contract import Caps
+from rag_docvqa_tpu.data.synthetic import make_corpus
+from rag_docvqa_tpu.models import hivt5, t5 as t5m
+from rag_docvqa_tpu.models.embeddings import SpatialConfig
+from rag_docvqa_tpu.ops.chunking import ChunkSpec
+
+TOK = HashTokenizer(vocab_size=1024)
+CFG = hivt5.HiVT5Config(
+    t5=t5m.T5Config(vocab_size=1024, d_model=32, d_kv=8, num_heads=4, d_ff=64,
+                    num_encoder_layers=2, num_decoder_layers=2, dropout_rate=0.0),
+    spatial=SpatialConfig(hidden_size=32, dropout_rate=0.0),
+    page_tokens=4,
+    max_doc_pages=4,
+    page_seq_len=48,
+)
+
+
+def build(bs=2, n_pages=3):
+    docs = make_corpus(bs, n_pages=n_pages, words_per_page=20, seed=9)
+    ing = DocVQAIngestor(TOK, ChunkSpec(chunk_size=8, overlap=2),
+                         Caps(max_pages=4, max_chunks=16, max_slots=128))
+    batch, aux = ing.ingest(docs)
+    labels = jnp.asarray(ing.answer_labels(aux["answers"], max_len=4))
+    return docs, batch, labels
+
+
+def test_encode_document_shapes_and_mask():
+    params = hivt5.init_hivt5_params(jax.random.PRNGKey(0), CFG)
+    docs, batch, _ = build(bs=2, n_pages=3)
+    doc_emb, doc_mask = hivt5.encode_document(params, CFG, batch)
+    assert doc_emb.shape == (2, 4 * 4, 32)
+    mask = np.asarray(doc_mask)
+    # 3 real pages of 4 page-tokens each -> 12 valid, 4 masked
+    assert mask.sum(axis=1).tolist() == [12, 12]
+    assert not mask[:, 12:].any()
+
+
+def test_forward_train_losses_and_grads():
+    params = hivt5.init_hivt5_params(jax.random.PRNGKey(0), CFG)
+    _, batch, labels = build()
+
+    def loss_fn(p):
+        loss, aux = hivt5.forward_train(p, CFG, batch, labels)
+        return loss, aux
+
+    (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(loss))
+    assert float(aux["ret_loss"]) > 0
+    assert aux["ret_logits"].shape == (2, 4)
+    # page head gets gradient
+    g = np.asarray(grads["page_head"]["kernel"])
+    assert np.abs(g).sum() > 0
+    # page embeddings get gradient
+    assert np.abs(np.asarray(grads["page_emb"])).sum() > 0
+
+
+def test_ret_loss_trains_page_prediction():
+    import optax
+
+    params = hivt5.init_hivt5_params(jax.random.PRNGKey(0), CFG)
+    docs, batch, labels = build(bs=2, n_pages=3)
+    tx = optax.adam(3e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt):
+        def loss_fn(p):
+            loss, aux = hivt5.forward_train(p, CFG, batch, labels)
+            return loss, aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, updates), opt, loss, aux
+
+    for _ in range(30):
+        params, opt, loss, aux = step(params, opt)
+    pred = np.argmax(np.asarray(aux["ret_logits"])[:, :3], axis=1)
+    want = np.asarray([d.answer_page_idx for d in docs])
+    assert (pred == want).all(), f"page head failed to overfit: {pred} vs {want}"
+
+
+def test_generate():
+    params = hivt5.init_hivt5_params(jax.random.PRNGKey(0), CFG)
+    docs, batch, _ = build()
+    tokens, conf, pred_page = hivt5.generate(params, CFG, batch, max_new_tokens=4)
+    assert tokens.shape == (2, 4)
+    assert conf.shape == (2,)
+    assert (np.asarray(pred_page) < 3).all()  # only valid pages predicted

@@ -1,0 +1,165 @@
+"""Pix2Struct path: patch math, MaxSim parity, vision encoder, RAG engine."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rag_docvqa_tpu.models import pix2struct as p2s, t5 as t5m
+from rag_docvqa_tpu.ops.late_interaction import late_interaction, late_interaction_pallas
+from rag_docvqa_tpu.ops.patches import (
+    adaptive_normalize,
+    divide_image_into_patches,
+    extract_flattened_patches,
+    pack_multi_image_patches,
+    render_text,
+)
+
+TINY_P2S = p2s.Pix2StructConfig(
+    vision=p2s.P2SVisionConfig(hidden_size=32, num_layers=2, num_heads=4, d_ff=64,
+                               patch_dim=768, max_rows=128, max_cols=128),
+    text=t5m.T5Config(vocab_size=300, d_model=32, d_kv=8, num_heads=4, d_ff=64,
+                      num_encoder_layers=0, num_decoder_layers=2, gated_ffn=True,
+                      tie_word_embeddings=False, dropout_rate=0.0),
+)
+
+
+# ---------------------------------------------------------------------- #
+# patch math
+# ---------------------------------------------------------------------- #
+def test_divide_image_modes():
+    img = np.zeros((600, 400, 3), np.uint8)
+    p, shape, xyxy = divide_image_into_patches(img, 256, overlap=True, mode="page")
+    assert shape == (1, 1) and xyxy == [[0, 0, 400, 600]]
+
+    p, shape, xyxy = divide_image_into_patches(img, 256, overlap=True, mode="horizontal")
+    # step=128: ceil((600-128)/128)=4 strips; tail 600-3*128=216 in [1,256) merges
+    assert shape[1] == 1
+    assert all(x[0] == 0 and x[2] == 400 for x in xyxy)
+    assert xyxy[-1][3] == 600  # last strip reaches bottom
+    assert len(p) == shape[0]
+
+    p, shape, xyxy = divide_image_into_patches(img, 256, overlap=False, mode="square")
+    assert shape == (3, 2)
+    assert len(p) == 6
+    for x in xyxy:
+        assert x[2] - x[0] <= 256 and x[3] - x[1] <= 256
+
+
+def test_extract_flattened_patches_ids_and_padding():
+    img = np.random.RandomState(0).rand(64, 48, 3).astype(np.float32)
+    flat, max_row = extract_flattened_patches(img, max_patches=12, patch_size=16, row_offset=0)
+    assert flat.shape == (12, 2 + 768)
+    rows = flat[:, 0]
+    cols = flat[:, 1]
+    n = int((np.abs(flat).sum(-1) != 0).sum())
+    assert rows[:n].min() == 1 and cols[:n].min() == 1  # 1-based ids
+    assert max_row == rows[:n].max()
+    # offset continues rows across images
+    flat2, max_row2 = extract_flattened_patches(img, 12, row_offset=max_row)
+    assert flat2[:, 0].max() == max_row2
+    assert flat2[0, 0] == max_row + 1
+
+
+def test_pack_multi_image_budget_and_offsets():
+    rng = np.random.RandomState(1)
+    imgs = [rng.rand(64, 64, 3) for _ in range(3)]
+    flat, mask = pack_multi_image_patches(imgs, max_total_patches=48, normalize=True)
+    assert flat.shape == (48, 770)
+    valid = flat[mask > 0]
+    # rows strictly increase across image boundaries (continued offsets)
+    assert valid[:, 0].max() >= 3  # at least one row per image
+
+
+def test_adaptive_normalize():
+    img = np.full((8, 8, 3), 7.0, np.float32)
+    out = adaptive_normalize(img)
+    assert np.allclose(out, 0.0)  # std floor prevents div-by-zero
+
+
+def test_render_text_deterministic():
+    a = render_text("what is the total?")
+    b = render_text("what is the total?")
+    np.testing.assert_array_equal(a, b)
+    assert a.ndim == 3 and a.shape[2] == 3
+
+
+# ---------------------------------------------------------------------- #
+# late interaction
+# ---------------------------------------------------------------------- #
+def test_late_interaction_reference_math():
+    q = jnp.asarray([[1.0, 0.0], [0.0, 1.0]])  # 2 query tokens
+    p = jnp.asarray([[[1.0, 0.0], [0.0, 1.0]], [[-1.0, 0.0], [0.0, -1.0]]])  # 2 patches
+    scores = late_interaction(q, p)
+    np.testing.assert_allclose(np.asarray(scores), [2.0, 0.0], atol=1e-6)
+
+
+def test_late_interaction_mask():
+    rng = jax.random.PRNGKey(0)
+    q = jax.random.normal(rng, (4, 8))
+    p = jax.random.normal(jax.random.PRNGKey(1), (3, 6, 8))
+    pm = jnp.ones((3, 6), bool).at[1, 3:].set(False)
+    full = late_interaction(q, p, patch_mask=pm)
+    # masking out tokens can only lower or keep the maxsim score
+    unmasked = late_interaction(q, p)
+    assert float(full[1]) <= float(unmasked[1]) + 1e-6
+
+
+def test_late_interaction_pallas_matches():
+    q = jax.random.normal(jax.random.PRNGKey(2), (8, 128))
+    p = jax.random.normal(jax.random.PRNGKey(3), (5, 16, 128))
+    pm = jnp.ones((5, 16))
+    ref = late_interaction(q, p, patch_mask=pm.astype(bool))
+    fused = late_interaction_pallas(q, p, pm)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(fused), rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------- #
+# model + engine
+# ---------------------------------------------------------------------- #
+@pytest.fixture(scope="module")
+def p2s_params():
+    return p2s.init_p2s_params(jax.random.PRNGKey(0), TINY_P2S)
+
+
+def test_vision_encode_and_generate(p2s_params):
+    patches = jnp.asarray(np.random.RandomState(0).rand(2, 24, 770).astype(np.float32))
+    mask = jnp.ones((2, 24))
+    h = p2s.vision_encode(p2s_params, TINY_P2S, patches, mask)
+    assert h.shape == (2, 24, 32)
+    tokens, conf = p2s.generate(p2s_params, TINY_P2S, patches, mask, max_new_tokens=4)
+    assert tokens.shape == (2, 4) and conf.shape == (2,)
+
+
+def test_p2s_train_loss(p2s_params):
+    patches = jnp.asarray(np.random.RandomState(0).rand(2, 24, 770).astype(np.float32))
+    mask = jnp.ones((2, 24))
+    labels = jnp.asarray([[5, 1, -100], [7, 8, 1]], jnp.int32)
+    loss, logits = p2s.forward_train(p2s_params, TINY_P2S, patches, mask, labels)
+    assert np.isfinite(float(loss))
+    assert logits.shape == (2, 3, 300)
+
+
+def test_rag_pix2struct_engine_end_to_end(p2s_params):
+    from rag_docvqa_tpu.data import HashTokenizer
+    from rag_docvqa_tpu.data.contract import RawDocument
+    from rag_docvqa_tpu.engine.rag_pix2struct import P2SRAGConfig, RAGPix2StructEngine
+
+    rng = np.random.RandomState(0)
+    docs = [
+        RawDocument(
+            question="what is here?",
+            words=[[]], boxes=[[]],
+            answers=["x"],
+            images=[rng.randint(0, 255, (200, 160, 3), np.uint8) for _ in range(2)],
+        )
+    ]
+    cfg = P2SRAGConfig(chunk_num=3, include_surroundings=1, image_patch_size=96,
+                       patches_per_chunk=24, max_chunks=16, max_total_patches=64, max_new_tokens=3)
+    eng = RAGPix2StructEngine(cfg, TINY_P2S, p2s_params, HashTokenizer(vocab_size=300))
+    out = eng.inference(docs)
+    assert len(out["pred_answers"]) == 1
+    assert isinstance(out["pred_answer_pages"][0], list)
+    # no-RAG max-confidence fallback
+    ans, conf = eng.no_rag_max_conf(docs[0])
+    assert isinstance(ans, str) and 0 <= conf <= 1 + 1e-6
