@@ -36,7 +36,9 @@ class VT5Config:
     spatial: SpatialConfig = field(default_factory=SpatialConfig)
     vit: ViTConfig = field(default_factory=ViTConfig)
     use_layout_labels: str = "Default"  # "Default" | "Embed" | "Text"
-    n_layout_labels: int = 7  # len(layout_map) + 1 (src/VT5.py:31-34)
+    n_layout_labels: int = 5  # len(layout_map) + 1 (src/VT5.py:31-34)
+    n_layout_classes: int = 12  # LayoutT5 classifier head width (LayoutT5.py:23)
+    layout_loss_weight: float = 1.0  # LayoutT5.py:188
     max_source_length: int = 512
     use_visual: bool = True
 
@@ -59,6 +61,15 @@ def init_vt5_params(rng: jax.Array, cfg: VT5Config) -> Dict[str, Any]:
     if cfg.use_layout_labels == "Embed":
         params["layout_emb"] = normal_init(ks[4], (cfg.n_layout_labels, d), 0.02)
         params["layout_scale"] = jnp.asarray(1.0, jnp.float32)
+    if cfg.use_layout_labels != "Default":
+        # LayoutT5 per-token layout classifier: LayerNorm + Linear
+        # (src/LayoutT5.py:23-24,110-129; xavier init src/VT5.py:58-61)
+        params["layout_head"] = {
+            "ln_w": jnp.ones((d,)),
+            "ln_b": jnp.zeros((d,)),
+            "kernel": normal_init(jax.random.fold_in(rng, 7), (d, cfg.n_layout_classes), (2.0 / (d + cfg.n_layout_classes)) ** 0.5),
+            "bias": jnp.zeros((cfg.n_layout_classes,)),
+        }
     return params
 
 
@@ -117,6 +128,22 @@ def forward_train(
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
     loss = jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
+
+    if "layout_head" in params:
+        # LayoutT5 auxiliary loss: per-token layout CE over encoder text
+        # positions (src/LayoutT5.py:110-129,182-190)
+        from rag_docvqa_tpu.models.layers import layer_norm
+
+        S = gen.input_ids.shape[1]
+        h = params["layout_head"]
+        text_hidden = layer_norm(enc[:, :S, :], h["ln_w"], h["ln_b"], 1e-12)
+        lay_logits = jnp.dot(text_hidden, h["kernel"]) + h["bias"]
+        lay_valid = gen.attention_mask[:, :S]
+        lay_labels = jnp.clip(gen.input_labels[:, :S], 0, cfg.n_layout_classes - 1)
+        lay_logp = jax.nn.log_softmax(lay_logits.astype(jnp.float32), axis=-1)
+        lay_nll = -jnp.take_along_axis(lay_logp, lay_labels[..., None], axis=-1)[..., 0]
+        lay_loss = jnp.sum(lay_nll * lay_valid) / jnp.maximum(jnp.sum(lay_valid), 1)
+        loss = loss + cfg.layout_loss_weight * lay_loss
     return loss, logits
 
 

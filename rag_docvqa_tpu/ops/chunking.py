@@ -25,15 +25,16 @@ from collections import Counter
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
 
-DEFAULT_TEXT_LABEL = 1  # layout map {0: none/sep, 1: text, 2: title, 3: list, 4: table, 5: figure}
+# Framework layout label map — matches both reference detectors' 4-label
+# output space (src/_modules.py:308-313,630-636); label 4 is the out-of-band
+# value used for prompt/EOS/pad tokens (src/VT5.py:136-137).
+DEFAULT_TEXT_LABEL = 1
 
 LAYOUT_LABEL_MAP: Dict[int, str] = {
-    0: "none",
+    0: "title",
     1: "text",
-    2: "title",
-    3: "list",
-    4: "table",
-    5: "figure",
+    2: "figure",
+    3: "table",
 }
 
 

@@ -1,0 +1,178 @@
+"""Contrastive retriever fine-tuning (reference train_CL_embs.py +
+generate_CL_trainset.py).
+
+  * Positive mining: run AnyConf inference, keep retrieved chunks whose
+    per-chunk answer reaches ANLS > 0.8 as (question, chunk) pairs
+    (generate_CL_trainset.py:61-72). Pairs persist as JSONL (replacing the
+    reference's sqlite).
+  * Losses: MultipleNegativesRankingLoss == in-batch InfoNCE over cosine
+    similarities at scale 20 (sentence-transformers default), and the
+    CLIP-style symmetric variant (train_CL_embs.py:15-40, temperature 0.07).
+  * Training: jitted step over the BGE bi-encoder or the VT5 shared-table
+    embedder.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, Iterable, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from rag_docvqa_tpu.metrics import Evaluator
+
+
+# --------------------------------------------------------------------------- #
+# losses
+# --------------------------------------------------------------------------- #
+def _cosine_matrix(a: jax.Array, b: jax.Array) -> jax.Array:
+    a = a / (jnp.linalg.norm(a, axis=-1, keepdims=True) + 1e-12)
+    b = b / (jnp.linalg.norm(b, axis=-1, keepdims=True) + 1e-12)
+    return a @ b.T
+
+
+def multiple_negatives_ranking_loss(
+    anchors: jax.Array,  # (B, D) question embeddings
+    positives: jax.Array,  # (B, D) chunk embeddings
+    scale: float = 20.0,
+) -> jax.Array:
+    """In-batch InfoNCE: other rows' positives are negatives."""
+    logits = _cosine_matrix(anchors, positives) * scale
+    labels = jnp.arange(logits.shape[0])
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+
+
+def clip_style_loss(
+    anchors: jax.Array,
+    positives: jax.Array,
+    temperature: float = 0.07,
+) -> jax.Array:
+    """Symmetric InfoNCE (train_CL_embs.py:15-40)."""
+    logits = _cosine_matrix(anchors, positives) / temperature
+    labels = jnp.arange(logits.shape[0])
+    la = -jnp.mean(jnp.take_along_axis(jax.nn.log_softmax(logits, -1), labels[:, None], -1))
+    lb = -jnp.mean(jnp.take_along_axis(jax.nn.log_softmax(logits.T, -1), labels[:, None], -1))
+    return (la + lb) / 2
+
+
+# --------------------------------------------------------------------------- #
+# positive mining
+# --------------------------------------------------------------------------- #
+def mine_positive_pairs(
+    engine,
+    docs: Sequence,
+    ingestor,
+    anls_threshold: float = 0.8,
+    batch_size: int = 8,
+) -> List[Tuple[str, str]]:
+    """AnyConf inference -> (question, chunk) pairs where the chunk's own
+    answer scores ANLS > threshold."""
+    ev = Evaluator()
+    pairs: List[Tuple[str, str]] = []
+    for start in range(0, len(docs), batch_size):
+        chunk_docs = list(docs[start : start + batch_size])
+        batch, aux = ingestor.ingest(chunk_docs)
+        out = engine.inference(batch, aux)
+        texts = out["retrieval"].get("text", [])
+        for b, doc in enumerate(chunk_docs):
+            preds = out["pred_answers"][b]
+            if preds is None or not isinstance(preds, list) or b >= len(texts):
+                continue
+            for chunk_text, pred in zip(texts[b], preds):
+                anls = ev.get_metrics([doc.answers], [pred])["anls"][0]
+                if anls > anls_threshold:
+                    pairs.append((doc.question, chunk_text))
+    return pairs
+
+
+def save_pairs(path: str, pairs: Iterable[Tuple[str, str]]) -> None:
+    with open(path, "w") as f:
+        for anchor, positive in pairs:
+            f.write(json.dumps({"anchor": anchor, "positive": positive}) + "\n")
+
+
+def load_pairs(path: str) -> List[Tuple[str, str]]:
+    out = []
+    with open(path) as f:
+        for line in f:
+            d = json.loads(line)
+            out.append((d["anchor"], d["positive"]))
+    return out
+
+
+# --------------------------------------------------------------------------- #
+# trainer
+# --------------------------------------------------------------------------- #
+@dataclass
+class ContrastiveConfig:
+    lr: float = 2e-5
+    epochs: int = 15
+    batch_size: int = 32  # reference uses 200 on A40s
+    loss: str = "mnrl"  # "mnrl" | "clip"
+    scale: float = 20.0
+    temperature: float = 0.07
+    max_tokens: int = 64
+    seed: int = 0
+
+
+def train_contrastive(
+    embed_fn: Callable[[Any, jax.Array, jax.Array], jax.Array],
+    params: Any,
+    tokenizer,
+    pairs: Sequence[Tuple[str, str]],
+    cfg: ContrastiveConfig,
+) -> Tuple[Any, List[float]]:
+    """Fine-tune an embedder on (anchor, positive) pairs.
+
+    embed_fn(params, tokens (B, T), mask (B, T)) -> (B, D).
+    Returns (trained params, per-epoch losses)."""
+    rng = np.random.RandomState(cfg.seed)
+    T = cfg.max_tokens
+
+    def encode(texts: List[str]) -> Tuple[np.ndarray, np.ndarray]:
+        ids = np.zeros((len(texts), T), np.int32)
+        mask = np.zeros((len(texts), T), bool)
+        for i, t in enumerate(texts):
+            tok = tokenizer.encode(t)[:T]
+            ids[i, : len(tok)] = tok
+            mask[i, : len(tok)] = True
+        return ids, mask
+
+    tx = optax.adamw(cfg.lr)
+    opt_state = tx.init(params)
+    loss_fn_inner = multiple_negatives_ranking_loss if cfg.loss == "mnrl" else clip_style_loss
+    kw = {"scale": cfg.scale} if cfg.loss == "mnrl" else {"temperature": cfg.temperature}
+
+    @jax.jit
+    def step(params, opt_state, a_ids, a_mask, p_ids, p_mask):
+        def loss_fn(p):
+            a = embed_fn(p, a_ids, a_mask)
+            b = embed_fn(p, p_ids, p_mask)
+            return loss_fn_inner(a, b, **kw)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses: List[float] = []
+    order = np.arange(len(pairs))
+    for _ in range(cfg.epochs):
+        rng.shuffle(order)
+        epoch_losses = []
+        for s in range(0, len(order) - cfg.batch_size + 1, cfg.batch_size):
+            idx = order[s : s + cfg.batch_size]
+            a_ids, a_mask = encode([pairs[i][0] for i in idx])
+            p_ids, p_mask = encode([pairs[i][1] for i in idx])
+            params, opt_state, loss = step(
+                params, opt_state,
+                jnp.asarray(a_ids), jnp.asarray(a_mask),
+                jnp.asarray(p_ids), jnp.asarray(p_mask),
+            )
+            epoch_losses.append(float(loss))
+        losses.append(float(np.mean(epoch_losses)) if epoch_losses else 0.0)
+    return params, losses
