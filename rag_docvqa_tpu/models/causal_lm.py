@@ -1,0 +1,350 @@
+"""Decoder-only causal LM (Qwen2-family architecture, HF weight compatible).
+
+Backs the framework's Qwen-style generator path (reference
+src/QwenVLInstruct.py wraps Qwen2.5-VL): RoPE, RMSNorm (pre-norm), grouped-
+query attention with QKV biases (Qwen2), SwiGLU MLP, tied or untied lm head.
+Visual inputs enter as projected patch embeddings spliced into the token
+embedding sequence at image-placeholder positions — the same mechanism
+Qwen2.5-VL uses — so retrieved page crops can condition generation without a
+separate cross-attention stack.
+
+Decoding follows ops/decode.py's pattern: explicit KV cache + one lax.scan,
+with the same confidence-product semantics as VT5.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from rag_docvqa_tpu.models.layers import dense, normal_init, rms_norm
+
+
+@dataclass(frozen=True)
+class CausalLMConfig:
+    vocab_size: int = 32000
+    d_model: int = 1024
+    num_layers: int = 12
+    num_heads: int = 16
+    num_kv_heads: int = 4  # GQA
+    d_ff: int = 2816
+    rope_theta: float = 1_000_000.0
+    rms_eps: float = 1e-6
+    qkv_bias: bool = True  # Qwen2 style
+    tie_word_embeddings: bool = True
+    pad_id: int = 0
+    eos_id: int = 1
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.num_heads
+
+
+def init_causal_lm_params(rng: jax.Array, cfg: CausalLMConfig) -> Dict[str, Any]:
+    ks = jax.random.split(rng, 8)
+    d, L, hd = cfg.d_model, cfg.num_layers, cfg.head_dim
+    q_dim = cfg.num_heads * hd
+    kv_dim = cfg.num_kv_heads * hd
+
+    def lin(rng, din, dout, bias):
+        p = {"kernel": normal_init(rng, (L, din, dout), din**-0.5)}
+        if bias:
+            p["bias"] = jnp.zeros((L, dout))
+        return p
+
+    params = {
+        "embed": normal_init(ks[0], (cfg.vocab_size, d), 0.02),
+        "blocks": {
+            "ln0": jnp.ones((L, d)),
+            "q": lin(ks[1], d, q_dim, cfg.qkv_bias),
+            "k": lin(ks[2], d, kv_dim, cfg.qkv_bias),
+            "v": lin(ks[3], d, kv_dim, cfg.qkv_bias),
+            "o": lin(ks[4], q_dim, d, False),
+            "ln1": jnp.ones((L, d)),
+            "gate": lin(ks[5], d, cfg.d_ff, False),
+            "up": lin(ks[6], d, cfg.d_ff, False),
+            "down": lin(ks[7], cfg.d_ff, d, False),
+        },
+        "final_ln": jnp.ones((d,)),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = normal_init(jax.random.fold_in(rng, 9), (d, cfg.vocab_size), d**-0.5)
+    return params
+
+
+# --------------------------------------------------------------------------- #
+# RoPE
+# --------------------------------------------------------------------------- #
+def rope_frequencies(cfg: CausalLMConfig, positions: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """positions (...,) -> (cos, sin) of shape (..., head_dim/2)."""
+    hd = cfg.head_dim
+    inv_freq = 1.0 / (cfg.rope_theta ** (jnp.arange(0, hd, 2) / hd))
+    angles = positions[..., None].astype(jnp.float32) * inv_freq
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x (..., T, H, hd); cos/sin (..., T, hd/2) -> rotated (HF half-split
+    convention: rotate_half)."""
+    hd = x.shape[-1]
+    x1, x2 = x[..., : hd // 2], x[..., hd // 2 :]
+    cos = cos[..., None, :]
+    sin = sin[..., None, :]
+    return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1).astype(x.dtype)
+
+
+def _attend_gqa(q, k, v, mask):
+    """q (B,Tq,H,hd); k/v (B,Tk,Hkv,hd) with GQA head repetition."""
+    B, Tq, H, hd = q.shape
+    Hkv = k.shape[2]
+    rep = H // Hkv
+    k = jnp.repeat(k, rep, axis=2)
+    v = jnp.repeat(v, rep, axis=2)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * (hd**-0.5)
+    s = jnp.where(mask, s, -1e9)
+    p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", p, v)
+    return out.reshape(B, Tq, H * hd)
+
+
+def _proj(x, p):
+    return dense(x, p["kernel"], p.get("bias"))
+
+
+def forward(
+    params: Dict[str, Any],
+    cfg: CausalLMConfig,
+    input_ids: jax.Array,  # (B, T)
+    attention_mask: jax.Array,  # (B, T) bool
+    visual_embeds: Optional[jax.Array] = None,  # (B, T, D): added where visual_mask
+    visual_mask: Optional[jax.Array] = None,  # (B, T) bool placeholder positions
+) -> jax.Array:
+    """Full teacher-forced forward; returns (B, T, V) logits."""
+    B, T = input_ids.shape
+    x = params["embed"][input_ids]
+    if visual_embeds is not None and visual_mask is not None:
+        x = jnp.where(visual_mask[..., None], visual_embeds.astype(x.dtype), x)
+    pos = jnp.arange(T)
+    cos, sin = rope_frequencies(cfg, pos)
+    causal = (pos[None, :] <= pos[:, None])[None, None]
+    mask = causal & attention_mask[:, None, None, :]
+
+    def block(x, layer):
+        h = rms_norm(x, layer["ln0"], cfg.rms_eps)
+        q = apply_rope(_proj(h, layer["q"]).reshape(B, T, cfg.num_heads, -1), cos, sin)
+        k = apply_rope(_proj(h, layer["k"]).reshape(B, T, cfg.num_kv_heads, -1), cos, sin)
+        v = _proj(h, layer["v"]).reshape(B, T, cfg.num_kv_heads, -1)
+        x = x + _proj(_attend_gqa(q, k, v, mask), layer["o"])
+        h = rms_norm(x, layer["ln1"], cfg.rms_eps)
+        x = x + _proj(jax.nn.silu(_proj(h, layer["gate"])) * _proj(h, layer["up"]), layer["down"])
+        return x, None
+
+    x, _ = jax.lax.scan(block, x, params["blocks"])
+    x = rms_norm(x, params["final_ln"], cfg.rms_eps)
+    if cfg.tie_word_embeddings:
+        return jnp.einsum("btd,vd->btv", x, params["embed"].astype(x.dtype))
+    return dense(x, params["lm_head"])
+
+
+def sft_loss(
+    params: Dict[str, Any],
+    cfg: CausalLMConfig,
+    input_ids: jax.Array,  # (B, T) prompt ++ answer
+    attention_mask: jax.Array,
+    labels: jax.Array,  # (B, T) with -100 on prompt/pad (masked-label SFT,
+    visual_embeds: Optional[jax.Array] = None,  # src/QwenVLInstruct.py:165-203)
+    visual_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    logits = forward(params, cfg, input_ids, attention_mask, visual_embeds, visual_mask)
+    # causal shift: token t predicts t+1
+    logits = logits[:, :-1]
+    targets = labels[:, 1:]
+    valid = targets != -100
+    safe = jnp.where(valid, targets, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
+
+
+# --------------------------------------------------------------------------- #
+# cached greedy decode
+# --------------------------------------------------------------------------- #
+@struct.dataclass
+class LMCache:
+    k: jax.Array  # (L, B, Tmax, Hkv, hd)
+    v: jax.Array
+
+
+def prefill(
+    params: Dict[str, Any],
+    cfg: CausalLMConfig,
+    input_ids: jax.Array,  # (B, Tp) prompt
+    attention_mask: jax.Array,  # (B, Tp)
+    max_len: int,
+    visual_embeds: Optional[jax.Array] = None,
+    visual_mask: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, LMCache]:
+    """Run the prompt, fill the KV cache; returns (last logits (B, V), cache)."""
+    B, Tp = input_ids.shape
+    x = params["embed"][input_ids]
+    if visual_embeds is not None and visual_mask is not None:
+        x = jnp.where(visual_mask[..., None], visual_embeds.astype(x.dtype), x)
+    pos = jnp.arange(Tp)
+    cos, sin = rope_frequencies(cfg, pos)
+    causal = (pos[None, :] <= pos[:, None])[None, None]
+    mask = causal & attention_mask[:, None, None, :]
+    hd = cfg.head_dim
+
+    def block(x, layer):
+        h = rms_norm(x, layer["ln0"], cfg.rms_eps)
+        q = apply_rope(_proj(h, layer["q"]).reshape(B, Tp, cfg.num_heads, hd), cos, sin)
+        k = apply_rope(_proj(h, layer["k"]).reshape(B, Tp, cfg.num_kv_heads, hd), cos, sin)
+        v = _proj(h, layer["v"]).reshape(B, Tp, cfg.num_kv_heads, hd)
+        x = x + _proj(_attend_gqa(q, k, v, mask), layer["o"])
+        h = rms_norm(x, layer["ln1"], cfg.rms_eps)
+        x = x + _proj(jax.nn.silu(_proj(h, layer["gate"])) * _proj(h, layer["up"]), layer["down"])
+        kc = jnp.pad(k, ((0, 0), (0, max_len - Tp), (0, 0), (0, 0)))
+        vc = jnp.pad(v, ((0, 0), (0, max_len - Tp), (0, 0), (0, 0)))
+        return x, (kc, vc)
+
+    x, (kc, vc) = jax.lax.scan(block, x, params["blocks"])
+    x = rms_norm(x, params["final_ln"], cfg.rms_eps)
+    last = x[jnp.arange(B), jnp.sum(attention_mask, axis=1) - 1]
+    logits = (
+        last @ params["embed"].T.astype(last.dtype)
+        if cfg.tie_word_embeddings
+        else dense(last, params["lm_head"])
+    )
+    return logits, LMCache(k=kc, v=vc)
+
+
+def decode_step(
+    params: Dict[str, Any],
+    cfg: CausalLMConfig,
+    cache: LMCache,
+    token: jax.Array,  # (B,)
+    step: jax.Array,  # () absolute position of `token`
+    attn_len_mask: jax.Array,  # (B, Tmax) valid cache positions incl. this one
+) -> Tuple[jax.Array, LMCache]:
+    B = token.shape[0]
+    Tmax = cache.k.shape[2]
+    hd = cfg.head_dim
+    x = params["embed"][token][:, None]
+    cos, sin = rope_frequencies(cfg, step[None])
+
+    def block(x, layer_cache):
+        layer, (kc, vc) = layer_cache
+        h = rms_norm(x, layer["ln0"], cfg.rms_eps)
+        q = apply_rope(_proj(h, layer["q"]).reshape(B, 1, cfg.num_heads, hd), cos, sin)
+        k_new = apply_rope(_proj(h, layer["k"]).reshape(B, 1, cfg.num_kv_heads, hd), cos, sin)
+        v_new = _proj(h, layer["v"]).reshape(B, 1, cfg.num_kv_heads, hd)
+        kc = jax.lax.dynamic_update_slice(kc, k_new, (0, step, 0, 0))
+        vc = jax.lax.dynamic_update_slice(vc, v_new, (0, step, 0, 0))
+        mask = attn_len_mask[:, None, None, :]
+        x = x + _proj(_attend_gqa(q, kc, vc, mask), layer["o"])
+        h = rms_norm(x, layer["ln1"], cfg.rms_eps)
+        x = x + _proj(jax.nn.silu(_proj(h, layer["gate"])) * _proj(h, layer["up"]), layer["down"])
+        return x, (kc, vc)
+
+    x, (kc, vc) = jax.lax.scan(block, x, (params["blocks"], (cache.k, cache.v)))
+    x = rms_norm(x, params["final_ln"], cfg.rms_eps)[:, 0]
+    logits = (
+        x @ params["embed"].T.astype(x.dtype)
+        if cfg.tie_word_embeddings
+        else dense(x, params["lm_head"])
+    )
+    return logits, LMCache(k=kc, v=vc)
+
+
+def generate(
+    params: Dict[str, Any],
+    cfg: CausalLMConfig,
+    input_ids: jax.Array,  # (B, Tp) right-aligned or left-padded prompt
+    attention_mask: jax.Array,
+    max_new_tokens: int = 16,  # reference uses 16 (QwenVLInstruct.py:234-264)
+    visual_embeds: Optional[jax.Array] = None,
+    visual_mask: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Greedy decode; returns (tokens (B, T_new), confidence (B,))."""
+    B, Tp = input_ids.shape
+    max_len = Tp + max_new_tokens
+    logits0, cache = prefill(params, cfg, input_ids, attention_mask, max_len, visual_embeds, visual_mask)
+    prompt_len = jnp.sum(attention_mask, axis=1)  # (B,)
+
+    tok0 = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+    conf0 = jnp.max(jax.nn.softmax(logits0.astype(jnp.float32), -1), -1)
+    done0 = tok0 == cfg.eos_id
+
+    def step(carry, t):
+        token, cache, done, conf = carry
+        # assumes equal prompt lengths per batch row (pad answers right);
+        # cache position for generated token i is Tp + i
+        pos = jnp.int32(Tp) + t
+        k_pos = jnp.arange(max_len)[None, :]
+        mask = (k_pos < prompt_len[:, None]) | ((k_pos >= Tp) & (k_pos <= pos))
+        logits, cache = decode_step(params, cfg, cache, token, pos, mask)
+        next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        max_prob = jnp.max(jax.nn.softmax(logits.astype(jnp.float32), -1), -1)
+        emitted = jnp.where(done, cfg.pad_id, next_tok)
+        contrib = jnp.where(done | (t >= max_new_tokens - 2), 1.0, max_prob)
+        conf = conf * contrib
+        done = done | (emitted == cfg.eos_id)
+        return (emitted, cache, done, conf), emitted
+
+    first = jnp.where(done0, cfg.pad_id, tok0)
+    (_, _, _, conf), tokens = jax.lax.scan(
+        step, (first, cache, done0, conf0), jnp.arange(max_new_tokens - 1)
+    )
+    tokens = jnp.concatenate([first[:, None], jnp.transpose(tokens, (1, 0))], axis=1)
+    return tokens, conf
+
+
+# --------------------------------------------------------------------------- #
+# HF conversion (Qwen2ForCausalLM)
+# --------------------------------------------------------------------------- #
+def convert_qwen2_state_dict(sd: Dict[str, Any], cfg: CausalLMConfig) -> Dict[str, Any]:
+    import numpy as np
+
+    L = cfg.num_layers
+    p = "model.layers.{}."
+
+    def t(name):
+        return np.ascontiguousarray(np.asarray(sd[name]).T)
+
+    def a(name):
+        return np.asarray(sd[name])
+
+    def stack(fmt, transpose=True):
+        mats = [np.asarray(sd[fmt.format(i)]) for i in range(L)]
+        if transpose:
+            mats = [np.ascontiguousarray(m.T) for m in mats]
+        return np.stack(mats)
+
+    def lin(base, bias):
+        out = {"kernel": stack(base + ".weight")}
+        if bias:
+            out["bias"] = stack(base + ".bias", transpose=False)
+        return out
+
+    params = {
+        "embed": a("model.embed_tokens.weight"),
+        "blocks": {
+            "ln0": stack(p + "input_layernorm.weight", False),
+            "q": lin(p + "self_attn.q_proj", cfg.qkv_bias),
+            "k": lin(p + "self_attn.k_proj", cfg.qkv_bias),
+            "v": lin(p + "self_attn.v_proj", cfg.qkv_bias),
+            "o": lin(p + "self_attn.o_proj", False),
+            "ln1": stack(p + "post_attention_layernorm.weight", False),
+            "gate": lin(p + "mlp.gate_proj", False),
+            "up": lin(p + "mlp.up_proj", False),
+            "down": lin(p + "mlp.down_proj", False),
+        },
+        "final_ln": a("model.norm.weight"),
+    }
+    if not cfg.tie_word_embeddings and "lm_head.weight" in sd:
+        params["lm_head"] = t("lm_head.weight")
+    return params
