@@ -19,8 +19,9 @@ import numpy as np
 def levenshtein(s1: str, s2: str) -> int:
     """Levenshtein edit distance.
 
-    Matches editdistance.eval / src/eval/eval_score.py:5-19. Vectorized DP:
-    O(len(s1)) numpy rows of length len(s2)+1.
+    Matches editdistance.eval / src/eval/eval_score.py:5-19. Uses the native
+    C++ kernel (rag_docvqa_tpu/native.py) when available, else a vectorized
+    numpy DP.
     """
     if s1 == s2:
         return 0
@@ -28,6 +29,12 @@ def levenshtein(s1: str, s2: str) -> int:
         s1, s2 = s2, s1
     if not s2:
         return len(s1)
+
+    from rag_docvqa_tpu import native
+
+    d = native.levenshtein(s1, s2)
+    if d is not None:
+        return d
 
     b = np.frombuffer(s2.encode("utf-32-le"), dtype=np.uint32)
     prev = np.arange(len(b) + 1, dtype=np.int64)
@@ -58,6 +65,16 @@ def anls(gt: str, pred: str, threshold: float = 0.5) -> float:
 def _cached_similarity(a: str, b: str) -> float:
     a = a.lower()
     b = b.lower()
+
+    # native sliding-window matcher; skip when difflib's autojunk heuristic
+    # would kick in (windows >= 200 chars) to preserve exact parity
+    if 0 < len(b) < 200:
+        from rag_docvqa_tpu import native
+
+        ratio = native.best_substring_ratio(a, b)
+        if ratio is not None:
+            return math.log(ratio + 1.0) / math.log(2.0)
+
     best_score = 0.0
     len_b = len(b)
     matcher = difflib.SequenceMatcher(None, b)
