@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Offline precompute: corpus chunk-embedding index build + query.
+
+TPU-native counterpart of the reference's precompute_layouts.py (offline
+per-GPU mp.spawn scatter, precompute_layouts.py:90-161) generalized to the
+BASELINE.json north star: shard documents across chips, embed every chunk,
+and keep an HBM-resident sharded index that answers global top-k queries with
+one small all-gather (parallel/index.py).
+
+    # build an index over a dataset (synthetic corpus needs no data files)
+    python precompute.py index -m configs/VT5_tiny.yml -d configs/Synthetic.yml \
+        --out /tmp/corpus_index.npz --platform cpu
+
+    # query it
+    python precompute.py query --index /tmp/corpus_index.npz \
+        -m configs/VT5_tiny.yml --platform cpu -q "what is the total?" --k 5
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def cmd_index(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from train import build_docs, parse_overrides
+
+    from rag_docvqa_tpu.config import build_caps, build_chunk_spec, build_vt5_config, load_config
+    from rag_docvqa_tpu.data import DocVQAIngestor, load_tokenizer
+    from rag_docvqa_tpu.models import vt5 as vt5m
+    from rag_docvqa_tpu.models.embedder import vt5_table_embed
+
+    config = load_config(model=args.model, dataset=args.dataset, overrides=parse_overrides(args.overrides))
+    tokenizer = load_tokenizer(config.get("tokenizer"))
+    vt5_cfg = build_vt5_config(config, tokenizer.vocab_size)
+    ingestor = DocVQAIngestor(tokenizer, build_chunk_spec(config), build_caps(config))
+    params = vt5m.init_vt5_params(jax.random.PRNGKey(config["seed"]), vt5_cfg)
+    shared = params["t5"]["shared"]
+
+    docs = build_docs(config, args.split)
+    embed = jax.jit(lambda t, m: vt5_table_embed(shared, t, m))
+
+    all_emb, meta = [], []
+    t0 = time.time()
+    bs = config.get("batch_size", 8)
+    for start in range(0, len(docs), bs):
+        chunk_docs = docs[start : start + bs]
+        batch, aux = ingestor.ingest(chunk_docs)
+        emb = np.asarray(embed(jnp.asarray(batch.chunk_emb_tokens), jnp.asarray(batch.chunk_emb_mask)))
+        mask = np.asarray(batch.chunk_mask)
+        pages = np.asarray(batch.chunk_page)
+        for b, doc in enumerate(chunk_docs):
+            for c in np.where(mask[b])[0]:
+                all_emb.append(emb[b, c])
+                meta.append(
+                    {
+                        "question_id": doc.question_id,
+                        "doc_idx": start + b,
+                        "page": int(pages[b, c]),
+                        "text": aux["chunk_texts"][b][c] if c < len(aux["chunk_texts"][b]) else "",
+                    }
+                )
+    embeddings = np.stack(all_emb) if all_emb else np.zeros((0, vt5_cfg.t5.d_model), np.float32)
+    build_time = time.time() - t0
+    np.savez_compressed(args.out, embeddings=embeddings, meta=json.dumps(meta))
+    print(
+        json.dumps(
+            {
+                "n_chunks": len(embeddings),
+                "n_docs": len(docs),
+                "dim": int(embeddings.shape[1]),
+                "build_time_s": round(build_time, 2),
+                "chunks_per_sec": round(len(embeddings) / max(build_time, 1e-9), 1),
+                "out": args.out,
+            }
+        )
+    )
+
+
+def cmd_query(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from train import parse_overrides
+
+    from rag_docvqa_tpu.config import build_vt5_config, load_config
+    from rag_docvqa_tpu.data import load_tokenizer
+    from rag_docvqa_tpu.models import vt5 as vt5m
+    from rag_docvqa_tpu.models.embedder import vt5_table_embed
+    from rag_docvqa_tpu.parallel import ShardedIndex, create_mesh
+
+    data = np.load(args.index, allow_pickle=True)
+    embeddings = data["embeddings"]
+    meta = json.loads(str(data["meta"]))
+
+    config = load_config(model=args.model, overrides=parse_overrides(args.overrides))
+    tokenizer = load_tokenizer(config.get("tokenizer"))
+    vt5_cfg = build_vt5_config(config, tokenizer.vocab_size)
+    params = vt5m.init_vt5_params(jax.random.PRNGKey(config["seed"]), vt5_cfg)
+
+    mesh = create_mesh((len(jax.devices()), 1), ("data", "model"))
+    index = ShardedIndex.build(jnp.asarray(embeddings), mesh, tile_n=args.tile_n,
+                               use_pallas=jax.default_backend() == "tpu")
+
+    ids = tokenizer.encode(args.question)[:64]
+    q = np.zeros((1, 64), np.int32)
+    m = np.zeros((1, 64), bool)
+    q[0, : len(ids)] = ids
+    m[0, : len(ids)] = True
+    q_emb = vt5_table_embed(params["t5"]["shared"], jnp.asarray(q), jnp.asarray(m))
+    vals, idx, valid = index.query(q_emb, args.k)
+    vals, idx, valid = np.asarray(vals)[0], np.asarray(idx)[0], np.asarray(valid)[0]
+    for rank, (v, i, ok) in enumerate(zip(vals, idx, valid)):
+        if not ok:
+            break
+        info = meta[int(i)]
+        print(json.dumps({"rank": rank, "score": round(float(v), 4), **info}))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="offline index precompute / query")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_index = sub.add_parser("index")
+    p_index.add_argument("-m", "--model", required=True)
+    p_index.add_argument("-d", "--dataset", required=True)
+    p_index.add_argument("--split", default="val")
+    p_index.add_argument("--out", required=True)
+    p_index.add_argument("overrides", nargs="*")
+
+    p_query = sub.add_parser("query")
+    p_query.add_argument("--index", required=True)
+    p_query.add_argument("-m", "--model", required=True)
+    p_query.add_argument("-q", "--question", required=True)
+    p_query.add_argument("--k", type=int, default=5)
+    p_query.add_argument("--tile-n", type=int, default=512)
+    p_query.add_argument("overrides", nargs="*")
+
+    for p in (p_index, p_query):
+        p.add_argument("--platform", choices=("default", "cpu", "tpu"), default="default")
+
+    args = parser.parse_args(argv)
+    import jax
+
+    if args.platform != "default":
+        jax.config.update("jax_platforms", args.platform)
+    if args.cmd == "index":
+        cmd_index(args)
+    else:
+        cmd_query(args)
+
+
+if __name__ == "__main__":
+    main()
