@@ -65,16 +65,18 @@ def main():
     tok_mask = jnp.asarray(rng.rand(N_CHUNKS, CHUNK_TOKENS) < 0.9)
     q_tokens = jnp.asarray(rng.randint(3, VOCAB, size=(N_QUERIES, QUERY_TOKENS)), jnp.int32)
     q_mask = jnp.ones((N_QUERIES, QUERY_TOKENS), bool)
-    shared = jnp.asarray(rng.randn(VOCAB, D_MODEL).astype(np.float32))
+    # bf16 table + index: halves HBM traffic on the gather-bound embed stage;
+    # scores accumulate in f32 inside the kernel (MXU-native mixed precision)
+    shared = jnp.asarray(rng.randn(VOCAB, D_MODEL).astype(np.float32)).astype(jnp.bfloat16)
 
     # ---- TPU-native path -----------------------------------------------------
     n_pad = ((N_CHUNKS + 511) // 512) * 512
 
     @functools.partial(jax.jit, static_argnames=("k",))
     def fused_pipeline(shared, tokens, tok_mask, q_tokens, q_mask, k):
-        index = l2_normalize(mean_pool(shared[tokens], tok_mask))
+        index = l2_normalize(mean_pool(shared[tokens], tok_mask).astype(jnp.float32)).astype(jnp.bfloat16)
         index = jnp.pad(index, ((0, n_pad - N_CHUNKS), (0, 0)))
-        q = mean_pool(shared[q_tokens], q_mask)
+        q = mean_pool(shared[q_tokens], q_mask).astype(jnp.float32)
         vals, idx, valid = cosine_topk_pallas(index, q, jnp.int32(N_CHUNKS), k, tile_n=512)
         return vals
 
