@@ -118,3 +118,32 @@ def make_train_step(
     # NamedSharding(mesh, P("data")); jit then propagates the shardings and
     # GSPMD inserts the collectives (see __graft_entry__.dryrun_multichip).
     return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_hivt5_train_step(
+    hivt5_cfg,
+    tx: optax.GradientTransformation,
+):
+    """Hi-VT5 training step: LM CE + weighted page-retrieval CE
+    (reference train.py:69 adds outputs.ret_loss). Returns
+    step(state, batch, labels) -> (state, metrics)."""
+    from rag_docvqa_tpu.models import hivt5 as hivt5_mod
+
+    def step_fn(state: TrainState, batch: ChunkedBatch, labels: jax.Array):
+        def loss_fn(params):
+            loss, aux = hivt5_mod.forward_train(params, hivt5_cfg, batch, labels)
+            return loss, aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
+        metrics = {
+            "loss": loss,
+            "lm_loss": aux["lm_loss"],
+            "ret_loss": aux["ret_loss"],
+            "grad_norm": optax.global_norm(grads),
+        }
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,))
