@@ -70,6 +70,7 @@ class RAGConfig:
     per_chunk_seq_len: int = 256
     max_new_tokens: int = 100
     embed_backend: str = "VT5"
+    use_visual: bool = False  # feed DiT visual tokens of retrieved patches
 
     def __post_init__(self):
         assert self.page_retrieval in STRATEGIES, self.page_retrieval
@@ -212,7 +213,10 @@ class RAGVT5Engine:
 
         if strategy in ("oracle", "concat"):
             gen, owner = assemble_concat(batch, ret.top_k_idx, ret.top_k_valid, acfg)
-            tokens, conf = generate_device(self.params, self.vt5_cfg, gen, acfg, cfg.max_new_tokens)
+            visual = self._visual(batch, aux, owner, ret, rows="grid")
+            tokens, conf = generate_device(
+                self.params, self.vt5_cfg, gen, acfg, cfg.max_new_tokens, visual=visual
+            )
             answers = self._decode(tokens)
             confs = np.asarray(conf).tolist()
             if self.nac is not None:
@@ -267,6 +271,40 @@ class RAGVT5Engine:
             owner=owner,
             nac_probs=locals().get("nac_probs"),
         )
+
+    # ------------------------------------------------------------------ #
+    def _visual(self, batch, aux, owner, ret, rows: str = "grid"):
+        """Visual tokens of the retrieved patches (src/RAGVT5.py:378: concat
+        mode grid-packs the top-k patch crops into one image per sample and
+        feeds it through DiT). Returns (B, 197, D) features or None when the
+        visual branch is disabled / images are unavailable."""
+        if not (self.cfg.use_visual and self.vt5_cfg.use_visual and "visual" in self.params):
+            return None
+        if aux is None or not aux.get("images") or aux["images"][0] is None:
+            return None
+        from rag_docvqa_tpu.ops.patches import concatenate_patches_grid, crop_box, resize_image
+
+        boxes = np.asarray(group_boxes(batch, owner, ret.top_k_idx.shape[1]))
+        pages = np.asarray(ret.top_k_page)
+        valid = np.asarray(ret.top_k_valid)
+        size = self.vt5_cfg.vit.image_size
+        images = []
+        for b in range(batch.batch_size):
+            page_imgs = aux["images"][b]
+            crops = []
+            for r in range(boxes.shape[1]):
+                if not valid[b, r] or page_imgs is None:
+                    continue
+                img = page_imgs[pages[b, r]]
+                if img is None:
+                    continue
+                crops.append(crop_box(np.asarray(img), boxes[b, r]))
+            grid = concatenate_patches_grid(crops)
+            # DiT feature extractor normalization: (x/255 - 0.5) / 0.5
+            img = resize_image(grid, size, size) / 255.0
+            images.append((img - 0.5) / 0.5)
+        pixels = jnp.asarray(np.stack(images), jnp.float32)
+        return vt5m.visual_features(self.params, self.vt5_cfg, pixels)
 
     # ------------------------------------------------------------------ #
     def _apply_nac(self, gen: GeneratorInputs, answers: List[str], confs: List[float]):

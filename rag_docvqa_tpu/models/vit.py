@@ -27,14 +27,33 @@ class ViTConfig:
     patch_size: int = 16
     image_size: int = 224
     layer_norm_eps: float = 1e-12
+    # BEiT options (the DiT visual backbone is BEiT: k-proj without bias,
+    # per-layer relative position bias, layer-scale residuals; abs-pos
+    # embeddings configurable — HF BeitConfig flags)
+    arch: str = "vit"  # "vit" | "beit"
+    use_abs_pos: bool = True
+    use_rel_pos_bias: bool = False
+    layer_scale_init: float = 0.0  # >0 enables lambda_1/lambda_2
+    # BEiT with use_mean_pooling=True replaces the final LayerNorm with
+    # Identity (HF BeitModel)
+    use_final_layernorm: bool = True
 
     @property
     def num_patches(self) -> int:
         return (self.image_size // self.patch_size) ** 2
 
     @property
+    def grid(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
     def seq_len(self) -> int:
         return self.num_patches + 1  # + CLS
+
+    @property
+    def num_relative_distance(self) -> int:
+        g = self.grid
+        return (2 * g - 1) * (2 * g - 1) + 3
 
 
 def _linear(rng, din, dout):
@@ -52,10 +71,9 @@ def init_vit_params(rng: jax.Array, cfg: ViTConfig) -> Dict[str, Any]:
             "bias": jnp.zeros((L, dout)),
         }
 
-    return {
+    params = {
         "patch_embed": _linear(ks[0], patch_dim, d),
         "cls_token": normal_init(ks[1], (1, 1, d), 0.02),
-        "pos_embed": normal_init(ks[2], (1, cfg.seq_len, d), 0.02),
         "blocks": {
             "ln1_w": jnp.ones((L, d)),
             "ln1_b": jnp.zeros((L, d)),
@@ -71,6 +89,40 @@ def init_vit_params(rng: jax.Array, cfg: ViTConfig) -> Dict[str, Any]:
         "final_ln_w": jnp.ones((d,)),
         "final_ln_b": jnp.zeros((d,)),
     }
+    if cfg.use_abs_pos:
+        params["pos_embed"] = normal_init(ks[2], (1, cfg.seq_len, d), 0.02)
+    if cfg.arch == "beit":
+        del params["blocks"]["k"]["bias"]  # BEiT key projection has no bias
+        if cfg.use_rel_pos_bias:
+            params["blocks"]["rel_bias_table"] = jnp.zeros(
+                (L, cfg.num_relative_distance, cfg.num_heads)
+            )
+        if cfg.layer_scale_init > 0:
+            params["blocks"]["lambda_1"] = jnp.full((L, d), cfg.layer_scale_init)
+            params["blocks"]["lambda_2"] = jnp.full((L, d), cfg.layer_scale_init)
+    return params
+
+
+def beit_relative_position_index(grid: int):
+    """Relative position index incl. CLS specials (HF BeitRelativePositionBias,
+    modeling_beit.py)."""
+    import numpy as np
+
+    num_rel = (2 * grid - 1) * (2 * grid - 1) + 3
+    coords = np.stack(np.meshgrid(np.arange(grid), np.arange(grid), indexing="ij"))
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += grid - 1
+    rel[:, :, 1] += grid - 1
+    rel[:, :, 0] *= 2 * grid - 1
+    n = grid * grid
+    index = np.zeros((n + 1, n + 1), np.int32)
+    index[1:, 1:] = rel.sum(-1)
+    index[0, :] = num_rel - 3
+    index[:, 0] = num_rel - 2
+    index[0, 0] = num_rel - 1
+    return index
 
 
 def extract_patches(pixels: jax.Array, patch: int) -> jax.Array:
@@ -90,24 +142,102 @@ def vit_encode(params: Dict[str, Any], cfg: ViTConfig, pixels: jax.Array) -> jax
     patches = extract_patches(pixels, cfg.patch_size)
     x = dense(patches, params["patch_embed"]["kernel"], params["patch_embed"]["bias"])
     cls = jnp.broadcast_to(params["cls_token"].astype(x.dtype), (B, 1, cfg.hidden_size))
-    x = jnp.concatenate([cls, x], axis=1) + params["pos_embed"].astype(x.dtype)
+    x = jnp.concatenate([cls, x], axis=1)
+    if cfg.use_abs_pos:
+        x = x + params["pos_embed"].astype(x.dtype)
 
     H, dh = cfg.num_heads, cfg.hidden_size // cfg.num_heads
     scale = dh**-0.5
+    rel_index = None
+    if cfg.arch == "beit" and cfg.use_rel_pos_bias:
+        rel_index = jnp.asarray(beit_relative_position_index(cfg.grid))
 
     def block(x, layer):
         h = layer_norm(x, layer["ln1_w"], layer["ln1_b"], cfg.layer_norm_eps)
         q = dense(h, layer["q"]["kernel"], layer["q"]["bias"]).reshape(B, -1, H, dh)
-        k = dense(h, layer["k"]["kernel"], layer["k"]["bias"]).reshape(B, -1, H, dh)
+        k = dense(h, layer["k"]["kernel"], layer["k"].get("bias")).reshape(B, -1, H, dh)
         v = dense(h, layer["v"]["kernel"], layer["v"]["bias"]).reshape(B, -1, H, dh)
         s = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+        if rel_index is not None:
+            bias = layer["rel_bias_table"][rel_index]  # (T, T, H)
+            s = s + jnp.transpose(bias, (2, 0, 1))[None].astype(s.dtype)
         p = jax.nn.softmax(s, axis=-1).astype(x.dtype)
         a = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(B, -1, cfg.hidden_size)
-        x = x + dense(a, layer["o"]["kernel"], layer["o"]["bias"])
+        a = dense(a, layer["o"]["kernel"], layer["o"]["bias"])
+        if "lambda_1" in layer:
+            a = a * layer["lambda_1"].astype(a.dtype)
+        x = x + a
         h = layer_norm(x, layer["ln2_w"], layer["ln2_b"], cfg.layer_norm_eps)
         h = jax.nn.gelu(dense(h, layer["fc1"]["kernel"], layer["fc1"]["bias"]), approximate=False)
-        x = x + dense(h, layer["fc2"]["kernel"], layer["fc2"]["bias"])
+        h = dense(h, layer["fc2"]["kernel"], layer["fc2"]["bias"])
+        if "lambda_2" in layer:
+            h = h * layer["lambda_2"].astype(h.dtype)
+        x = x + h
         return x, None
 
     x, _ = jax.lax.scan(block, x, params["blocks"])
-    return layer_norm(x, params["final_ln_w"], params["final_ln_b"], cfg.layer_norm_eps)
+    if cfg.use_final_layernorm:
+        x = layer_norm(x, params["final_ln_w"], params["final_ln_b"], cfg.layer_norm_eps)
+    return x
+
+
+# --------------------------------------------------------------------------- #
+# HF conversion (ViTModel / BeitModel — the DiT checkpoints are BEiT)
+# --------------------------------------------------------------------------- #
+def convert_vit_state_dict(sd, cfg: ViTConfig):
+    import numpy as np
+
+    L = cfg.num_layers
+    beit = cfg.arch == "beit"
+    lyr = "encoder.layer.{}."
+
+    def t(name):
+        return np.ascontiguousarray(np.asarray(sd[name]).T)
+
+    def a(name):
+        return np.asarray(sd[name])
+
+    def stack(fmt, transpose=True):
+        mats = [np.asarray(sd[fmt.format(i)]) for i in range(L)]
+        if transpose:
+            mats = [np.ascontiguousarray(m.T) for m in mats]
+        return np.stack(mats)
+
+    # conv patch kernel (D, 3, ph, pw) -> flattened (ph*pw*3, D) matching
+    # extract_patches' (kh, kw, c) order
+    conv = a("embeddings.patch_embeddings.projection.weight")
+    D = conv.shape[0]
+    kernel = conv.transpose(2, 3, 1, 0).reshape(-1, D)
+
+    attn = "attention.attention." if not beit else "attention.attention."
+    params = {
+        "patch_embed": {"kernel": kernel, "bias": a("embeddings.patch_embeddings.projection.bias")},
+        "cls_token": a("embeddings.cls_token"),
+        "blocks": {
+            "ln1_w": stack(lyr + "layernorm_before.weight", False),
+            "ln1_b": stack(lyr + "layernorm_before.bias", False),
+            "q": {"kernel": stack(lyr + attn + "query.weight"), "bias": stack(lyr + attn + "query.bias", False)},
+            "k": {"kernel": stack(lyr + attn + "key.weight")},
+            "v": {"kernel": stack(lyr + attn + "value.weight"), "bias": stack(lyr + attn + "value.bias", False)},
+            "o": {"kernel": stack(lyr + "attention.output.dense.weight"), "bias": stack(lyr + "attention.output.dense.bias", False)},
+            "ln2_w": stack(lyr + "layernorm_after.weight", False),
+            "ln2_b": stack(lyr + "layernorm_after.bias", False),
+            "fc1": {"kernel": stack(lyr + "intermediate.dense.weight"), "bias": stack(lyr + "intermediate.dense.bias", False)},
+            "fc2": {"kernel": stack(lyr + "output.dense.weight"), "bias": stack(lyr + "output.dense.bias", False)},
+        },
+        # BEiT with use_mean_pooling=True has an Identity final layernorm
+        "final_ln_w": a("layernorm.weight") if "layernorm.weight" in sd else np.ones((D,), np.float32),
+        "final_ln_b": a("layernorm.bias") if "layernorm.bias" in sd else np.zeros((D,), np.float32),
+    }
+    if not beit:
+        params["blocks"]["k"]["bias"] = stack(lyr + attn + "key.bias", False)
+    if cfg.use_abs_pos and "embeddings.position_embeddings" in sd:
+        params["pos_embed"] = a("embeddings.position_embeddings")
+    if beit and cfg.use_rel_pos_bias:
+        params["blocks"]["rel_bias_table"] = stack(
+            lyr + "attention.attention.relative_position_bias.relative_position_bias_table", False
+        )
+    if beit and cfg.layer_scale_init > 0:
+        params["blocks"]["lambda_1"] = stack(lyr + "lambda_1", False)
+        params["blocks"]["lambda_2"] = stack(lyr + "lambda_2", False)
+    return params

@@ -199,6 +199,60 @@ def render_text(text: str, width: int = 448, font_size: int = 20) -> np.ndarray:
         return img
 
 
+def concatenate_patches_grid(
+    patches: Sequence[np.ndarray],
+    mode: str = "grid",
+) -> np.ndarray:
+    """Pack image patches into one canvas (src/utils.py:180-231).
+
+    grid = strip packing: sort by height desc, estimate canvas from total
+    area, place left-to-right wrapping into rows. horizontal/vertical modes
+    concatenate directly. Empty input -> 5x5 blank (reference behavior)."""
+    patches = [np.asarray(p) for p in patches if p is not None and p.size]
+    if not patches:
+        return np.zeros((5, 5, 3), np.uint8)
+    if mode == "horizontal":
+        h = max(p.shape[0] for p in patches)
+        cols = [np.pad(p, ((0, h - p.shape[0]), (0, 0), (0, 0))) for p in patches]
+        return np.concatenate(cols, axis=1)
+    if mode == "vertical":
+        w = max(p.shape[1] for p in patches)
+        rows = [np.pad(p, ((0, 0), (0, w - p.shape[1]), (0, 0))) for p in patches]
+        return np.concatenate(rows, axis=0)
+
+    patches = sorted(patches, key=lambda p: p.shape[0], reverse=True)
+    total_area = sum(p.shape[0] * p.shape[1] for p in patches)
+    grid_w = max(p.shape[1] for p in patches)
+    grid_h = max(int(total_area / grid_w), max(p.shape[0] for p in patches))
+    canvas = np.zeros((grid_h, grid_w, 3), patches[0].dtype)
+    x = y = row_h = 0
+    for p in patches:
+        ph, pw = p.shape[:2]
+        if x + pw > grid_w:
+            x, y, row_h = 0, y + row_h, 0
+        y_end, x_end = min(y + ph, grid_h), min(x + pw, grid_w)
+        if y_end > y and x_end > x:
+            canvas[y:y_end, x:x_end] = p[: y_end - y, : x_end - x]
+        x += pw
+        row_h = max(row_h, ph)
+    return canvas
+
+
+def crop_box(image: np.ndarray, box: Sequence[float]) -> np.ndarray:
+    """Crop a normalized box from a page image with the reference's coordinate
+    ordering safeguard (src/_modules.py:2108-2119)."""
+    h, w = image.shape[:2]
+    coords = [box[0] * w, box[1] * h, box[2] * w, box[3] * h]
+    xmin, xmax = sorted((int(coords[0]), int(coords[2])))
+    ymin, ymax = sorted((int(coords[1]), int(coords[3])))
+    return image[max(ymin, 0) : max(ymax, ymin + 1), max(xmin, 0) : max(xmax, xmin + 1)]
+
+
+def resize_image(image: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Bilinear resize to (h, w) for the visual encoder input."""
+    return _resize_bilinear(image.astype(np.float32), h, w)
+
+
 def stack_header(header: np.ndarray, image: np.ndarray) -> np.ndarray:
     """Place a header image above a body image (render_header semantics)."""
     w = max(header.shape[1], image.shape[1])

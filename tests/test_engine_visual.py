@@ -1,0 +1,49 @@
+"""Visual-enabled RAGVT5: DiT tokens from grid-packed retrieved crops."""
+
+import jax
+import numpy as np
+
+from rag_docvqa_tpu.data import DocVQAIngestor, HashTokenizer
+from rag_docvqa_tpu.data.contract import Caps, RawDocument
+from rag_docvqa_tpu.engine import RAGConfig, RAGVT5Engine
+from rag_docvqa_tpu.models import t5 as t5m, vt5 as vt5m
+from rag_docvqa_tpu.models.embeddings import SpatialConfig
+from rag_docvqa_tpu.models.vit import ViTConfig
+from rag_docvqa_tpu.ops.chunking import ChunkSpec
+
+
+def test_concat_with_visual_tokens():
+    tok = HashTokenizer(vocab_size=1024)
+    cfg = vt5m.VT5Config(
+        t5=t5m.T5Config(vocab_size=1024, d_model=16, d_kv=4, num_heads=4, d_ff=32,
+                        num_encoder_layers=1, num_decoder_layers=1, dropout_rate=0.0),
+        spatial=SpatialConfig(hidden_size=16, dropout_rate=0.0),
+        vit=ViTConfig(hidden_size=8, num_layers=1, num_heads=2, mlp_dim=16, patch_size=8, image_size=32),
+        use_visual=True,
+    )
+    params = vt5m.init_vt5_params(jax.random.PRNGKey(0), cfg)
+
+    rng = np.random.RandomState(0)
+    docs = []
+    for d in range(2):
+        words = [[f"d{d}w{i}" for i in range(12)] for _ in range(2)]
+        boxes = [[[i / 12, 0.1, i / 12 + 0.05, 0.2] for i in range(12)] for _ in range(2)]
+        images = [rng.randint(0, 255, (64, 48, 3), np.uint8) for _ in range(2)]
+        docs.append(RawDocument(question=f"what {d}?", words=words, boxes=boxes, images=images))
+
+    ing = DocVQAIngestor(tok, ChunkSpec(chunk_size=6, overlap=1), Caps(max_pages=2, max_chunks=8, max_slots=64))
+    batch, aux = ing.ingest(docs)
+    eng = RAGVT5Engine(
+        RAGConfig(page_retrieval="concat", chunk_num=2, max_new_tokens=2, max_source_length=64, use_visual=True),
+        cfg, params, tok,
+    )
+    out = eng.inference(batch, aux)
+    assert len(out["pred_answers"]) == 2
+
+    # disabling visual changes the generator conditioning path without error
+    eng2 = RAGVT5Engine(
+        RAGConfig(page_retrieval="concat", chunk_num=2, max_new_tokens=2, max_source_length=64, use_visual=False),
+        cfg, params, tok,
+    )
+    out2 = eng2.inference(batch, aux)
+    assert len(out2["pred_answers"]) == 2
