@@ -50,18 +50,33 @@ def late_interaction(
 # --------------------------------------------------------------------------- #
 # Pallas fused kernel
 # --------------------------------------------------------------------------- #
+PATCH_BLOCK = 8  # patches per grid step (sublane-aligned output rows)
+
+
 def _maxsim_kernel(q_ref, p_ref, pm_ref, out_ref):
-    """One patch per grid step: score = sum_q max_t (q . p_t)."""
+    """PATCH_BLOCK patches per grid step: score_n = sum_q max_t (q . p_nt)."""
+    g = pl.program_id(0)
     q = q_ref[:]  # (Tq, D) pre-normalized
-    p = p_ref[0]  # (Tp, D) pre-normalized
-    pm = pm_ref[0]  # (Tp,) float 1/0
+    p = p_ref[:]  # (PB, Tp, D) pre-normalized
+    pm = pm_ref[:]  # (PB, Tp)
+    # batched contraction: sims[n, t, j] = p[n, t, :] . q[j, :]
     sims = jax.lax.dot_general(
-        q, p, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (Tq, Tp)
-    sims = jnp.where(pm[None, :] > 0, sims, -1e30)
-    max_sim = jnp.max(sims, axis=-1)  # (Tq,)
+        p, q, dimension_numbers=(((2,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (PB, Tp, Tq)
+    sims = jnp.where(pm[:, :, None] > 0, sims, -1e30)
+    max_sim = jnp.max(sims, axis=1)  # (PB, Tq)
     max_sim = jnp.where(max_sim > -1e29, max_sim, 0.0)
-    out_ref[0, 0] = jnp.sum(max_sim)
+    out_ref[g, :] = jnp.sum(max_sim, axis=1)
+
+
+def _pad_to(x: jax.Array, axis: int, mult: int) -> jax.Array:
+    size = x.shape[axis]
+    target = ((size + mult - 1) // mult) * mult
+    if target == size:
+        return x
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (0, target - size)
+    return jnp.pad(x, pads)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -81,21 +96,33 @@ def late_interaction_pallas(
         if patch_mask is not None
         else jnp.ones((N, Tp), jnp.float32)
     )
+    # Mosaic tiling: pad N to the patch block, Tp to sublane (8), D to lane
+    # (128); padded tokens/patches are masked out, padded feature dims
+    # contribute zeros.
+    PB = PATCH_BLOCK
+    p = _pad_to(_pad_to(_pad_to(p, 0, PB), 1, 8), 2, 128)
+    pm = _pad_to(_pad_to(pm, 0, PB), 1, 8)
+    q = _pad_to(_pad_to(q, 0, 8), 1, 128)
+    N_p, Tp_p, D_p = p.shape
+    Tq_p = q.shape[0]
+    NB = N_p // PB
+
     out = pl.pallas_call(
         _maxsim_kernel,
-        grid=(N,),
+        grid=(NB,),
         in_specs=[
-            pl.BlockSpec((query.shape[0], D), lambda n: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Tp, D), lambda n: (n, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Tp), lambda n: (n, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tq_p, D_p), lambda n: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((PB, Tp_p, D_p), lambda n: (n, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((PB, Tp_p), lambda n: (n, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1), lambda n: (n, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N, 1), jnp.float32),
+        # full-array output block: each step writes its PB-row slice
+        out_specs=pl.BlockSpec((NB, PB), lambda n: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NB, PB), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * N * query.shape[0] * Tp * D,
-            bytes_accessed=N * Tp * D * 4 + query.shape[0] * D * 4 + N * 4,
+            flops=2 * N_p * Tq_p * Tp_p * D_p,
+            bytes_accessed=N_p * Tp_p * D_p * 4 + Tq_p * D_p * 4 + N_p * 4,
             transcendentals=0,
         ),
         interpret=interpret,
     )(q, p, pm)
-    return out[:, 0]
+    return out.reshape(N_p)[:N]
