@@ -119,6 +119,25 @@ def main():
     base_time_per_doc = (time.perf_counter() - t0) / BASELINE_DOCS
     base_pages_per_sec = PAGES_PER_DOC / base_time_per_doc
 
+    # ---- corpus-scale query throughput (HBM-resident big index) --------------
+    BIG_N = 524_288  # 512k chunks = 262k pages resident in HBM (bf16: 768MB)
+    big_index = jnp.asarray(rng.randn(BIG_N, D_MODEL).astype(np.float32)).astype(jnp.bfloat16)
+    big_index = big_index / jnp.linalg.norm(big_index.astype(jnp.float32), axis=-1, keepdims=True).astype(jnp.bfloat16)
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def big_query(index, q, k):
+        return cosine_topk_pallas(index, q, jnp.int32(BIG_N), k, tile_n=2048)[0]
+
+    qv = mean_pool(shared[q_tokens], q_mask).astype(jnp.float32)
+    _sync(big_query(big_index, qv, TOP_K))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(10):
+        out = big_query(big_index, qv, TOP_K)
+    _sync(out)
+    big_time = (time.perf_counter() - t0) / 10
+    big_qps = N_QUERIES / big_time
+
     print(
         json.dumps(
             {
@@ -135,6 +154,9 @@ def main():
                     "n_chunks": N_CHUNKS,
                     "n_queries": N_QUERIES,
                     "top_k": TOP_K,
+                    "big_index_chunks": BIG_N,
+                    "big_index_query_qps": round(big_qps, 1),
+                    "big_index_query_ms_per_batch": round(big_time * 1e3, 2),
                     "baseline_def": "reference-structure per-doc dispatch loop on same chip, no host syncs",
                 },
             }
