@@ -124,9 +124,12 @@ def main():
     big_index = jnp.asarray(rng.randn(BIG_N, D_MODEL).astype(np.float32)).astype(jnp.bfloat16)
     big_index = big_index / jnp.linalg.norm(big_index.astype(jnp.float32), axis=-1, keepdims=True).astype(jnp.bfloat16)
 
+    from rag_docvqa_tpu.ops.topk import cosine_topk_auto
+
     @functools.partial(jax.jit, static_argnames=("k",))
     def big_query(index, q, k):
-        return cosine_topk_pallas(index, q, jnp.int32(BIG_N), k, tile_n=2048)[0]
+        # auto-select fused-Pallas (small batch) vs XLA (large batch)
+        return cosine_topk_auto(index, q, jnp.int32(BIG_N), k, tile_n=2048)[0]
 
     qv = mean_pool(shared[q_tokens], q_mask).astype(jnp.float32)
     _sync(big_query(big_index, qv, TOP_K))
