@@ -47,6 +47,34 @@ class DocVQAIngestor:
         return out
 
     # ------------------------------------------------------------------ #
+    def ingest_cached(
+        self, docs: List[RawDocument], cache_path: str
+    ) -> Tuple[ChunkedBatch, Dict[str, Any]]:
+        """Disk-cached ingest (the reference's save_to_disk preprocessing
+        cache, DUDE.py:193-213): tokenize-with-boxes alignment is the host
+        ingest hot loop, so batches round-trip through one .npz + json."""
+        import json
+        import os
+
+        if os.path.exists(cache_path):
+            data = np.load(cache_path, allow_pickle=False)
+            arrays = {k: data[k] for k in data.files if k != "__aux__"}
+            with open(cache_path + ".aux.json") as f:
+                aux = json.load(f)
+            aux["images"] = [None] * len(aux["questions"])  # images not cached
+            return ChunkedBatch(**arrays), aux
+
+        import dataclasses
+
+        batch, aux = self.ingest(docs)
+        arrays = {f.name: np.asarray(getattr(batch, f.name)) for f in dataclasses.fields(batch)}
+        np.savez_compressed(cache_path, **arrays)
+        aux_slim = {k: v for k, v in aux.items() if k != "images"}
+        with open(cache_path + ".aux.json", "w") as f:
+            json.dump(aux_slim, f)
+        return batch, aux
+
+    # ------------------------------------------------------------------ #
     def ingest(self, docs: List[RawDocument]) -> Tuple[ChunkedBatch, Dict[str, Any]]:
         """Returns the device batch plus a host-side aux dict (strings, images)."""
         B = len(docs)

@@ -46,7 +46,12 @@ def evaluate(
 
         t0 = time.time()
         out = engine.inference(batch, aux)
-        generation_time += time.time() - t0
+        step_total = time.time() - t0
+        # engines report their own split (retrieval vs generation,
+        # eval.py:332-336); fall back to lumping into generation
+        r = out.get("retrieval", {}) or {}
+        retrieval_time += r.get("retrieval_time", 0.0)
+        generation_time += r.get("generation_time", step_total - r.get("retrieval_time", 0.0))
 
         metrics = evaluator.get_metrics(
             aux["answers"], out["pred_answers"], aux.get("answer_types")

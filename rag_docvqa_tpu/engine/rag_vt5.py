@@ -183,10 +183,13 @@ class RAGVT5Engine:
 
     # ------------------------------------------------------------------ #
     def inference(self, batch: ChunkedBatch, aux: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+        import time as _time
+
         cfg = self.cfg
         strategy = cfg.page_retrieval
         B = batch.batch_size
         acfg = cfg.assemble()
+        _t0 = _time.time()
 
         if strategy == "none":
             pages = jnp.zeros((B, 1), jnp.int32)
@@ -209,6 +212,9 @@ class RAGVT5Engine:
         ret = self.retrieve(batch)
         if self.reranker is not None and strategy != "oracle":
             ret = self.reranker(batch, ret)
+        jax.block_until_ready(ret.top_k_idx)
+        _t_retrieval = _time.time() - _t0
+        _t0 = _time.time()
         K = ret.top_k_idx.shape[1]
 
         if strategy in ("oracle", "concat"):
@@ -261,7 +267,7 @@ class RAGVT5Engine:
             pages_np = np.asarray(ret.top_k_page)
             pages = [pages_np[b][valid_np[b]].tolist() for b in range(B)]
 
-        return self._result(
+        result = self._result(
             answers=answers,
             confidences=confs,
             pred_answer_pages=pages,
@@ -271,6 +277,10 @@ class RAGVT5Engine:
             owner=owner,
             nac_probs=locals().get("nac_probs"),
         )
+        # timing splits (reference RAGVT5.py:326-356,488-507)
+        result["retrieval"]["retrieval_time"] = _t_retrieval
+        result["retrieval"]["generation_time"] = _time.time() - _t0
+        return result
 
     # ------------------------------------------------------------------ #
     def _visual(self, batch, aux, owner, ret, rows: str = "grid"):

@@ -151,6 +151,42 @@ def eval_score(gt: Any, pred: Any, answer_type: str) -> float:
     return float(min(anls_compute(g, p) for g, p in zip(gt_l, pred_l)))
 
 
+def show_results(samples: List[Dict], show_path: str) -> None:
+    """Breakdown report by page span / evidence source / doc type
+    (eval_score.py:173-217). Accepts lists directly (the reference eval()s
+    stringified lists)."""
+    import ast
+
+    for s in samples:
+        for key in ("evidence_pages", "evidence_sources"):
+            if isinstance(s.get(key), str):
+                s[key] = ast.literal_eval(s[key])
+
+    with open(show_path, "w") as f:
+        acc, f1 = eval_acc_and_f1(samples)
+        f.write(f"Overall Acc: {acc} | Question Number: {len(samples)}\n")
+        f.write(f"Overall F1-score: {f1} | Question Number: {len(samples)}\n")
+        f.write("-----------------------\n")
+        single = [s for s in samples if len(s.get("evidence_pages", [])) == 1]
+        multi = [s for s in samples if len(s.get("evidence_pages", [])) != 1 and s["answer"] != "Not answerable"]
+        neg = [s for s in samples if s["answer"] == "Not answerable"]
+        f.write(f"Single-page | Accuracy: {eval_acc_and_f1(single)[0]} | Question Number: {len(single)}\n")
+        f.write(f"Cross-page | Accuracy: {eval_acc_and_f1(multi)[0]} | Question Number: {len(multi)}\n")
+        f.write(f"Unanswerable | Accuracy: {eval_acc_and_f1(neg)[0]} | Question Number: {len(neg)}\n")
+        f.write("-----------------------\n")
+        by_source: Dict[str, List[Dict]] = {}
+        by_doc: Dict[str, List[Dict]] = {}
+        for s in samples:
+            for src in s.get("evidence_sources", []):
+                by_source.setdefault(src, []).append(s)
+            by_doc.setdefault(s.get("doc_type", "unknown"), []).append(s)
+        for typ, subs in by_source.items():
+            f.write(f"Evidence Sources: {typ} | Accuracy: {eval_acc_and_f1(subs)[0]} | Question Number: {len(subs)}\n")
+        f.write("-----------------------\n")
+        for typ, subs in by_doc.items():
+            f.write(f"Document Type: {typ} | Accuracy: {eval_acc_and_f1(subs)[0]} | Question Number: {len(subs)}\n")
+
+
 def eval_acc_and_f1(samples: List[Dict]) -> Tuple[float, float]:
     """Accuracy + F1 over the answerable split (eval_score.py:157-171)."""
     evaluated = [s for s in samples if "score" in s]
