@@ -91,6 +91,7 @@ class HashTokenizer(BaseTokenizer):
         self.vocab_size = vocab_size
         self.max_pieces = max_pieces
         self._reverse: Dict[tuple, str] = {}
+        self._word_cache: Dict[str, List[int]] = {}
 
     def _n_pieces(self, word: str) -> int:
         # Longer/rarer words get more pieces, like a real subword model.
@@ -102,9 +103,12 @@ class HashTokenizer(BaseTokenizer):
         return self._first_content_id + int.from_bytes(h, "little") % rng
 
     def encode_word(self, word: str) -> List[int]:
-        n = self._n_pieces(word)
-        ids = [self._piece_id(word, i) for i in range(n)]
-        self._reverse[tuple(ids)] = word
+        ids = self._word_cache.get(word)
+        if ids is None:
+            n = self._n_pieces(word)
+            ids = [self._piece_id(word, i) for i in range(n)]
+            self._reverse[tuple(ids)] = word
+            self._word_cache[word] = ids
         return ids
 
     def decode(self, ids: Sequence[int]) -> str:

@@ -109,9 +109,12 @@ def make_train_step(
         (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        gnorm = optax.global_norm(grads)
         new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
-        return new_state, {"loss": loss, "grad_norm": gnorm}
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        # per-module grad norms (reference train.py:23-28,91-98)
+        for name, sub in grads.items():
+            metrics[f"grad_norm/{name}"] = optax.global_norm(sub)
+        return new_state, metrics
 
     # Sharded execution: callers `jax.device_put` params with
     # NamedSharding(mesh, vt5_param_spec(...)) and the batch with

@@ -1,0 +1,46 @@
+"""Int8 quantized index: roundtrip error bounds + top-k agreement with f32."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rag_docvqa_tpu.ops.quant import (
+    build_int8_index,
+    cosine_topk_int8,
+    dequantize_rows,
+    quantize_rows,
+)
+from rag_docvqa_tpu.ops.topk import cosine_topk_xla, l2_normalize
+
+
+def test_quantize_roundtrip_error():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(32, 64).astype(np.float32))
+    q, s = quantize_rows(x)
+    assert q.dtype == jnp.int8
+    err = np.abs(np.asarray(dequantize_rows(q, s)) - np.asarray(x))
+    # symmetric per-row quantization: |err| <= scale/2 per element
+    assert (err <= np.asarray(s) / 2 + 1e-6).all()
+
+
+def test_int8_topk_agrees_with_f32():
+    rng = np.random.RandomState(1)
+    N, D, B, K = 4096, 128, 16, 10
+    emb = jnp.asarray(rng.randn(N, D).astype(np.float32))
+    q = jnp.asarray(rng.randn(B, D).astype(np.float32))
+    iq, iscale = build_int8_index(emb)
+    _, i8, valid8 = cosine_topk_int8(iq, iscale, q, jnp.int32(N), K)
+    _, iff, _ = cosine_topk_xla(l2_normalize(emb), q, K)
+    i8, iff = np.asarray(i8), np.asarray(iff)
+    overlap = np.mean([len(set(i8[b]) & set(iff[b])) / K for b in range(B)])
+    assert overlap >= 0.9, f"top-{K} overlap {overlap}"
+    assert np.asarray(valid8).all()
+
+
+def test_int8_respects_n_valid():
+    rng = np.random.RandomState(2)
+    emb = jnp.asarray(rng.randn(256, 32).astype(np.float32))
+    q = jnp.asarray(rng.randn(2, 32).astype(np.float32))
+    iq, s = build_int8_index(emb)
+    _, idx, valid = cosine_topk_int8(iq, s, q, jnp.int32(100), 8)
+    assert (np.asarray(idx)[np.asarray(valid)] < 100).all()
