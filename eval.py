@@ -73,6 +73,7 @@ def main(argv=None):
             engine, docs, ingestor, Evaluator(),
             batch_size=config.get("batch_size", 8),
             save_path=save_path, save_continuously=config.get("save_continuously", False),
+            compute_stats=config.get("compute_stats", False),
         )
         summary = {k: out[k] for k in ("accuracy", "anls", "retrieval_precision", "chunk_score", "n_samples")}
         summary["page_retrieval"] = rag_cfg.page_retrieval

@@ -28,8 +28,14 @@ def evaluate(
     batch_size: int = 8,
     save_path: Optional[str] = None,
     save_continuously: bool = False,
+    compute_stats: bool = False,
 ) -> Dict[str, Any]:
     evaluator = evaluator or Evaluator()
+    stats = None
+    if compute_stats:
+        from rag_docvqa_tpu.utils_stats import StatsCollector
+
+        stats = StatsCollector(compute_examples=True)
     total_acc: List[float] = []
     total_anls: List[float] = []
     total_ret_prec: List[float] = []
@@ -43,6 +49,11 @@ def evaluate(
         t0 = time.time()
         batch, aux = ingestor.ingest(chunk)
         load_time += time.time() - t0
+        if stats is not None:
+            # chunk distributions, merged across batches (eval.py:359-378)
+            from rag_docvqa_tpu.utils_stats import collect_ingest_stats
+
+            stats.merge(collect_ingest_stats(batch, aux))
 
         t0 = time.time()
         out = engine.inference(batch, aux)
@@ -89,6 +100,9 @@ def evaluate(
                       load_time, retrieval_time, generation_time)
     result["scores_by_samples"] = scores_by_samples
     result["pred_answers"] = all_answers
+    if stats is not None:
+        result["retrieval_stats"] = stats.summary()
+        result["retrieval_stats_examples"] = stats.stats_examples
     if save_path:
         _save(save_path, total_acc, total_anls, total_ret_prec, total_chunk_score,
               scores_by_samples, load_time, retrieval_time, generation_time)
