@@ -187,6 +187,40 @@ def show_results(samples: List[Dict], show_path: str) -> None:
             f.write(f"Document Type: {typ} | Accuracy: {eval_acc_and_f1(subs)[0]} | Question Number: {len(subs)}\n")
 
 
+def extract_answer(
+    question: str,
+    output: str,
+    prompt: str = None,
+    model_name: str = "gpt-4o",
+) -> str:
+    """LLM-judge answer extraction (reference src/eval/extract_answer.py).
+
+    Gated on OPENAI_API_KEY + the openai package; returns the raw output
+    unchanged otherwise (the reference does the same, :24-26)."""
+    import os
+
+    if not os.getenv("OPENAI_API_KEY"):
+        return output
+    try:
+        from openai import OpenAI
+
+        client = OpenAI()
+        system = prompt or "Extract the answer from the model output. Return only the answer, nothing else."
+        response = client.chat.completions.create(
+            model=model_name,
+            messages=[
+                {"role": "system", "content": system},
+                {"role": "user", "content": f"Question: {question}\nModel Output: {output}"},
+            ],
+            temperature=0,
+            max_tokens=100,
+        )
+        return response.choices[0].message.content.strip()
+    except Exception as e:  # degrade to the raw output (reference :52-54)
+        print(f"Error in answer extraction: {e}")
+        return output
+
+
 def eval_acc_and_f1(samples: List[Dict]) -> Tuple[float, float]:
     """Accuracy + F1 over the answerable split (eval_score.py:157-171)."""
     evaluated = [s for s in samples if "score" in s]
