@@ -65,23 +65,33 @@ class Trainer:
         self.cfg = loop_cfg or TrainLoopConfig()
         self.logger = logger
         self.evaluator = Evaluator()
+        self._init_params = params
+        self.tx = None
+        self.state = None
+        self.step_fn = None
+        self.ckpt = CheckpointManager(self.cfg.save_dir) if self.cfg.save_dir else None
 
-        total_steps = max(self.cfg.epochs, 1) * 1000  # refined in fit()
+    def _ensure_optimizer(self, total_steps: int) -> None:
+        """Build the optimizer once the schedule horizon is known (the linear
+        decay runs to the true number of steps, matching
+        get_linear_schedule_with_warmup semantics, build_utils.py:20-24)."""
+        if self.tx is not None:
+            return
         self.tx = build_optimizer(
             lr=self.cfg.lr,
             warmup_steps=self.cfg.warmup_steps,
-            total_steps=total_steps,
+            total_steps=max(total_steps, self.cfg.warmup_steps + 1),
             clip_norm=self.cfg.clip_norm,
             weight_decay=self.cfg.weight_decay,
-            mask=trainable_mask(params, tuple(self.cfg.trainable)),
+            mask=trainable_mask(self._init_params, tuple(self.cfg.trainable)),
         )
-        self.state = TrainState.create(params, self.tx)
-        self.step_fn = make_train_step(vt5_cfg, rag_cfg, self.tx)
-        self.ckpt = CheckpointManager(self.cfg.save_dir) if self.cfg.save_dir else None
+        self.state = TrainState.create(self._init_params, self.tx)
+        self.step_fn = make_train_step(self.vt5_cfg, self.rag_cfg, self.tx)
 
     # ------------------------------------------------------------------ #
     def engine(self) -> RAGVT5Engine:
-        return RAGVT5Engine(self.rag_cfg, self.vt5_cfg, self.state.params, self.tokenizer)
+        params = self.state.params if self.state is not None else self._init_params
+        return RAGVT5Engine(self.rag_cfg, self.vt5_cfg, params, self.tokenizer)
 
     def _evaluate(self, docs: Sequence[RawDocument]) -> Dict[str, Any]:
         return evaluate(
@@ -98,6 +108,8 @@ class Trainer:
         rng = random.Random(cfg.seed)
         history: List[Dict[str, Any]] = []
         best = {"accuracy": -1.0, "epoch": -1}
+        steps_per_epoch = max(len(train_docs) // cfg.batch_size, 1)
+        self._ensure_optimizer(steps_per_epoch * cfg.epochs)
 
         if cfg.eval_start and len(val_docs):
             m = self._evaluate(val_docs)
