@@ -56,11 +56,22 @@ def main(argv=None):
     results = []
     for run_idx, config in enumerate(configs):
         tokenizer = load_tokenizer(config.get("tokenizer"))
-        vt5_cfg = build_vt5_config(config, tokenizer.vocab_size)
         rag_cfg = build_rag_config(config)
         ingestor = DocVQAIngestor(tokenizer, build_chunk_spec(config), build_caps(config))
-        params = vt5m.init_vt5_params(jax.random.PRNGKey(config["seed"]), vt5_cfg)
-        engine = RAGVT5Engine(rag_cfg, vt5_cfg, params, tokenizer)
+        model_name = str(config.get("model_name", "VT5")).lower()
+        if model_name in ("hi-vt5", "hivt5"):
+            from rag_docvqa_tpu.config import build_hivt5_config
+            from rag_docvqa_tpu.models import hivt5 as hivt5m
+
+            params = hivt5m.init_hivt5_params(
+                jax.random.PRNGKey(config["seed"]), build_hivt5_config(config, tokenizer.vocab_size)
+            )
+        else:
+            vt5_cfg = build_vt5_config(config, tokenizer.vocab_size)
+            params = vt5m.init_vt5_params(jax.random.PRNGKey(config["seed"]), vt5_cfg)
+        from rag_docvqa_tpu.config import build_engine
+
+        engine = build_engine(config, params, tokenizer)
         docs = build_docs(config, args.split)
 
         save_path = args.save_path

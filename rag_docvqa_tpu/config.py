@@ -170,6 +170,35 @@ def build_caps(c: Dict[str, Any]) -> Caps:
     )
 
 
+def build_hivt5_config(c: Dict[str, Any], vocab_size: int):
+    from rag_docvqa_tpu.models import hivt5 as hivt5m
+
+    base = build_vt5_config(c, vocab_size)
+    return hivt5m.HiVT5Config(
+        t5=base.t5,
+        spatial=base.spatial,
+        page_tokens=c.get("page_tokens", 10),
+        max_doc_pages=c.get("max_pages", 20) or 20,
+        page_seq_len=c.get("max_text_tokens", c.get("max_source_length", 512)),
+        retrieval_loss_weight=c.get("retrieval_loss_weight", 0.25),
+    )
+
+
+def build_engine(c: Dict[str, Any], params, tokenizer):
+    """Model registry (reference build_model, build_utils.py:26-35)."""
+    name = str(c.get("model_name", "VT5")).lower()
+    if name in ("hi-vt5", "hivt5"):
+        from rag_docvqa_tpu.engine.hivt5_engine import HiVT5Engine
+
+        return HiVT5Engine(
+            build_hivt5_config(c, tokenizer.vocab_size), params, tokenizer,
+            max_new_tokens=c.get("max_new_tokens", 32),
+        )
+    from rag_docvqa_tpu.engine.rag_vt5 import RAGVT5Engine
+
+    return RAGVT5Engine(build_rag_config(c), build_vt5_config(c, tokenizer.vocab_size), params, tokenizer)
+
+
 def _scalar(v):
     if isinstance(v, (list, tuple)):
         return v[0] if v else 0

@@ -31,7 +31,11 @@ from rag_docvqa_tpu.ops.topk import (
 
 @dataclass
 class ShardedIndex:
-    """A pre-normalized (N_pad, D) embedding matrix sharded over `axis`."""
+    """A pre-normalized (N_pad, D) embedding matrix sharded over `axis`.
+
+    dtype options: "f32" / "bf16" (halved HBM) / "int8" (quartered HBM via
+    symmetric per-row quantization, ~98% top-10 agreement — see ops/quant.py).
+    """
 
     embeddings: jax.Array  # (N_pad, D), sharded P(axis, None)
     n_valid: int  # true number of rows
@@ -39,6 +43,7 @@ class ShardedIndex:
     axis: str = "data"
     tile_n: int = 512
     use_pallas: bool = True
+    scales: Optional[jax.Array] = None  # (N_pad, 1) f32, int8 mode only
 
     # ------------------------------------------------------------------ #
     @staticmethod
@@ -48,16 +53,37 @@ class ShardedIndex:
         axis: str = "data",
         tile_n: int = 512,
         use_pallas: bool = True,
+        dtype: str = "f32",  # "f32" | "bf16" | "int8"
     ) -> "ShardedIndex":
         """Normalize once, pad to shard x tile multiples, lay out over the mesh."""
         n, d = embeddings.shape
         n_shards = mesh.shape[axis]
         mult = n_shards * tile_n
         n_pad = ((n + mult - 1) // mult) * mult
+        sharding = NamedSharding(mesh, P(axis, None))
 
-        @functools.partial(jax.jit, out_shardings=NamedSharding(mesh, P(axis, None)))
+        if dtype == "int8":
+            from rag_docvqa_tpu.ops.quant import quantize_rows
+
+            @functools.partial(jax.jit, out_shardings=(sharding, sharding))
+            def _prepare_q(x):
+                q, s = quantize_rows(l2_normalize(x.astype(jnp.float32)))
+                return (
+                    jnp.pad(q, ((0, n_pad - n), (0, 0))),
+                    jnp.pad(s, ((0, n_pad - n), (0, 0))),
+                )
+
+            q, s = _prepare_q(embeddings)
+            return ShardedIndex(
+                embeddings=q, scales=s, n_valid=n, mesh=mesh, axis=axis,
+                tile_n=tile_n, use_pallas=False,
+            )
+
+        out_dtype = jnp.bfloat16 if dtype == "bf16" else jnp.float32
+
+        @functools.partial(jax.jit, out_shardings=sharding)
         def _prepare(x):
-            x = l2_normalize(x.astype(jnp.float32))
+            x = l2_normalize(x.astype(jnp.float32)).astype(out_dtype)
             return jnp.pad(x, ((0, n_pad - n), (0, 0)))
 
         return ShardedIndex(
@@ -76,6 +102,11 @@ class ShardedIndex:
         Returns (values, indices, valid) with indices into the original
         (unpadded) row space, sorted descending, replicated on every device.
         """
+        if self.scales is not None:
+            return _sharded_query_int8(
+                self.embeddings, self.scales, queries,
+                mesh=self.mesh, axis=self.axis, n_valid=self.n_valid, k=k,
+            )
         return _sharded_query(
             self.embeddings,
             queries,
@@ -128,6 +159,36 @@ def _sharded_query(index, queries, *, mesh, axis, n_valid, k, tile_n, use_pallas
         out_specs=(P(), P(), P()),
         check_vma=False,
     )(index, queries)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "axis", "n_valid", "k"))
+def _sharded_query_int8(index_q, scales, queries, *, mesh, axis, n_valid, k):
+    from rag_docvqa_tpu.ops.quant import cosine_topk_int8
+
+    n_shards = mesh.shape[axis]
+    shard_len = index_q.shape[0] // n_shards
+
+    def local(iq, sc, q):
+        sid = jax.lax.axis_index(axis)
+        local_valid = jnp.clip(n_valid - sid * shard_len, 0, shard_len)
+        vals, idx, _ = cosine_topk_int8(iq, sc, q, local_valid, k)
+        gidx = idx + sid * shard_len
+        cand_vals = jax.lax.all_gather(vals, axis)
+        cand_idx = jax.lax.all_gather(gidx, axis)
+        B = q.shape[0]
+        cand_vals = jnp.transpose(cand_vals, (1, 0, 2)).reshape(B, n_shards * k)
+        cand_idx = jnp.transpose(cand_idx, (1, 0, 2)).reshape(B, n_shards * k)
+        out_vals, pos = jax.lax.top_k(cand_vals, k)
+        out_idx = jnp.take_along_axis(cand_idx, pos, axis=-1)
+        return out_vals, out_idx, out_vals > -1e29
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )(index_q, scales, queries)
 
 
 def single_device_query(

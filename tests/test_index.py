@@ -41,6 +41,30 @@ def test_small_index_fewer_rows_than_k(mesh):
     assert set(np.asarray(indices)[0, :3].tolist()) == {0, 1, 2}
 
 
+def test_int8_sharded_index_agrees(mesh):
+    emb = _rand((2000, 64), seed=5)
+    q = _rand((4, 64), seed=6)
+    idx8 = ShardedIndex.build(emb, mesh, tile_n=128, dtype="int8")
+    assert idx8.embeddings.dtype == jnp.int8
+    _, i8, valid8 = idx8.query(q, 10)
+    _, iff, _ = single_device_query(emb, q, 10)
+    i8, iff = np.asarray(i8), np.asarray(iff)
+    overlap = np.mean([len(set(i8[b]) & set(iff[b])) / 10 for b in range(4)])
+    assert overlap >= 0.9, f"int8 sharded top-10 overlap {overlap}"
+    assert np.asarray(valid8).all()
+
+
+def test_bf16_sharded_index(mesh):
+    emb = _rand((1000, 64), seed=7)
+    q = _rand((2, 64), seed=8)
+    idx = ShardedIndex.build(emb, mesh, tile_n=128, dtype="bf16", use_pallas=False)
+    assert idx.embeddings.dtype == jnp.bfloat16
+    _, ib, _ = idx.query(q, 5)
+    _, iff, _ = single_device_query(emb, q, 5)
+    overlap = np.mean([len(set(np.asarray(ib)[b]) & set(np.asarray(iff)[b])) / 5 for b in range(2)])
+    assert overlap >= 0.8
+
+
 def test_index_layout_is_sharded(mesh):
     emb = _rand((4096, 64))
     idx = ShardedIndex.build(emb, mesh, tile_n=128)
