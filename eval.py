@@ -22,6 +22,8 @@ def main(argv=None):
     parser.add_argument("-m", "--model", required=True)
     parser.add_argument("-d", "--dataset", required=True)
     parser.add_argument("--split", default="val")
+    parser.add_argument("--ckpt", default=None, help="Orbax checkpoint dir (from train.py)")
+    parser.add_argument("--hf-weights", default=None, help="local HF checkpoint dir (converted on load)")
     parser.add_argument("--save-path", default=None)
     parser.add_argument("--sweep", action="store_true", help="expand list-valued config keys into a sweep")
     parser.add_argument("--platform", choices=("default", "cpu", "tpu"), default="default",
@@ -29,7 +31,7 @@ def main(argv=None):
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
 
-    from train import build_docs, parse_overrides
+    from train import _default_tokenizer_from_ckpt, build_docs, parse_overrides, resolve_params
 
     import jax
 
@@ -50,11 +52,17 @@ def main(argv=None):
     from rag_docvqa_tpu.metrics import Evaluator
     from rag_docvqa_tpu.models import vt5 as vt5m
 
-    base = load_config(model=args.model, dataset=args.dataset, overrides=parse_overrides(args.overrides))
+    overrides = parse_overrides(args.overrides)
+    if args.ckpt:
+        overrides["ckpt"] = args.ckpt
+    if args.hf_weights:
+        overrides["hf_weights"] = args.hf_weights
+    base = load_config(model=args.model, dataset=args.dataset, overrides=overrides)
     configs = list(expand_sweep(base)) if args.sweep else [base]
 
     results = []
     for run_idx, config in enumerate(configs):
+        _default_tokenizer_from_ckpt(config)
         tokenizer = load_tokenizer(config.get("tokenizer"))
         rag_cfg = build_rag_config(config)
         ingestor = DocVQAIngestor(tokenizer, build_chunk_spec(config), build_caps(config))
@@ -63,12 +71,13 @@ def main(argv=None):
             from rag_docvqa_tpu.config import build_hivt5_config
             from rag_docvqa_tpu.models import hivt5 as hivt5m
 
-            params = hivt5m.init_hivt5_params(
-                jax.random.PRNGKey(config["seed"]), build_hivt5_config(config, tokenizer.vocab_size)
-            )
+            hivt5_cfg = build_hivt5_config(config, tokenizer.vocab_size)
+            params = hivt5m.init_hivt5_params(jax.random.PRNGKey(config["seed"]), hivt5_cfg)
+            params = resolve_params(config, params, hivt5_cfg, hivt5=True)
         else:
             vt5_cfg = build_vt5_config(config, tokenizer.vocab_size)
             params = vt5m.init_vt5_params(jax.random.PRNGKey(config["seed"]), vt5_cfg)
+            params = resolve_params(config, params, vt5_cfg)
         from rag_docvqa_tpu.config import build_engine
 
         engine = build_engine(config, params, tokenizer)

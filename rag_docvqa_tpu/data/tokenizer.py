@@ -163,10 +163,13 @@ class HFTokenizer(BaseTokenizer):
 
 
 def load_tokenizer(spec: Optional[str] = None) -> BaseTokenizer:
-    """Resolve a tokenizer spec: None/'hash' -> HashTokenizer, 'byte' ->
-    ByteTokenizer, anything else is treated as a local HF tokenizer path."""
+    """Resolve a tokenizer spec: None/'hash' -> HashTokenizer ('hash:N' sets
+    the vocab size), 'byte' -> ByteTokenizer, anything else is treated as a
+    local HF tokenizer path."""
     if spec is None or spec == "hash":
         return HashTokenizer()
+    if spec.startswith("hash:"):
+        return HashTokenizer(vocab_size=int(spec.split(":", 1)[1]))
     if spec == "byte":
         return ByteTokenizer()
     return HFTokenizer(spec)

@@ -1,0 +1,268 @@
+"""Golden ENGINE-level parity vs a torch re-assembly of reference RAGVT5.
+
+The oracle below re-implements, independently of the package code, the
+reference retrieve->assemble->generate pipeline for the concat strategy:
+
+  * word chunking with stride + small-tail merge     (src/_modules.py:907-943)
+  * chunk compaction + VT5 table mean-pool embedding (src/_modules.py:1102-1132,
+                                                      1465-1474, _model_utils.py:49-61)
+  * cosine similarity with the reference eps          (src/_modules.py:1990-1993)
+  * torch.topk + surrounding-word expansion w/ dedup  (src/_modules.py:2014-2091)
+  * generator input assembly: prompt ++ word tokens ++ EOS, per-token boxes,
+    truncate-to-512-keeping-EOS                       (src/VT5.py:131-226)
+  * HF T5ForConditionalGeneration greedy generate + confidence product
+                                                      (src/VT5.py:273-290,
+                                                       _model_utils.py:20-24)
+
+Both sides share the same random weights (tiny HF T5 converted via
+models/convert.py + one spatial-embedding tree) and the same tokenizer
+(ByteTokenizer; tokenization is data-layer infrastructure, not under test).
+Asserted identical: top-k chunk indices, generator input token/box sequences,
+decoded ids, and confidence to 1e-4.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rag_docvqa_tpu.data import DocVQAIngestor
+from rag_docvqa_tpu.data.contract import Caps
+from rag_docvqa_tpu.data.synthetic import make_corpus
+from rag_docvqa_tpu.data.tokenizer import ByteTokenizer
+from rag_docvqa_tpu.engine.rag_vt5 import RAGConfig, RAGVT5Engine, retrieve_device
+from rag_docvqa_tpu.models import t5 as t5m
+from rag_docvqa_tpu.models import vt5 as vt5m
+from rag_docvqa_tpu.models.convert import convert_t5_state_dict, torch_state_dict_to_numpy
+from rag_docvqa_tpu.models.embeddings import SpatialConfig, init_spatial_params
+from rag_docvqa_tpu.models.vit import ViTConfig
+from rag_docvqa_tpu.ops.chunking import ChunkSpec
+from rag_docvqa_tpu.ops.gather import assemble_concat
+
+torch = pytest.importorskip("torch")
+
+# ---------------------------------------------------------------------------
+# shared setup
+# ---------------------------------------------------------------------------
+TOK = ByteTokenizer()
+T5_CFG = t5m.T5Config(
+    vocab_size=TOK.vocab_size, d_model=32, d_kv=8, num_heads=4, d_ff=64,
+    num_encoder_layers=2, num_decoder_layers=2, dropout_rate=0.0,
+)
+VT5_CFG = vt5m.VT5Config(
+    t5=T5_CFG,
+    spatial=SpatialConfig(hidden_size=32, dropout_rate=0.0),
+    vit=ViTConfig(hidden_size=16, num_layers=1, num_heads=2, mlp_dim=32, patch_size=8, image_size=16),
+    use_visual=False,
+)
+CAPS = Caps(max_pages=8, max_chunks=32, max_slots=512, tokens_per_word=16,
+            embed_tokens=64, question_tokens=32, prompt_tokens=48)
+SPEC = ChunkSpec(chunk_size=10, overlap=2, chunk_size_tol=0.2)
+RAG = RAGConfig(page_retrieval="concat", chunk_num=3, include_surroundings=2,
+                max_source_length=160, max_new_tokens=8)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    from transformers import T5Config as HFT5Config
+    from transformers import T5ForConditionalGeneration
+
+    hf_cfg = HFT5Config(
+        vocab_size=TOK.vocab_size, d_model=32, d_kv=8, num_heads=4, d_ff=64,
+        num_layers=2, num_decoder_layers=2, dropout_rate=0.0,
+        feed_forward_proj="relu", tie_word_embeddings=True, decoder_start_token_id=0,
+    )
+    torch.manual_seed(0)
+    hf = T5ForConditionalGeneration(hf_cfg).eval()
+    t5_params = convert_t5_state_dict(torch_state_dict_to_numpy(hf), T5_CFG)
+    spatial = jax.tree.map(np.asarray, init_spatial_params(jax.random.PRNGKey(3), VT5_CFG.spatial))
+    params = jax.tree.map(jnp.asarray, {"t5": t5_params, "spatial": spatial})
+
+    docs = make_corpus(3, n_pages=3, words_per_page=30, seed=0)
+    ing = DocVQAIngestor(TOK, SPEC, CAPS)
+    batch, aux = ing.ingest(docs)
+    return hf, params, spatial, docs, batch, aux
+
+
+# ---------------------------------------------------------------------------
+# the torch/numpy oracle (reference pipeline re-assembly)
+# ---------------------------------------------------------------------------
+def oracle_chunks(doc):
+    """Reference make_chunks loop (src/_modules.py:907-943): stride
+    chunk_size-overlap, merge a small tail into the previous chunk of the
+    same page when prev + (this - overlap) <= chunk_size * (1 + tol)."""
+    chunks = []  # (page, [word indices])
+    for p, words in enumerate(doc.words):
+        prev_size = 0
+        first_in_page = True
+        for i in range(0, len(words), SPEC.chunk_size - SPEC.overlap):
+            idx = list(range(i, min(i + SPEC.chunk_size, len(words))))
+            this_size = len(idx)
+            if (
+                not first_in_page
+                and prev_size + (this_size - SPEC.overlap) <= SPEC.chunk_size * (1 + SPEC.chunk_size_tol)
+            ):
+                this_size = prev_size + this_size - SPEC.overlap
+                chunks[-1][1].extend(idx[SPEC.overlap:])
+            else:
+                chunks.append((p, list(idx)))
+            prev_size = this_size
+            first_in_page = False
+    return chunks
+
+
+def table_embed(shared, ids):
+    if not ids:
+        return np.zeros(shared.shape[1], np.float32)
+    return shared[np.asarray(ids)].mean(axis=0)
+
+
+def oracle_retrieve(doc, shared):
+    """Cosine top-k (src/_modules.py:1978-2016). Returns (chunks, topk_idx)."""
+    chunks = oracle_chunks(doc)
+    embs = []
+    for p, widx in chunks:
+        text = " ".join(doc.words[p][i] for i in widx)
+        embs.append(table_embed(shared, TOK.encode(text)[: CAPS.embed_tokens]))
+    q_emb = table_embed(shared, TOK.encode(doc.question)[: CAPS.question_tokens])
+    embs = np.stack(embs)
+    sims = embs @ q_emb / (np.linalg.norm(embs, axis=1) * np.linalg.norm(q_emb) + 1e-8)
+    k = min(RAG.chunk_num, len(chunks))
+    topk = torch.topk(torch.from_numpy(sims), k).indices.numpy()
+    return chunks, topk
+
+
+def oracle_assemble(doc, chunks, topk):
+    """Surrounding expansion + first-cover dedup + concat flatten
+    (src/_modules.py:2022-2091, src/RAGVT5.py:365-370, src/VT5.py:131-226).
+
+    NOTE the reference's "page word list" is the CONCATENATION of the page's
+    chunk word lists (src/_modules.py:2040-2050) — overlap-duplicated words
+    appear once per chunk, and surroundings/dedup act on positions in that
+    concatenated list. Returns (input_ids, boxes_int, n_valid)."""
+    s = RAG.include_surroundings
+    # per-page concatenated (word, box) lists + chunk position ranges therein
+    page_words = {}  # page -> [(word, box), ...]
+    chunk_pos = {}  # chunk idx -> (page, start, end)
+    for ci, (p, widx) in enumerate(chunks):
+        lst = page_words.setdefault(p, [])
+        start = len(lst)
+        for i in widx:
+            lst.append((doc.words[p][i], doc.boxes[p][i]))
+        chunk_pos[ci] = (p, start, len(lst))
+
+    included = {p: set() for p in page_words}
+    ordered = []  # (word, box) in output order
+    for ci in topk:
+        p, start, end = chunk_pos[int(ci)]
+        lo = max(0, start - s)
+        hi = min(len(page_words[p]), end + s)
+        new = [i for i in range(lo, hi) if i not in included[p]]
+        included[p].update(new)
+        ordered.extend(page_words[p][i] for i in new)
+
+    S = RAG.max_source_length
+    ids, boxes = [], []
+    prompt = TOK.encode(f"question: {doc.question}  context:")[: CAPS.prompt_tokens]
+    for t in prompt:
+        ids.append(t)
+        boxes.append([0, 0, 1000, 1000])
+    for word, box in ordered:
+        word_ids = TOK.encode_word(word)[: CAPS.tokens_per_word]
+        box = (np.asarray(box, np.float32) * 1000).astype(np.int32).tolist()
+        for t in word_ids:
+            ids.append(t)
+            boxes.append(box)
+    # truncate keeping EOS (src/VT5.py:166-170)
+    ids = ids[: S - 1] + [TOK.eos_id]
+    boxes = boxes[: S - 1] + [[0, 0, 0, 0]]
+    n = len(ids)
+    ids = ids + [TOK.pad_id] * (S - n)
+    boxes = boxes + [[0, 0, 0, 0]] * (S - n)
+    return np.asarray(ids, np.int32), np.asarray(boxes, np.int32), n
+
+
+def oracle_generate(hf, spatial, ids_batch, boxes_batch, lens):
+    """HF greedy generate over semantic+spatial input embeds; confidence =
+    prod of max softmax dropping the final step (_model_utils.py:20-24)."""
+    shared_t = hf.get_input_embeddings().weight  # (V, D)
+    x_emb = torch.from_numpy(np.asarray(spatial["x_emb"]))
+    y_emb = torch.from_numpy(np.asarray(spatial["y_emb"]))
+    ln_w = torch.from_numpy(np.asarray(spatial["ln_w"]))
+    ln_b = torch.from_numpy(np.asarray(spatial["ln_b"]))
+    mk = torch.from_numpy(np.asarray(spatial["matcher"]["kernel"]))
+    mb = torch.from_numpy(np.asarray(spatial["matcher"]["bias"]))
+
+    ids_t = torch.from_numpy(ids_batch).long()
+    box_t = torch.from_numpy(np.clip(boxes_batch, 0, 1023)).long()
+    sem = shared_t[ids_t]
+    sp = x_emb[box_t[..., 0]] + y_emb[box_t[..., 1]] + x_emb[box_t[..., 2]] + y_emb[box_t[..., 3]]
+    sp = torch.nn.functional.layer_norm(sp, sp.shape[-1:], ln_w, ln_b, eps=1e-12)
+    sp = sp @ mk + mb
+    embeds = sem + sp
+    mask = (torch.arange(ids_batch.shape[1])[None, :] < torch.as_tensor(lens)[:, None]).long()
+
+    with torch.no_grad():
+        out = hf.generate(
+            inputs_embeds=embeds, attention_mask=mask,
+            max_new_tokens=RAG.max_new_tokens, do_sample=False, num_beams=1,
+            output_scores=True, return_dict_in_generate=True,
+        )
+    seqs = out.sequences.numpy()[:, 1:]  # drop decoder_start
+    scores = torch.stack(out.scores, dim=1)[:, :-1, :]  # drop final step
+    conf = torch.amax(scores.softmax(-1), 2).prod(1).numpy()
+    return seqs, conf
+
+
+def _truncate(row, eos_id, pad_id):
+    out = []
+    for t in row:
+        if t == eos_id:
+            break
+        if t != pad_id:
+            out.append(int(t))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# the test
+# ---------------------------------------------------------------------------
+def test_concat_engine_matches_reference_reassembly(setup):
+    hf, params, spatial, docs, batch, aux = setup
+    shared = np.asarray(params["t5"]["shared"])
+
+    # --- engine side -------------------------------------------------------
+    ret = retrieve_device(params["t5"]["shared"], batch, k=RAG.chunk_num)
+    gen, _ = assemble_concat(batch, ret.top_k_idx, ret.top_k_valid, RAG.assemble())
+    eng = RAGVT5Engine(RAG, VT5_CFG, params, TOK)
+    out = eng.inference(batch, aux)
+
+    top_idx = np.asarray(ret.top_k_idx)
+    top_valid = np.asarray(ret.top_k_valid)
+    gen_ids = np.asarray(gen.input_ids)
+    gen_boxes = np.asarray(gen.input_boxes)
+
+    for b, doc in enumerate(docs):
+        chunks, o_topk = oracle_retrieve(doc, shared)
+        # 1. identical top-k chunk indices (ingest enumerates chunks in the
+        #    same page-major order as the oracle)
+        k = len(o_topk)
+        assert top_valid[b, :k].all()
+        assert not top_valid[b, k:].any()
+        np.testing.assert_array_equal(top_idx[b, :k], o_topk)
+
+        # 2. identical generator input token/box sequences
+        o_ids, o_boxes, _ = oracle_assemble(doc, chunks, o_topk)
+        np.testing.assert_array_equal(gen_ids[b], o_ids)
+        np.testing.assert_array_equal(gen_boxes[b], o_boxes)
+
+    # 3/4. identical decoded ids + confidence vs HF generate
+    lens = [int(np.asarray(gen.attention_mask)[b].sum()) for b in range(len(docs))]
+    o_seqs, o_conf = oracle_generate(hf, spatial, gen_ids, gen_boxes, lens)
+    for b in range(len(docs)):
+        o_ids = _truncate(o_seqs[b], TOK.eos_id, TOK.pad_id)
+        assert out["pred_answers"][b] == TOK.decode(o_ids)
+    np.testing.assert_allclose(np.asarray(out["confidences"]), o_conf, rtol=1e-4, atol=1e-5)

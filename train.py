@@ -52,10 +52,64 @@ def build_docs(config, split):
     return list(build_dataset(config, split))
 
 
+def resolve_params(config, params, model_cfg, hivt5: bool = False):
+    """Overlay checkpoint weights onto random-init params.
+
+    Priority: `ckpt` (Orbax dir from our trainer) > `hf_weights` (local HF
+    checkpoint dir, converted via models/loader.py). Mirrors the reference's
+    from_pretrained-everything startup (eval.py:443-570)."""
+    from rag_docvqa_tpu.models import loader
+
+    if config.get("ckpt"):
+        return loader.load_orbax_params(config["ckpt"], params)
+    if config.get("hf_weights"):
+        load = loader.load_hivt5_params if hivt5 else loader.load_vt5_params
+        return load(config["hf_weights"], model_cfg, params)
+    return params
+
+
+def _default_tokenizer_from_ckpt(config):
+    """Derive defaults from an HF checkpoint dir: its tokenizer
+    (src/checkpoint.py:21-28) and its architecture dims from config.json —
+    the reference gets both implicitly via from_pretrained."""
+    import json
+    import os
+
+    d = config.get("hf_weights")
+    if not d:
+        return
+    if not config.get("tokenizer") and any(
+        os.path.exists(os.path.join(d, f))
+        for f in ("tokenizer_config.json", "tokenizer.json", "spiece.model")
+    ):
+        config["tokenizer"] = d
+    cfg_path = os.path.join(d, "config.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            hf = json.load(f)
+        dims = {
+            "d_model": hf.get("d_model"),
+            "d_kv": hf.get("d_kv"),
+            "num_heads": hf.get("num_heads"),
+            "d_ff": hf.get("d_ff"),
+            "num_layers": hf.get("num_layers"),
+            "num_decoder_layers": hf.get("num_decoder_layers", hf.get("num_layers")),
+        }
+        for k, v in dims.items():
+            if v is not None:
+                config[k] = v
+        # without a shipped tokenizer, size the hash tokenizer to the
+        # checkpoint's vocab so the shared table ids stay in range
+        if hf.get("vocab_size") and config.get("tokenizer") in (None, "hash"):
+            config["tokenizer"] = f"hash:{hf['vocab_size']}"
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="rag_docvqa_tpu training")
     parser.add_argument("-m", "--model", required=True, help="model config yml")
     parser.add_argument("-d", "--dataset", required=True, help="dataset config yml")
+    parser.add_argument("--ckpt", default=None, help="Orbax checkpoint dir to resume params from")
+    parser.add_argument("--hf-weights", default=None, help="local HF checkpoint dir (converted on load)")
     parser.add_argument("--no-eval-start", action="store_false", dest="eval_start", default=True)
     parser.add_argument("--platform", choices=("default", "cpu", "tpu"), default="default",
                         help="force a JAX platform (cpu for smoke runs; the host may pin a TPU)")
@@ -79,13 +133,19 @@ def main(argv=None):
     from rag_docvqa_tpu.training.logger import RunLogger
     from rag_docvqa_tpu.training.trainer import TrainLoopConfig, Trainer
 
-    config = load_config(model=args.model, dataset=args.dataset, overrides=parse_overrides(args.overrides))
+    overrides = parse_overrides(args.overrides)
+    if args.ckpt:
+        overrides["ckpt"] = args.ckpt
+    if args.hf_weights:
+        overrides["hf_weights"] = args.hf_weights
+    config = load_config(model=args.model, dataset=args.dataset, overrides=overrides)
+    _default_tokenizer_from_ckpt(config)
     tokenizer = load_tokenizer(config.get("tokenizer"))
     vt5_cfg = build_vt5_config(config, tokenizer.vocab_size)
     rag_cfg = build_rag_config(config)
     ingestor = DocVQAIngestor(tokenizer, build_chunk_spec(config), build_caps(config))
     params = vt5m.init_vt5_params(jax.random.PRNGKey(config["seed"]), vt5_cfg)
-    # TODO(weights): load converted HF checkpoints via models.convert when available
+    params = resolve_params(config, params, vt5_cfg)
 
     loop_cfg = TrainLoopConfig(
         epochs=config.get("train_epochs", 10),
