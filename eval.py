@@ -66,6 +66,12 @@ def main(argv=None):
         tokenizer = load_tokenizer(config.get("tokenizer"))
         rag_cfg = build_rag_config(config)
         ingestor = DocVQAIngestor(tokenizer, build_chunk_spec(config), build_caps(config))
+        docs = build_docs(config, args.split)
+        # long-doc datasets: size caps to the data so no page is dropped
+        # (default on for MMLongBenchDoc; the reference retrieves over all
+        # pages, src/MMLongBenchDoc.py:44-71)
+        if config.get("auto_caps", config.get("dataset_name") == "MMLongBenchDoc"):
+            ingestor.caps = ingestor.plan_caps(docs)
         model_name = str(config.get("model_name", "VT5")).lower()
         if model_name in ("hi-vt5", "hivt5"):
             from rag_docvqa_tpu.config import build_hivt5_config
@@ -81,7 +87,6 @@ def main(argv=None):
         from rag_docvqa_tpu.config import build_engine
 
         engine = build_engine(config, params, tokenizer)
-        docs = build_docs(config, args.split)
 
         save_path = args.save_path
         if save_path and len(configs) > 1:
@@ -96,6 +101,8 @@ def main(argv=None):
             compute_stats=config.get("compute_stats", False),
         )
         summary = {k: out[k] for k in ("accuracy", "anls", "retrieval_precision", "chunk_score", "n_samples")}
+        if "mmlongbench" in out:
+            summary["mmlongbench"] = out["mmlongbench"]
         summary["page_retrieval"] = rag_cfg.page_retrieval
         summary["wall_time"] = round(time.time() - t0, 2)
         print(json.dumps(summary))

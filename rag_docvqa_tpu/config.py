@@ -184,8 +184,63 @@ def build_hivt5_config(c: Dict[str, Any], vocab_size: int):
     )
 
 
+def build_reranker(c: Dict[str, Any], tokenizer, seed: int = 0):
+    """Reranker from config (reference Reranker ctor, src/_modules.py:1552-1558):
+    "gemma" in the weight name selects the LLM pair reranker, anything else
+    the BGE cross-encoder. Local weight dirs are converted; otherwise params
+    are random-init (HF hubs are unreachable — same non-strict spirit as
+    models/loader.py)."""
+    import jax as _jax
+
+    from rag_docvqa_tpu.engine.reranker import FlagLLMReranker, Reranker, RerankerConfig
+
+    rcfg = RerankerConfig(
+        filter_thresh=float(c.get("rerank_filter_tresh", 0.4)),
+        max_chunk_num=c.get("rerank_max_chunk_num", 5),
+        min_chunk_num=c.get("rerank_min_chunk_num", 1),
+        pair_len=c.get("rerank_pair_len", 192),
+    )
+    weights = str(c.get("reranker_weights", "") or "")
+    key = _jax.random.PRNGKey(seed)
+
+    if "gemma" in weights.lower():
+        from rag_docvqa_tpu.models.causal_lm import CausalLMConfig, init_causal_lm_params
+
+        lm_cfg = CausalLMConfig(
+            vocab_size=tokenizer.vocab_size,
+            d_model=c.get("reranker_d_model", 64),
+            num_layers=c.get("reranker_num_layers", 2),
+            num_heads=c.get("reranker_num_heads", 4),
+            num_kv_heads=c.get("reranker_num_kv_heads", 2),
+            d_ff=c.get("reranker_d_ff", 128),
+        )
+        params = init_causal_lm_params(key, lm_cfg)
+        return FlagLLMReranker(rcfg, lm_cfg, params, tokenizer)
+
+    from rag_docvqa_tpu.models.bert import BertConfig, convert_bert_state_dict, init_bert_params
+
+    bert_cfg = BertConfig(
+        vocab_size=tokenizer.vocab_size,
+        hidden_size=c.get("reranker_d_model", 64),
+        num_layers=c.get("reranker_num_layers", 2),
+        num_heads=c.get("reranker_num_heads", 4),
+        intermediate_size=c.get("reranker_d_ff", 128),
+        num_labels=1,
+    )
+    import os
+
+    if weights and os.path.isdir(weights):
+        from rag_docvqa_tpu.models.loader import read_state_dict
+
+        params = convert_bert_state_dict(read_state_dict(weights), bert_cfg)
+    else:
+        params = init_bert_params(key, bert_cfg)
+    return Reranker(rcfg, bert_cfg, params)
+
+
 def build_engine(c: Dict[str, Any], params, tokenizer):
-    """Model registry (reference build_model, build_utils.py:26-35)."""
+    """Model registry (reference build_model, build_utils.py:26-35), including
+    the optional rerank + NAC stages (src/RAGVT5.py:101-115)."""
     name = str(c.get("model_name", "VT5")).lower()
     if name in ("hi-vt5", "hivt5"):
         from rag_docvqa_tpu.engine.hivt5_engine import HiVT5Engine
@@ -196,7 +251,25 @@ def build_engine(c: Dict[str, Any], params, tokenizer):
         )
     from rag_docvqa_tpu.engine.rag_vt5 import RAGVT5Engine
 
-    return RAGVT5Engine(build_rag_config(c), build_vt5_config(c, tokenizer.vocab_size), params, tokenizer)
+    reranker = build_reranker(c, tokenizer, seed=c.get("seed", 0)) if c.get("rerank", False) else None
+    nac = None
+    if c.get("use_not_answerable_classifier", False):
+        import jax as _jax
+
+        from rag_docvqa_tpu.models.nac import NACConfig, init_nac_params
+
+        nac_params = params.get("nac") if isinstance(params, dict) else None
+        if nac_params is None:
+            nac_params = init_nac_params(
+                _jax.random.PRNGKey(c.get("seed", 0) + 1),
+                NACConfig(emb_dim=c.get("d_model", 768)),
+            )
+        nac = (nac_params, float(c.get("not_answerable_threshold", 0.5)))
+
+    return RAGVT5Engine(
+        build_rag_config(c), build_vt5_config(c, tokenizer.vocab_size), params, tokenizer,
+        reranker=reranker, nac=nac,
+    )
 
 
 def _scalar(v):

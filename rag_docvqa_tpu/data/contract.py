@@ -38,6 +38,9 @@ class RawDocument:
     answer_type: str = "string"
     images: Optional[List[np.ndarray]] = None  # (n_pages,) HxWx3 uint8
     layout: Optional[List[Dict[str, Any]]] = None  # per page: boxes/labels/clusters
+    # dataset-specific metadata (MMLongBenchDoc: answer_format/evidence_pages/
+    # evidence_sources/doc_type, src/MMLongBenchDoc.py:188-192)
+    extra: Dict[str, Any] = field(default_factory=dict)
 
 
 @dataclass(frozen=True)

@@ -337,6 +337,12 @@ class MMLongBenchDocDataset(BaseDataset):
             answer_page_idx=(s.get("evidence_pages") or [1])[0] - 1 if isinstance(s.get("evidence_pages"), list) else 0,
             question_id=idx,
             answer_type={"Int": "int", "Float": "float", "List": "list", "None": "not-answerable"}.get(fmt, "string"),
+            extra={
+                "answer_format": fmt,
+                "evidence_pages": s.get("evidence_pages") or [],
+                "evidence_sources": s.get("evidence_sources") or [],
+                "doc_type": s.get("doc_type", "unknown"),
+            },
         )
 
 

@@ -9,6 +9,7 @@ Replaces, at ingest time, work the reference does per forward pass:
 
 from __future__ import annotations
 
+import warnings
 from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
@@ -16,6 +17,14 @@ import numpy as np
 from rag_docvqa_tpu.data.contract import Caps, ChunkedBatch, RawDocument
 from rag_docvqa_tpu.data.tokenizer import BaseTokenizer
 from rag_docvqa_tpu.ops.chunking import ChunkSpec, chunk_page, compact_chunk_box
+
+
+def _next_bucket(n: int, minimum: int) -> int:
+    """Round up to a power-of-two bucket so jit recompiles are bounded."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
 
 
 class DocVQAIngestor:
@@ -75,6 +84,39 @@ class DocVQAIngestor:
         return batch, aux
 
     # ------------------------------------------------------------------ #
+    def plan_caps(self, docs: List[RawDocument]) -> Caps:
+        """Size Caps to fit `docs` without truncation (power-of-two buckets).
+
+        The reference retrieves over ALL pages of a 100+-page MMLongBench doc
+        (src/MMLongBenchDoc.py:44-71); fixed caps that silently drop pages
+        break that. This plans exact chunk/slot counts by dry-running the
+        chunker on word counts, so eval can retrieve from every page at the
+        cost of one jit specialization per bucket set."""
+        max_pages = max_chunks = max_slots = 1
+        for doc in docs:
+            n_chunks = n_chunk_slots = n_raw = 0
+            for p in range(len(doc.words)):
+                pc = chunk_page(doc.words[p], doc.boxes[p], self.spec)
+                n_chunks += len(pc.word_indices)
+                n_chunk_slots += sum(len(w) for w in pc.word_indices)
+                n_raw += len(doc.words[p])
+            max_pages = max(max_pages, len(doc.words))
+            max_chunks = max(max_chunks, n_chunks)
+            # slot arrays hold chunked (overlap-duplicated) words; raw arrays
+            # hold original words — both share the max_slots cap
+            max_slots = max(max_slots, n_chunk_slots, n_raw)
+        c = self.caps
+        return Caps(
+            max_pages=max(_next_bucket(max_pages, 4), 4),
+            max_chunks=_next_bucket(max_chunks, 16),
+            max_slots=_next_bucket(max_slots, 256),
+            tokens_per_word=c.tokens_per_word,
+            embed_tokens=c.embed_tokens,
+            question_tokens=c.question_tokens,
+            prompt_tokens=c.prompt_tokens,
+        )
+
+    # ------------------------------------------------------------------ #
     def ingest(self, docs: List[RawDocument]) -> Tuple[ChunkedBatch, Dict[str, Any]]:
         """Returns the device batch plus a host-side aux dict (strings, images)."""
         B = len(docs)
@@ -121,8 +163,10 @@ class DocVQAIngestor:
             "slot_words": [],  # (B, n_slots) word strings in slot order
         }
 
+        overflow: Dict[str, int] = {"pages": 0, "chunks": 0, "words": 0}
         for b, doc in enumerate(docs):
             n_pages = min(len(doc.words), c.max_pages)
+            overflow["pages"] += len(doc.words) - n_pages
             num_pages[b] = n_pages
             answer_page[b] = min(doc.answer_page_idx, max(n_pages - 1, 0))
             aux["questions"].append(doc.question)
@@ -159,8 +203,10 @@ class DocVQAIngestor:
                 )
                 for widx, label in zip(pc.word_indices, pc.labels):
                     if chunk_cursor >= c.max_chunks:
-                        break
+                        overflow["chunks"] += 1
+                        continue
                     n_fit = min(len(widx), c.max_slots - slot_cursor)
+                    overflow["words"] += len(widx) - n_fit
                     widx = widx[:n_fit]
                     # chunk metadata
                     text = " ".join(words[i] for i in widx)
@@ -192,6 +238,7 @@ class DocVQAIngestor:
                 page_raw_start[b, p] = raw_cursor
                 for i, word in enumerate(words):
                     if raw_cursor >= c.max_slots:
+                        overflow["words"] += len(words) - i
                         break
                     ids = tk.encode_word(word)[: c.tokens_per_word]
                     raw_tokens[b, raw_cursor, : len(ids)] = ids
@@ -209,6 +256,16 @@ class DocVQAIngestor:
             aux["chunk_texts"].append(texts_b)
             aux["slot_words"].append(slot_words_b)
 
+        if any(overflow.values()):
+            warnings.warn(
+                f"ingest truncated content beyond Caps(max_pages={c.max_pages}, "
+                f"max_chunks={c.max_chunks}, max_slots={c.max_slots}): dropped "
+                f"{overflow['pages']} pages, {overflow['chunks']} chunks, "
+                f"{overflow['words']} words. Retrieval cannot see the dropped "
+                f"content — size caps with DocVQAIngestor.plan_caps(docs) "
+                f"(the reference retrieves over all pages, src/MMLongBenchDoc.py:44-71).",
+                stacklevel=2,
+            )
         batch = ChunkedBatch(
             chunk_emb_tokens=chunk_emb_tokens,
             chunk_emb_mask=chunk_emb_mask,

@@ -36,6 +36,10 @@ def evaluate(
         from rag_docvqa_tpu.utils_stats import StatsCollector
 
         stats = StatsCollector(compute_examples=True)
+    # MMLongBenchDoc typed scoring (reference eval.py:427-432, metrics.py:245-293):
+    # auto-enabled when the dataset carries answer_format metadata
+    mmlb = bool(docs) and bool(getattr(docs[0], "extra", {}).get("answer_format"))
+    mmlb_samples: List[Dict[str, Any]] = []
     total_acc: List[float] = []
     total_anls: List[float] = []
     total_ret_prec: List[float] = []
@@ -78,6 +82,30 @@ def evaluate(
         total_chunk_score.extend(ret_eval["chunk_score"])
         all_answers.extend(out["pred_answers"])
 
+        if mmlb:
+            from rag_docvqa_tpu.metrics.mmlongbench import eval_score, extract_answer
+
+            for i, d in enumerate(chunk):
+                fmt = d.extra.get("answer_format", "Str")
+                gt = d.answers[0] if d.answers else ""
+                preds = out["pred_answers"][i]
+                preds = preds if isinstance(preds, list) else [preds]
+                # anyconf-style lists score like the main evaluator: max over k
+                score = max(
+                    (eval_score(gt, extract_answer(d.question, p or ""), fmt) for p in preds),
+                    default=0.0,
+                )
+                mmlb_samples.append({
+                    "question": d.question,
+                    "answer": gt,
+                    "pred": (preds[0] or "") if preds else "",
+                    "score": score,
+                    "answer_format": fmt,
+                    "evidence_pages": d.extra.get("evidence_pages", []),
+                    "evidence_sources": d.extra.get("evidence_sources", []),
+                    "doc_type": d.extra.get("doc_type", "unknown"),
+                })
+
         for i, d in enumerate(chunk):
             scores_by_samples[d.question_id] = {
                 "question": d.question,
@@ -103,6 +131,13 @@ def evaluate(
     if stats is not None:
         result["retrieval_stats"] = stats.summary()
         result["retrieval_stats_examples"] = stats.stats_examples
+    if mmlb:
+        from rag_docvqa_tpu.metrics.mmlongbench import eval_acc_and_f1, show_results
+
+        acc, f1 = eval_acc_and_f1(mmlb_samples)
+        result["mmlongbench"] = {"accuracy": acc, "f1": f1, "n_samples": len(mmlb_samples)}
+        if save_path:
+            show_results(mmlb_samples, os.path.splitext(save_path)[0] + "_mmlb_breakdown.txt")
     if save_path:
         _save(save_path, total_acc, total_anls, total_ret_prec, total_chunk_score,
               scores_by_samples, load_time, retrieval_time, generation_time)

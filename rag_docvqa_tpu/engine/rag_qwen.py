@@ -35,13 +35,35 @@ class QwenRAGConfig:
     max_prompt_tokens: int = 512
     max_new_tokens: int = 16  # QwenVLInstruct.py:246
     answer_max_tokens: int = 24
+    # visual path: retrieved patch crops -> Qwen2-VL-shaped vision tower ->
+    # spliced at <|image_pad|> positions (src/QwenVLInstruct.py:85-160)
+    use_visual: bool = False
+    max_crops: int = 4  # crops per sample fed to the tower
 
 
-PROMPT_TEMPLATE = "user: {question}\ncontext: {context}\nassistant:"
+# ChatML (the Qwen2.5 chat template the reference applies via
+# processor.apply_chat_template, src/QwenVLInstruct.py:143-146)
+CHATML_SYSTEM = "<|im_start|>system\nYou are a helpful assistant.<|im_end|>\n"
+CHATML_USER_OPEN = "<|im_start|>user\n"
+CHATML_VISION_OPEN = "<|vision_start|>"
+CHATML_VISION_CLOSE = "<|vision_end|>"
+CHATML_IMAGE_PAD = "<|image_pad|>"
+CHATML_USER_CLOSE = "<|im_end|>\n<|im_start|>assistant\n"
+# instruction text mirrors src/QwenVLInstruct.py:126-131
+USER_TEXT_TEMPLATE = (
+    "question: {question}\n"
+    "Directly provide only a short direct answer to the question. "
+    "The answer appears in the following context. Context: {context}"
+)
 
 
 def build_prompt(question: str, context_chunks: Sequence[str]) -> str:
-    return PROMPT_TEMPLATE.format(question=question, context=" ".join(context_chunks))
+    """Text-only ChatML prompt (no images)."""
+    return (
+        CHATML_SYSTEM + CHATML_USER_OPEN
+        + USER_TEXT_TEMPLATE.format(question=question, context=" ".join(context_chunks))
+        + CHATML_USER_CLOSE
+    )
 
 
 class RAGQwenEngine:
@@ -52,16 +74,19 @@ class RAGQwenEngine:
         params: Dict[str, Any],
         tokenizer,
         embed_shared: Optional[jax.Array] = None,  # retrieval embedding table
+        vision_cfg=None,  # models.qwen_vision.QwenVisionConfig; params["vision"]
     ):
         self.cfg = cfg
         self.lm_cfg = lm_cfg
         self.params = params
         self.tokenizer = tokenizer
+        self.vision_cfg = vision_cfg
         # default: reuse the LM's own token embedding table as the bi-encoder
         self.embed_shared = embed_shared if embed_shared is not None else params["embed"]
+        self.image_pad_id = tokenizer.encode(CHATML_IMAGE_PAD)[0]
 
     # ------------------------------------------------------------------ #
-    def retrieve_texts(self, batch: ChunkedBatch, aux: Dict[str, Any]) -> Tuple[List[List[str]], List[List[int]]]:
+    def _retrieve(self, batch: ChunkedBatch, aux: Dict[str, Any]):
         ret = retrieve_device(self.embed_shared, batch, k=self.cfg.chunk_num)
         owner = compute_ownership(batch, ret.top_k_idx, ret.top_k_valid, self.cfg.include_surroundings)
         owner = np.asarray(owner)
@@ -78,24 +103,121 @@ class RAGQwenEngine:
                 rows.append(" ".join(words_b[g] for g in slots if g < len(words_b)))
             texts.append(rows)
             page_lists.append(pages[b][valid[b]].tolist())
-        return texts, page_lists
+        return ret, texts, page_lists
 
-    def _tokenize_prompts(self, prompts: List[str]) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        T = self.cfg.max_prompt_tokens
-        ids = np.zeros((len(prompts), T), np.int32)
-        mask = np.zeros((len(prompts), T), bool)
-        for i, p in enumerate(prompts):
-            tok = self.tokenizer.encode(p)[:T]
-            ids[i, : len(tok)] = tok
-            mask[i, : len(tok)] = True
-        return jnp.asarray(ids), jnp.asarray(mask)
+    def retrieve_texts(self, batch: ChunkedBatch, aux: Dict[str, Any]) -> Tuple[List[List[str]], List[List[int]]]:
+        _, texts, pages = self._retrieve(batch, aux)
+        return texts, pages
+
+    # ------------------------------------------------------------------ #
+    def _encode_crops(self, batch: ChunkedBatch, aux: Dict[str, Any], ret) -> Optional[np.ndarray]:
+        """Crop the top-k chunk boxes from their pages and run the vision
+        tower (src/QwenVLInstruct.py:85-119: resized retrieved patch images).
+        Returns (B, max_crops, Tv, D) embeddings with zero rows for missing
+        crops, or None when the visual path is off / images unavailable."""
+        if not (self.cfg.use_visual and self.vision_cfg is not None and "vision" in self.params):
+            return None
+        if not aux.get("images") or aux["images"][0] is None:
+            return None
+        from rag_docvqa_tpu.models.qwen_vision import encode_images
+        from rag_docvqa_tpu.ops.patches import crop_box, resize_image
+
+        B = batch.batch_size
+        M = self.cfg.max_crops
+        size = self.vision_cfg.vit.image_size
+        boxes = np.asarray(ret.top_k_box)
+        pages = np.asarray(ret.top_k_page)
+        valid = np.asarray(ret.top_k_valid)
+        pixels = np.zeros((B * M, size, size, 3), np.float32)
+        self._crop_valid = np.zeros((B, M), bool)
+        for b in range(B):
+            page_imgs = aux["images"][b]
+            if page_imgs is None:
+                continue
+            m = 0
+            for r in range(boxes.shape[1]):
+                if m >= M or not valid[b, r]:
+                    continue
+                img = page_imgs[pages[b, r]]
+                if img is None:
+                    continue
+                crop = crop_box(np.asarray(img), boxes[b, r])
+                if crop.size == 0:
+                    continue
+                pix = resize_image(crop, size, size) / 255.0
+                pixels[b * M + m] = (pix - 0.5) / 0.5
+                self._crop_valid[b, m] = True
+                m += 1
+        embeds = encode_images(self.params["vision"], self.vision_cfg, jnp.asarray(pixels))
+        Tv = embeds.shape[1]
+        return np.asarray(embeds).reshape(B, M, Tv, -1)
+
+    def _assemble_prompts(
+        self,
+        questions: List[str],
+        texts: List[List[str]],
+        crop_embeds: Optional[np.ndarray],  # (B, M, Tv, D) or None
+        total_len: Optional[int] = None,
+    ):
+        """ChatML prompt ids with <|image_pad|> placeholder spans; returns
+        (ids, mask, visual_embeds, visual_mask, prompt_lens). Image blocks
+        follow the text, matching the reference's message content order
+        (src/QwenVLInstruct.py:122-140)."""
+        tk = self.tokenizer
+        B = len(questions)
+        T = total_len or self.cfg.max_prompt_tokens
+        ids = np.zeros((B, T), np.int32)
+        mask = np.zeros((B, T), bool)
+        vemb = None
+        vmask = np.zeros((B, T), bool)
+        if crop_embeds is not None:
+            vemb = np.zeros((B, T, crop_embeds.shape[-1]), np.float32)
+        lens = np.zeros((B,), np.int32)
+
+        open_ids = tk.encode(CHATML_SYSTEM + CHATML_USER_OPEN)
+        vopen = tk.encode(CHATML_VISION_OPEN)
+        vclose = tk.encode(CHATML_VISION_CLOSE)
+        close_ids = tk.encode(CHATML_USER_CLOSE)
+
+        for b in range(B):
+            seq: List[int] = list(open_ids)
+            spans: List[Tuple[int, int]] = []  # (start position, crop index)
+            seq += tk.encode(USER_TEXT_TEMPLATE.format(
+                question=questions[b], context=" ".join(texts[b])
+            ))
+            if crop_embeds is not None:
+                Tv = crop_embeds.shape[2]
+                for m in range(crop_embeds.shape[1]):
+                    if not self._crop_valid[b, m]:
+                        continue
+                    seq += vopen
+                    spans.append((len(seq), m))
+                    seq += [self.image_pad_id] * Tv
+                    seq += vclose
+            seq += close_ids
+            seq = seq[: min(T, self.cfg.max_prompt_tokens)]
+            ids[b, : len(seq)] = seq
+            mask[b, : len(seq)] = True
+            lens[b] = len(seq)
+            if crop_embeds is not None:
+                Tv = crop_embeds.shape[2]
+                for start, m in spans:
+                    end = min(start + Tv, T)
+                    if end <= start:
+                        continue
+                    vemb[b, start:end] = crop_embeds[b, m, : end - start]
+                    vmask[b, start:end] = True
+        return ids, mask, vemb, vmask, lens
 
     def inference(self, batch: ChunkedBatch, aux: Dict[str, Any]) -> Dict[str, Any]:
-        texts, pages = self.retrieve_texts(batch, aux)
-        prompts = [build_prompt(q, t) for q, t in zip(aux["questions"], texts)]
-        ids, mask = self._tokenize_prompts(prompts)
+        ret, texts, pages = self._retrieve(batch, aux)
+        crop_embeds = self._encode_crops(batch, aux, ret)
+        ids, mask, vemb, vmask, _ = self._assemble_prompts(aux["questions"], texts, crop_embeds)
         tokens, conf = clm.generate(
-            self.params, self.lm_cfg, ids, mask, max_new_tokens=self.cfg.max_new_tokens
+            self.params, self.lm_cfg, jnp.asarray(ids), jnp.asarray(mask),
+            max_new_tokens=self.cfg.max_new_tokens,
+            visual_embeds=jnp.asarray(vemb) if vemb is not None else None,
+            visual_mask=jnp.asarray(vmask) if vemb is not None else None,
         )
         answers = []
         for row in np.asarray(tokens):
@@ -106,8 +228,9 @@ class RAGQwenEngine:
                 if t != self.lm_cfg.pad_id:
                     out_ids.append(int(t))
             text = self.tokenizer.decode(out_ids)
-            # strip a leading "assistant:" echo (QwenVLInstruct.py:256-261)
-            answers.append(text.split("assistant:")[-1].strip())
+            # strip chat-template echoes (QwenVLInstruct.py:256-261)
+            text = text.split("assistant:")[-1]
+            answers.append(text.replace("<|im_end|>", "").strip())
         return {
             "pred_answers": answers,
             "confidences": np.asarray(conf).tolist(),
@@ -118,25 +241,32 @@ class RAGQwenEngine:
     # ------------------------------------------------------------------ #
     def build_sft_batch(
         self, batch: ChunkedBatch, aux: Dict[str, Any], seed: int = 0
-    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """(ids, mask, labels) with -100 on prompt tokens (masked-label SFT,
-        QwenVLInstruct.py:165-203)."""
+    ):
+        """(ids, mask, labels[, visual_embeds, visual_mask]) with -100 on
+        prompt tokens (masked-label SFT, QwenVLInstruct.py:165-203). With the
+        visual path on, prompts include <|image_pad|> placeholder spans and
+        the matching visual embeddings are returned for the splice hook."""
         rng = np.random.RandomState(seed)
-        texts, _ = self.retrieve_texts(batch, aux)
+        ret, texts, _ = self._retrieve(batch, aux)
+        crop_embeds = self._encode_crops(batch, aux, ret)
         T = self.cfg.max_prompt_tokens + self.cfg.answer_max_tokens
         B = batch.batch_size
-        ids = np.zeros((B, T), np.int32)
-        mask = np.zeros((B, T), bool)
+        ids, mask, vemb, vmask, lens = self._assemble_prompts(
+            aux["questions"], texts, crop_embeds, total_len=T
+        )
         labels = np.full((B, T), -100, np.int32)
         for b in range(B):
-            prompt_ids = self.tokenizer.encode(build_prompt(aux["questions"][b], texts[b]))[: self.cfg.max_prompt_tokens]
+            plen = min(int(lens[b]), self.cfg.max_prompt_tokens)
             answers = aux["answers"][b] or [""]
             ans = answers[rng.randint(len(answers))]
             ans_ids = self.tokenizer.encode(" " + ans)[: self.cfg.answer_max_tokens - 1] + [self.lm_cfg.eos_id]
-            seq = prompt_ids + ans_ids
-            ids[b, : len(seq)] = seq
-            mask[b, : len(seq)] = True
-            labels[b, len(prompt_ids) : len(seq)] = ans_ids
+            end = min(plen + len(ans_ids), T)
+            ids[b, plen:end] = ans_ids[: end - plen]
+            mask[b, plen:end] = True
+            labels[b, plen:end] = ans_ids[: end - plen]
+        if crop_embeds is not None:
+            return (jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(labels),
+                    jnp.asarray(vemb), jnp.asarray(vmask))
         return jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(labels)
 
 

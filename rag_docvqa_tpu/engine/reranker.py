@@ -137,3 +137,127 @@ class Reranker:
         scores = cross_encoder_score(self.params, self.bert_cfg, ids, mask).reshape(B, K)
         perm, new_valid, sorted_scores = rerank_select(scores, ret.top_k_valid, self.cfg)
         return apply_rerank(ret, perm, new_valid, sorted_scores)
+
+
+# --------------------------------------------------------------------------- #
+# LLM (gemma-style) reranker — reference FlagLLMReranker
+# --------------------------------------------------------------------------- #
+@functools.partial(jax.jit, static_argnames=("cfg", "n_prefix", "n_mid", "n_suffix"))
+def build_llm_pair_tokens(
+    batch: ChunkedBatch,
+    top_k_idx: jax.Array,  # (B, K)
+    prefix: jax.Array,  # (n_prefix,) prompt head ids ("A: ")
+    mid: jax.Array,  # (n_mid,) separator ids ("\nB: ")
+    suffix: jax.Array,  # (n_suffix,) instruction tail ids
+    cfg: RerankerConfig,
+    n_prefix: int,
+    n_mid: int,
+    n_suffix: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """(B*K, pair_len) ids laid out prefix ++ q ++ mid ++ chunk ++ suffix,
+    plus mask and the last valid position per row (where the yes-logit is
+    read). Mirrors FlagEmbedding's pair prompt for bge-reranker-v2-gemma
+    (reference src/_modules.py:1533-1541 scores (query, passage) pairs)."""
+    B, K = top_k_idx.shape
+    LQ = batch.q_tokens.shape[1]
+    LE = batch.chunk_emb_tokens.shape[2]
+    T = cfg.pair_len
+    q_len = jnp.minimum(jnp.sum(batch.q_mask, axis=1), cfg.question_len)  # (B,)
+    chunk_tokens = jnp.take_along_axis(batch.chunk_emb_tokens, top_k_idx[:, :, None], axis=1)
+    chunk_len = jnp.sum(jnp.take_along_axis(batch.chunk_emb_mask, top_k_idx[:, :, None], axis=1), axis=2)
+
+    pos = jnp.arange(T)[None, None, :]
+    ql = q_len[:, None, None]
+    cl = chunk_len[:, :, None]
+    b_q = n_prefix  # question start
+    b_mid = b_q + ql
+    b_chunk = b_mid + n_mid
+    # keep room for the suffix: clamp the chunk segment
+    b_suf = jnp.minimum(b_chunk + cl, T - n_suffix)
+    last = b_suf + n_suffix - 1  # (B, K, 1)
+
+    q_tok = jnp.broadcast_to(batch.q_tokens[:, None, :], (B, K, LQ))
+    q_idx = jnp.clip(pos - b_q, 0, LQ - 1)
+    c_idx = jnp.clip(pos - b_chunk, 0, LE - 1)
+    p_idx = jnp.clip(pos, 0, n_prefix - 1)
+    m_idx = jnp.clip(pos - b_mid, 0, n_mid - 1)
+    s_idx = jnp.clip(pos - b_suf, 0, n_suffix - 1)
+
+    ids = jnp.where(
+        pos < b_q,
+        prefix[p_idx],
+        jnp.where(
+            pos < b_mid,
+            jnp.take_along_axis(q_tok, q_idx, axis=2),
+            jnp.where(
+                pos < b_chunk,
+                mid[m_idx],
+                jnp.where(
+                    pos < b_suf,
+                    jnp.take_along_axis(chunk_tokens, c_idx, axis=2),
+                    jnp.where(pos <= last, suffix[s_idx], 0),
+                ),
+            ),
+        ),
+    )
+    mask = pos <= last
+    return (
+        ids.reshape(B * K, T).astype(jnp.int32),
+        mask.reshape(B * K, T),
+        last.reshape(B * K).astype(jnp.int32),
+    )
+
+
+class FlagLLMReranker:
+    """LLM pair reranker (reference FlagLLMReranker, src/_modules.py:1513-1541):
+    score a (query, passage) pair by the yes-token logit of a causal LM at the
+    final prompt position (the bge-reranker-v2-gemma scheme). `normalize`
+    maps logits through a sigmoid so `filter_thresh` keeps its [0, 1]
+    cross-encoder semantics.
+
+    Selected by the reference when "gemma" appears in the reranker weight
+    name (src/_modules.py:1555-1558) — config.build_engine reproduces that
+    sniff."""
+
+    def __init__(
+        self,
+        cfg: RerankerConfig,
+        lm_cfg,  # models.causal_lm.CausalLMConfig
+        params: Dict[str, Any],
+        tokenizer,
+        yes_token: str = "Yes",
+        normalize: bool = True,
+    ):
+        import numpy as np
+
+        self.cfg = cfg
+        self.lm_cfg = lm_cfg
+        self.params = params
+        self.normalize = normalize
+        self.yes_id = tokenizer.encode(yes_token)[0]
+        prompt = (
+            "Given a query A and a passage B, determine whether the passage "
+            "contains an answer to the query by providing a prediction of "
+            "either 'Yes' or 'No'."
+        )
+        self._prefix = jnp.asarray(np.asarray(tokenizer.encode("A:"), np.int32))
+        self._mid = jnp.asarray(np.asarray(tokenizer.encode("B:"), np.int32))
+        self._suffix = jnp.asarray(np.asarray(tokenizer.encode(prompt), np.int32))
+
+    def __call__(self, batch: ChunkedBatch, ret: RetrievalResult) -> RetrievalResult:
+        from rag_docvqa_tpu.models import causal_lm
+
+        B, K = ret.top_k_idx.shape
+        ids, mask, last = build_llm_pair_tokens(
+            batch, ret.top_k_idx, self._prefix, self._mid, self._suffix, self.cfg,
+            n_prefix=int(self._prefix.shape[0]),
+            n_mid=int(self._mid.shape[0]),
+            n_suffix=int(self._suffix.shape[0]),
+        )
+        logits = causal_lm.forward(self.params, self.lm_cfg, ids, mask)  # (B*K, T, V)
+        rows = jnp.arange(ids.shape[0])
+        scores = logits[rows, last, self.yes_id].reshape(B, K)
+        if self.normalize:
+            scores = jax.nn.sigmoid(scores)
+        perm, new_valid, sorted_scores = rerank_select(scores, ret.top_k_valid, self.cfg)
+        return apply_rerank(ret, perm, new_valid, sorted_scores)

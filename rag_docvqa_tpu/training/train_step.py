@@ -85,16 +85,29 @@ def make_train_step(
     rag_cfg: RAGConfig,
     tx: optax.GradientTransformation,
     mesh: Optional[Mesh] = None,
-) -> Callable[[TrainState, ChunkedBatch, jax.Array], Tuple[TrainState, Dict[str, jax.Array]]]:
-    """Returns a jitted train_step(state, batch, labels) -> (state, metrics).
+    use_nac: bool = False,
+    nac_loss_weight: float = 1.0,
+    nac_pos_weight: float = 1.0,
+    nac_decode_len: int = 16,
+) -> Callable[..., Tuple[TrainState, Dict[str, jax.Array]]]:
+    """Returns a jitted train_step(state, batch, labels[, nac_labels]) ->
+    (state, metrics).
 
     labels: (B, Td) int32 target token ids with -100 padding (the reference
     tokenizes a randomly chosen gold answer, src/VT5.py:209-213; ingest does
     the same on host).
+
+    With use_nac, nac_labels (B,) float32 {0,1} marks not-answerable samples
+    and the step adds nac_loss_weight * BCE(NAC probs, nac_labels) — the
+    reference's DUDE NAC term (train.py:72-86). The NAC sees the generator
+    input embeddings and the embeddings of the *predicted* answer, so the
+    step runs an on-device greedy decode (stop-gradient; only the NAC MLP
+    receives this gradient), exactly like the reference's
+    return_pred_answer=True training forward (src/RAGVT5.py:382-384).
     """
     acfg = rag_cfg.assemble()
 
-    def step_fn(state: TrainState, batch: ChunkedBatch, labels: jax.Array):
+    def step_fn(state: TrainState, batch: ChunkedBatch, labels: jax.Array, nac_labels=None):
         def loss_fn(params):
             ret = retrieve_device(
                 jax.lax.stop_gradient(params["t5"]["shared"]),
@@ -104,13 +117,31 @@ def make_train_step(
             )
             gen, _ = assemble_concat(batch, ret.top_k_idx, ret.top_k_valid, acfg)
             loss, logits = vt5m.forward_train(params, vt5_cfg, gen, labels)
-            return loss, logits
+            aux: Dict[str, jax.Array] = {}
+            if use_nac:
+                from rag_docvqa_tpu.models.embeddings import spatial_embed
+                from rag_docvqa_tpu.models.nac import nac_bce_loss, nac_prob
 
-        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+                sg = jax.lax.stop_gradient
+                frozen = sg(params)
+                tokens, _ = vt5m.generate(frozen, vt5_cfg, gen, max_new_tokens=nac_decode_len)
+                ans_emb = frozen["t5"]["shared"][tokens]
+                ans_mask = (tokens != vt5_cfg.t5.pad_id) & (tokens != vt5_cfg.t5.eos_id)
+                sem = frozen["t5"]["shared"][gen.input_ids]
+                spa = spatial_embed(frozen["spatial"], vt5_cfg.spatial, gen.input_boxes)
+                probs = nac_prob(params["nac"], sem + spa, ans_emb,
+                                 input_mask=gen.attention_mask, answer_mask=ans_mask)
+                nac_loss = nac_bce_loss(probs, nac_labels, pos_weight=nac_pos_weight)
+                loss = loss + nac_loss_weight * nac_loss
+                aux["nac_loss"] = nac_loss
+                aux["nac_accuracy"] = jnp.mean(((probs > 0.5) == (nac_labels > 0.5)).astype(jnp.float32))
+            return loss, aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
-        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads), **aux}
         # per-module grad norms (reference train.py:23-28,91-98)
         for name, sub in grads.items():
             metrics[f"grad_norm/{name}"] = optax.global_norm(sub)

@@ -3,10 +3,13 @@
 Epoch structure matches the reference: shuffled batches -> train step (loss +
 grad clip + AdamW + linear schedule) -> per-epoch evaluation -> best-accuracy
 checkpoint. Differences by design: the step is one jitted device program
-(retrieval + assembly + loss + update), metrics-in-the-loop generation is
-optional (the reference generates every train batch, train.py:109-117 — a
-large CPU cost we gate behind `train_metrics_every`), and OOM-batch skipping
-is unnecessary under fixed shapes.
+(retrieval + assembly + loss + update); metrics-in-the-loop generation
+(the reference generates every train batch, train.py:109-117 — a large
+decode cost) is gated behind `train_metrics_every` (0 disables, N logs
+train-batch accuracy/ANLS every N batches); OOM-batch skipping is
+unnecessary under fixed shapes. The DUDE NAC BCE term (train.py:72-86) is
+enabled with `use_nac`; Hi-VT5 training (LM + page-retrieval CE) by passing
+`hivt5_cfg`.
 """
 
 from __future__ import annotations
@@ -45,21 +48,30 @@ class TrainLoopConfig:
     eval_batch_size: int = 8
     seed: int = 42
     log_every: int = 10
+    # train-batch ANLS/accuracy via generate, every N batches (0 = off;
+    # the reference does it every batch, train.py:109-117)
+    train_metrics_every: int = 0
+    # DUDE not-answerable classifier BCE (reference train.py:72-86)
+    use_nac: bool = False
+    nac_loss_weight: float = 1.0
+    nac_pos_weight: float = 1.0
 
 
 class Trainer:
     def __init__(
         self,
-        vt5_cfg: vt5m.VT5Config,
+        vt5_cfg: Optional[vt5m.VT5Config],
         rag_cfg: RAGConfig,
         params: Dict[str, Any],
         tokenizer,
         ingestor: DocVQAIngestor,
         loop_cfg: Optional[TrainLoopConfig] = None,
         logger=None,
+        hivt5_cfg=None,  # set to train Hi-VT5 (LM + ret CE, make_hivt5_train_step)
     ):
         self.vt5_cfg = vt5_cfg
         self.rag_cfg = rag_cfg
+        self.hivt5_cfg = hivt5_cfg
         self.tokenizer = tokenizer
         self.ingestor = ingestor
         self.cfg = loop_cfg or TrainLoopConfig()
@@ -77,21 +89,54 @@ class Trainer:
         get_linear_schedule_with_warmup semantics, build_utils.py:20-24)."""
         if self.tx is not None:
             return
+        trainable = tuple(self.cfg.trainable)
+        if self.cfg.use_nac and self.hivt5_cfg is None:
+            if "nac" not in self._init_params:
+                from rag_docvqa_tpu.models.nac import NACConfig, init_nac_params
+
+                self._init_params = dict(self._init_params)
+                self._init_params["nac"] = init_nac_params(
+                    jax.random.PRNGKey(self.cfg.seed + 1),
+                    NACConfig(emb_dim=self.vt5_cfg.t5.d_model),
+                )
+            if "nac" not in trainable:
+                trainable = trainable + ("nac",)
+        if self.hivt5_cfg is not None:
+            # the reference trains the whole Hi-VT5 (build_utils.py:13-24)
+            trainable = trainable + tuple(
+                k for k in ("page_emb", "page_head") if k in self._init_params
+            )
         self.tx = build_optimizer(
             lr=self.cfg.lr,
             warmup_steps=self.cfg.warmup_steps,
             total_steps=max(total_steps, self.cfg.warmup_steps + 1),
             clip_norm=self.cfg.clip_norm,
             weight_decay=self.cfg.weight_decay,
-            mask=trainable_mask(self._init_params, tuple(self.cfg.trainable)),
+            mask=trainable_mask(self._init_params, trainable),
         )
         self.state = TrainState.create(self._init_params, self.tx)
-        self.step_fn = make_train_step(self.vt5_cfg, self.rag_cfg, self.tx)
+        if self.hivt5_cfg is not None:
+            from rag_docvqa_tpu.training.train_step import make_hivt5_train_step
+
+            self.step_fn = make_hivt5_train_step(self.hivt5_cfg, self.tx)
+        else:
+            self.step_fn = make_train_step(
+                self.vt5_cfg, self.rag_cfg, self.tx,
+                use_nac=self.cfg.use_nac,
+                nac_loss_weight=self.cfg.nac_loss_weight,
+                nac_pos_weight=self.cfg.nac_pos_weight,
+            )
 
     # ------------------------------------------------------------------ #
-    def engine(self) -> RAGVT5Engine:
+    def engine(self):
         params = self.state.params if self.state is not None else self._init_params
-        return RAGVT5Engine(self.rag_cfg, self.vt5_cfg, params, self.tokenizer)
+        if self.hivt5_cfg is not None:
+            from rag_docvqa_tpu.engine.hivt5_engine import HiVT5Engine
+
+            return HiVT5Engine(self.hivt5_cfg, params, self.tokenizer,
+                               max_new_tokens=self.cfg.answer_max_len)
+        nac = (params["nac"], 0.5) if self.cfg.use_nac and "nac" in params else None
+        return RAGVT5Engine(self.rag_cfg, self.vt5_cfg, params, self.tokenizer, nac=nac)
 
     def _evaluate(self, docs: Sequence[RawDocument]) -> Dict[str, Any]:
         return evaluate(
@@ -130,11 +175,35 @@ class Trainer:
                 labels = self.ingestor.answer_labels(
                     aux["answers"], max_len=cfg.answer_max_len, seed=rng.randrange(1 << 30)
                 )
-                self.state, metrics = self.step_fn(self.state, batch, jax.numpy.asarray(labels))
+                step_args = [self.state, batch, jax.numpy.asarray(labels)]
+                if cfg.use_nac and self.hivt5_cfg is None:
+                    # DUDE not-answerable ground truth (reference train.py:56-58)
+                    nac_gt = np.asarray(
+                        [t == "not-answerable" for t in aux["answer_types"]], np.float32
+                    )
+                    step_args.append(jax.numpy.asarray(nac_gt))
+                self.state, metrics = self.step_fn(*step_args)
                 losses.append(float(metrics["loss"]))
                 if len(losses) % cfg.log_every == 0:
-                    self._log({"epoch": epoch, "step": int(self.state.step), "loss": losses[-1],
-                               "grad_norm": float(metrics["grad_norm"])})
+                    logd = {"epoch": epoch, "step": int(self.state.step), "loss": losses[-1],
+                            "grad_norm": float(metrics["grad_norm"])}
+                    for k in ("nac_loss", "nac_accuracy", "lm_loss", "ret_loss"):
+                        if k in metrics:
+                            logd[k] = float(metrics[k])
+                    self._log(logd)
+                if cfg.train_metrics_every and len(losses) % cfg.train_metrics_every == 0:
+                    # metrics-in-the-loop generation (reference train.py:109-137)
+                    out = self.engine().inference(batch, aux)
+                    m = self.evaluator.get_metrics(aux["answers"], out["pred_answers"],
+                                                   aux.get("answer_types"))
+                    self._log({
+                        "epoch": epoch,
+                        "step": int(self.state.step),
+                        "train_batch_accuracy": float(np.mean(m["accuracy"])),
+                        "train_batch_anls": float(np.mean(m["anls"])),
+                        "train_batch_ret_prec": float(np.mean(self.evaluator.get_retrieval_metric(
+                            [d.answer_page_idx for d in docs], out["pred_answer_pages"]))),
+                    })
 
             epoch_metrics: Dict[str, Any] = {
                 "epoch": epoch,

@@ -15,6 +15,9 @@ from rag_docvqa_tpu.models.bert import (
 )
 from rag_docvqa_tpu.engine.reranker import RerankerConfig, build_pair_tokens, rerank_select
 
+pytestmark = pytest.mark.parity  # slow torch/HF parity; core suite runs -m 'not parity'
+
+
 TINY = BertConfig(
     vocab_size=200, hidden_size=32, num_layers=2, num_heads=4,
     intermediate_size=64, max_position_embeddings=64,

@@ -8,6 +8,9 @@ import pytest
 from rag_docvqa_tpu.models import causal_lm as clm
 from rag_docvqa_tpu.models.lora import init_lora, lora_param_count, merge_lora
 
+pytestmark = pytest.mark.parity  # slow torch/HF parity; core suite runs -m 'not parity'
+
+
 TINY = clm.CausalLMConfig(
     vocab_size=160, d_model=32, num_layers=2, num_heads=4, num_kv_heads=2,
     d_ff=64, tie_word_embeddings=True,

@@ -43,6 +43,8 @@ from rag_docvqa_tpu.ops.chunking import ChunkSpec
 from rag_docvqa_tpu.ops.gather import assemble_concat
 
 torch = pytest.importorskip("torch")
+pytestmark = pytest.mark.parity  # slow torch/HF parity; core suite runs -m 'not parity'
+
 
 # ---------------------------------------------------------------------------
 # shared setup

@@ -25,6 +25,8 @@ from rag_docvqa_tpu.models.loader import (
 from rag_docvqa_tpu.models.vit import ViTConfig
 
 torch = pytest.importorskip("torch")
+pytestmark = pytest.mark.parity  # slow torch/HF parity; core suite runs -m 'not parity'
+
 
 TINY = t5m.T5Config(
     vocab_size=128, d_model=32, d_kv=8, num_heads=4, d_ff=64,

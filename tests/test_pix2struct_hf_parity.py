@@ -8,6 +8,8 @@ import pytest
 from rag_docvqa_tpu.models import pix2struct as p2s, t5 as t5m
 
 torch = pytest.importorskip("torch")
+pytestmark = pytest.mark.parity  # slow torch/HF parity; core suite runs -m 'not parity'
+
 
 TINY = p2s.Pix2StructConfig(
     vision=p2s.P2SVisionConfig(hidden_size=32, num_layers=2, num_heads=4, d_ff=64,

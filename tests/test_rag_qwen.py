@@ -76,6 +76,81 @@ def test_sft_batch_and_lora_step():
 
 
 def test_build_prompt():
+    # ChatML template (the reference applies the Qwen2.5 chat template via
+    # processor.apply_chat_template, src/QwenVLInstruct.py:143-146)
     p = build_prompt("what?", ["chunk one", "chunk two"])
-    assert p.startswith("user: what?") and p.endswith("assistant:")
+    assert p.startswith("<|im_start|>system")
+    assert "<|im_start|>user\nquestion: what?" in p
+    assert p.endswith("<|im_start|>assistant\n")
     assert "chunk one chunk two" in p
+
+
+def _visual_engine(params_seed=0):
+    from rag_docvqa_tpu.models.qwen_vision import QwenVisionConfig, init_qwen_vision_params
+    from rag_docvqa_tpu.models.vit import ViTConfig
+
+    vcfg = QwenVisionConfig(
+        vit=ViTConfig(hidden_size=16, num_layers=1, num_heads=2, mlp_dim=32,
+                      patch_size=8, image_size=32),
+        out_dim=LM.d_model,
+    )
+    params = clm.init_causal_lm_params(jax.random.PRNGKey(params_seed), LM)
+    params["vision"] = init_qwen_vision_params(jax.random.PRNGKey(params_seed + 1), vcfg)
+    cfg = QwenRAGConfig(chunk_num=3, max_prompt_tokens=196, max_new_tokens=3,
+                        use_visual=True, max_crops=2)
+    return RAGQwenEngine(cfg, LM, params, TOK, vision_cfg=vcfg), vcfg
+
+
+def _docs_with_images(bs=2):
+    docs = make_corpus(bs, n_pages=2, words_per_page=30, seed=21)
+    rng = np.random.RandomState(0)
+    for d in docs:
+        d.images = [rng.randint(0, 255, (64, 64, 3)).astype(np.uint8) for _ in d.words]
+    ing = DocVQAIngestor(TOK, ChunkSpec(chunk_size=10, overlap=2),
+                         Caps(max_pages=2, max_chunks=12, max_slots=128))
+    batch, aux = ing.ingest(docs)
+    return docs, batch, aux
+
+
+def test_visual_path_reaches_generator():
+    """Retrieved image crops change the generator output (the vision tower
+    feeds visual tokens through the <|image_pad|> splice —
+    src/QwenVLInstruct.py:85-160)."""
+    docs, batch, aux = _docs_with_images()
+    eng, vcfg = _visual_engine()
+    out_vis = eng.inference(batch, aux)
+
+    # same engine, images removed -> placeholders absent -> different prompt
+    aux_noimg = dict(aux, images=[None] * len(docs))
+    out_txt = eng.inference(batch, aux_noimg)
+    assert out_vis["pred_answers"] != out_txt["pred_answers"] or \
+        not np.allclose(out_vis["confidences"], out_txt["confidences"])
+
+    # different image content -> different visual embeddings -> output changes
+    rng = np.random.RandomState(99)
+    for d in docs:
+        d.images = [rng.randint(0, 255, (64, 64, 3)).astype(np.uint8) for _ in d.words]
+    _, _, aux2 = _docs_with_images()  # re-ingest not needed; aux carries images
+    aux2 = dict(aux, images=[d.images for d in docs])
+    out_vis2 = eng.inference(batch, aux2)
+    assert out_vis2["pred_answers"] != out_vis["pred_answers"] or \
+        not np.allclose(out_vis2["confidences"], out_vis["confidences"])
+
+
+def test_sft_batch_includes_image_placeholders():
+    docs, batch, aux = _docs_with_images()
+    eng, vcfg = _visual_engine()
+    ids, mask, labels, vemb, vmask = eng.build_sft_batch(batch, aux)
+    ids_np, vmask_np = np.asarray(ids), np.asarray(vmask)
+    # placeholder spans present and aligned with the visual mask
+    assert vmask_np.sum() > 0
+    assert (ids_np[vmask_np] == eng.image_pad_id).all()
+    # expected span length per crop
+    assert vmask_np[0].sum() % vcfg.tokens_per_image == 0
+    # answer tokens still supervised
+    labels_np = np.asarray(labels)
+    sup = labels_np[0][labels_np[0] != -100]
+    assert len(sup) > 0 and sup[-1] == LM.eos_id
+    # loss runs with the visual splice
+    loss = clm.sft_loss(eng.params, LM, ids, mask, labels, vemb, vmask)
+    assert np.isfinite(float(loss))

@@ -9,6 +9,9 @@ from rag_docvqa_tpu.models import t5 as t5m
 from rag_docvqa_tpu.models.convert import convert_t5_state_dict, torch_state_dict_to_numpy
 from rag_docvqa_tpu.ops.decode import greedy_decode
 
+pytestmark = pytest.mark.parity  # slow torch/HF parity; core suite runs -m 'not parity'
+
+
 TINY = t5m.T5Config(
     vocab_size=128,
     d_model=32,

@@ -126,3 +126,77 @@ def test_config_system():
     runs = list(expand_sweep({"a": [1, 2], "b": "x", "c": [3, 4]}))
     assert len(runs) == 4
     assert all(r["b"] == "x" for r in runs)
+
+
+def test_nac_train_step_learns_labels():
+    """The DUDE NAC BCE term (reference train.py:72-86): nac_loss decreases
+    and only the NAC subtree receives those gradients (generator inputs are
+    stop-gradient)."""
+    ing = make_ingestor()
+    docs = make_corpus(4, n_pages=2, words_per_page=30, seed=5)
+    for d in docs[:2]:
+        d.answer_type = "not-answerable"
+    batch, aux = ing.ingest(docs)
+    labels = jnp.asarray(ing.answer_labels(aux["answers"], max_len=4))
+    nac_gt = jnp.asarray([t == "not-answerable" for t in aux["answer_types"]], jnp.float32)
+
+    from rag_docvqa_tpu.models.nac import NACConfig, init_nac_params
+
+    params = vt5m.init_vt5_params(jax.random.PRNGKey(0), CFG)
+    params["nac"] = init_nac_params(jax.random.PRNGKey(1), NACConfig(emb_dim=CFG.t5.d_model))
+    tx = build_optimizer(lr=5e-3, warmup_steps=1, total_steps=60,
+                         mask=trainable_mask(params, ("nac",)))
+    state = TrainState.create(params, tx)
+    step = make_train_step(CFG, RAG, tx, use_nac=True, nac_loss_weight=1.0, nac_decode_len=4)
+
+    before_shared = np.array(params["t5"]["shared"])
+    first = last = None
+    for _ in range(30):
+        state, m = step(state, batch, labels, nac_gt)
+        if first is None:
+            first = float(m["nac_loss"])
+        last = float(m["nac_loss"])
+    assert last < first * 0.5, f"nac loss did not drop: {first} -> {last}"
+    assert float(m["nac_accuracy"]) == 1.0
+    # generator untouched (only NAC trainable here)
+    np.testing.assert_array_equal(before_shared, np.asarray(state.params["t5"]["shared"]))
+
+
+def test_trainer_train_metrics_every(capsys):
+    """train_metrics_every logs train-batch ANLS/accuracy via generation
+    (reference computes them every batch, train.py:109-117)."""
+    ing = make_ingestor()
+    train_docs = make_corpus(4, n_pages=2, words_per_page=30, seed=6)
+    params = vt5m.init_vt5_params(jax.random.PRNGKey(0), CFG)
+    trainer = Trainer(
+        CFG, RAG, params, TOK, ing,
+        TrainLoopConfig(epochs=1, batch_size=4, lr=1e-3, warmup_steps=1,
+                        eval_start=False, train_metrics_every=1, log_every=100),
+    )
+    trainer.fit(train_docs, [])
+    out = capsys.readouterr().out
+    assert "train_batch_accuracy" in out and "train_batch_anls" in out
+
+
+def test_trainer_hivt5_path():
+    """Hi-VT5 training through the Trainer: lm+ret losses, params update."""
+    from rag_docvqa_tpu.config import build_hivt5_config
+    from rag_docvqa_tpu.models import hivt5 as hivt5m
+
+    ing = make_ingestor()
+    train_docs = make_corpus(4, n_pages=2, words_per_page=20, seed=7)
+    cfg_dict = {"d_model": 32, "d_kv": 8, "num_heads": 4, "d_ff": 64, "num_layers": 2,
+                "dropout_rate": 0.0, "page_tokens": 2, "max_pages": 3, "max_text_tokens": 48}
+    hcfg = build_hivt5_config(cfg_dict, TOK.vocab_size)
+    params = hivt5m.init_hivt5_params(jax.random.PRNGKey(0), hcfg)
+    before_head = np.array(params["page_head"]["kernel"])
+    trainer = Trainer(
+        None, RAG, params, TOK, ing,
+        TrainLoopConfig(epochs=3, batch_size=2, lr=1e-2, warmup_steps=1,
+                        eval_start=False, log_every=1),
+        hivt5_cfg=hcfg,
+    )
+    out = trainer.fit(train_docs, [])
+    assert len(out["history"]) == 3
+    # the page-retrieval head trained too (reference trains whole Hi-VT5)
+    assert not np.array_equal(before_head, np.asarray(trainer.state.params["page_head"]["kernel"]))

@@ -9,6 +9,8 @@ from rag_docvqa_tpu.models.vit import ViTConfig, convert_vit_state_dict, init_vi
 from rag_docvqa_tpu.ops.patches import concatenate_patches_grid, crop_box
 
 torch = pytest.importorskip("torch")
+pytestmark = pytest.mark.parity  # slow torch/HF parity; core suite runs -m 'not parity'
+
 
 
 def test_vit_hf_parity():

@@ -141,11 +141,26 @@ def main(argv=None):
     config = load_config(model=args.model, dataset=args.dataset, overrides=overrides)
     _default_tokenizer_from_ckpt(config)
     tokenizer = load_tokenizer(config.get("tokenizer"))
-    vt5_cfg = build_vt5_config(config, tokenizer.vocab_size)
-    rag_cfg = build_rag_config(config)
     ingestor = DocVQAIngestor(tokenizer, build_chunk_spec(config), build_caps(config))
-    params = vt5m.init_vt5_params(jax.random.PRNGKey(config["seed"]), vt5_cfg)
-    params = resolve_params(config, params, vt5_cfg)
+    hivt5 = str(config.get("model_name", "VT5")).lower() in ("hi-vt5", "hivt5")
+    from rag_docvqa_tpu.engine import RAGConfig
+
+    # "custom"/oracle (Hi-VT5's page windowing) is handled by the dataset/
+    # ingest layer; the RAGConfig drives only the VT5 retrieval engine
+    rag_cfg = RAGConfig() if hivt5 else build_rag_config(config)
+    if hivt5:
+        from rag_docvqa_tpu.config import build_hivt5_config
+        from rag_docvqa_tpu.models import hivt5 as hivt5m
+
+        vt5_cfg = None
+        hivt5_cfg = build_hivt5_config(config, tokenizer.vocab_size)
+        params = hivt5m.init_hivt5_params(jax.random.PRNGKey(config["seed"]), hivt5_cfg)
+        params = resolve_params(config, params, hivt5_cfg, hivt5=True)
+    else:
+        vt5_cfg = build_vt5_config(config, tokenizer.vocab_size)
+        hivt5_cfg = None
+        params = vt5m.init_vt5_params(jax.random.PRNGKey(config["seed"]), vt5_cfg)
+        params = resolve_params(config, params, vt5_cfg)
 
     loop_cfg = TrainLoopConfig(
         epochs=config.get("train_epochs", 10),
@@ -155,10 +170,16 @@ def main(argv=None):
         save_dir=config.get("save_dir"),
         eval_start=args.eval_start,
         seed=config["seed"],
+        train_metrics_every=config.get("train_metrics_every", 0),
+        log_every=config.get("log_every", 10),
+        use_nac=bool(config.get("use_not_answerable_classifier", False)
+                     and config.get("train_not_answerable_classifier", True)),
+        nac_loss_weight=float(config.get("nac_loss_weight", 1.0)),
     )
     logger = RunLogger(name=config.get("experiment_name"), config=config,
                        use_wandb=config.get("use_wandb", False), log_dir=config.get("save_dir"))
-    trainer = Trainer(vt5_cfg, rag_cfg, params, tokenizer, ingestor, loop_cfg, logger=logger)
+    trainer = Trainer(vt5_cfg, rag_cfg, params, tokenizer, ingestor, loop_cfg,
+                      logger=logger, hivt5_cfg=hivt5_cfg)
 
     train_docs = build_docs(config, "train")
     val_docs = build_docs(config, "val")
