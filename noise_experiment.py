@@ -55,6 +55,10 @@ def main(argv=None):
     engine = RAGVT5Engine(rag_cfg, vt5_cfg, params, tokenizer)
     base_docs = build_docs(config, args.split)
 
+    # per-document seed page counts (reference breaks results down per
+    # document's own page count, noise_experiment.py:96-175)
+    qid_to_seed_pages = {d.question_id: len(d.words) for d in base_docs}
+
     results = {}
     for n_noise in args.noise_pages:
         per_seed = defaultdict(list)  # metric -> list over seeds
@@ -83,7 +87,7 @@ def main(argv=None):
             for k in ("accuracy", "anls", "retrieval_precision", "chunk_score"):
                 per_seed[k].append(out[k])
             for qid, s in out["scores_by_samples"].items():
-                seed_pages = len(base_docs[0].words)  # seed page count per base doc
+                seed_pages = qid_to_seed_pages.get(qid, 0)
                 by_pages[seed_pages]["anls"].append(s["anls"])
                 by_pages[seed_pages]["retrieval_precision"].append(s["retrieval_precision"])
 

@@ -181,6 +181,15 @@ def build_hivt5_config(c: Dict[str, Any], vocab_size: int):
         max_doc_pages=c.get("max_pages", 20) or 20,
         page_seq_len=c.get("max_text_tokens", c.get("max_source_length", 512)),
         retrieval_loss_weight=c.get("retrieval_loss_weight", 0.25),
+        use_visual=c.get("use_visual", False),
+        vit=ViTConfig(
+            hidden_size=c.get("visual_hidden_size", 768),
+            num_layers=c.get("visual_num_layers", 12),
+            num_heads=c.get("visual_num_heads", 12),
+            mlp_dim=c.get("visual_mlp_dim", 3072),
+            patch_size=c.get("visual_patch_size", 16),
+            image_size=c.get("visual_image_size", 224),
+        ),
     )
 
 

@@ -287,6 +287,99 @@ class DUDEDataset(BaseDataset):
         )
 
 
+def format_dude_document(
+    sample: Dict[str, Any],
+    split: str = "val",
+    max_pages: Optional[int] = None,
+    rng: Optional[random.Random] = None,
+) -> List[Dict[str, Any]]:
+    """Raw DUDE document -> per-question records (reference DUDE_Raw.format_data,
+    src/DUDE.py:132-181): decode+resize page images to <=1024px on the long
+    side, pick a random answer page (DUDE provides none, :155), window the
+    pages to max_pages around it for train, carry answers/answer_type.
+
+    `sample` fields: questions (list of {question, answers, answer_type,
+    question_id}), images (list of encoded bytes or arrays, optional),
+    ocr_tokens (n_pages, n_words), ocr_boxes (n_pages, n_words, 4).
+    """
+    rng = rng or random.Random(0)
+    n_pages = len(sample["ocr_tokens"])
+    cap = max_pages if (split == "train" and max_pages) else None
+
+    images = None
+    if sample.get("images"):
+        images = []
+        for img in sample["images"]:
+            if isinstance(img, (bytes, bytearray)):
+                import io
+
+                from PIL import Image
+
+                img = Image.open(io.BytesIO(img))
+                scale = 1024 / max(img.size)  # DUDE.py:146-152
+                if scale < 1:
+                    img = img.resize((int(img.size[0] * scale), int(img.size[1] * scale)))
+                img = np.asarray(img.convert("RGB"))
+            images.append(np.asarray(img))
+
+    records = []
+    for q in sample["questions"]:
+        answer_page = rng.randint(0, max(n_pages - 1, 0))
+        if cap is None or n_pages <= cap:
+            first, last = 0, n_pages
+        else:
+            # random window of `max_pages` containing the answer page
+            # (DUDE.py:158-168)
+            first = rng.randint(max(0, answer_page - cap + 1), answer_page)
+            last = first + cap
+            if last > n_pages:
+                last = n_pages
+                first = last - cap
+        rec = {
+            "question": q["question"],
+            "question_id": q.get("question_id", 0),
+            "answers": [a.lower() for a in q.get("answers", [])] or [""],
+            "answer_type": q.get("answer_type", "string"),
+            "answer_page_idx": answer_page - first,
+            "ocr_tokens": sample["ocr_tokens"][first:last],
+            "ocr_normalized_boxes": sample["ocr_boxes"][first:last],
+        }
+        if images is not None:
+            rec["images"] = images[first:last]
+        records.append(rec)
+    return records
+
+
+def build_dude(
+    raw_dir: str,
+    out_dir: str,
+    split: str = "val",
+    max_pages: Optional[int] = None,
+    seed: int = 0,
+) -> str:
+    """Raw HF DUDE dataset -> per-question save_to_disk cache consumable by
+    DUDEDataset (reference build_dude, src/DUDE.py:183-213 + build_dude.py).
+    Returns the written path."""
+    import datasets as hf_datasets
+
+    rng = random.Random(seed)
+    saved = any(
+        os.path.exists(os.path.join(raw_dir, f)) for f in ("state.json", "dataset_dict.json")
+    )
+    raw = hf_datasets.load_from_disk(raw_dir) if saved else hf_datasets.load_dataset(raw_dir, split=split)
+    if hasattr(raw, "keys") and split in raw:
+        raw = raw[split]
+
+    records: List[Dict[str, Any]] = []
+    for sample in raw:
+        records.extend(format_dude_document(sample, split=split, max_pages=max_pages, rng=rng))
+    cols = {k: [r[k] for r in records] for k in records[0]} if records else {}
+    ds = hf_datasets.Dataset.from_dict(cols)
+    out_path = os.path.join(out_dir, f"DUDE_{split}")
+    ds.save_to_disk(out_path)
+    return out_path
+
+
 def create_balanced_nac_dataset(docs: Sequence[RawDocument], seed: int = 42) -> List[RawDocument]:
     """Rebalance answerable vs not-answerable for NAC training
     (DUDE.py:229-266): keep all not-answerable, subsample answerable to match."""

@@ -21,9 +21,37 @@ class HiVT5Engine:
         self.tokenizer = tokenizer
         self.max_new_tokens = max_new_tokens
 
+    def _page_visual(self, batch: ChunkedBatch, aux: Optional[Dict[str, Any]]):
+        """Per-page visual tokens (HiVT5.py:471-489): every page render goes
+        through the ViT + matcher + visual-box spatial embedding. Returns
+        (B, P, 197, D) or None when the visual branch is off / no images."""
+        if not (self.cfg.use_visual and "visual" in self.params):
+            return None
+        if aux is None or not aux.get("images") or aux["images"][0] is None:
+            return None
+        import jax.numpy as jnp
+
+        from rag_docvqa_tpu.ops.patches import resize_image
+
+        B, P = batch.batch_size, self.cfg.max_doc_pages
+        size = self.cfg.vit.image_size
+        pixels = np.zeros((B * P, size, size, 3), np.float32)
+        for b in range(B):
+            page_imgs = aux["images"][b] or []
+            for p in range(min(P, len(page_imgs))):
+                if page_imgs[p] is None:
+                    continue
+                img = resize_image(np.asarray(page_imgs[p]), size, size) / 255.0
+                pixels[b * P + p] = (img - 0.5) / 0.5
+        vis = hivt5m.page_visual_features(self.params, self.cfg, jnp.asarray(pixels))
+        return vis.reshape(B, P, vis.shape[1], vis.shape[2])
+
     def inference(self, batch: ChunkedBatch, aux: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
         t0 = time.time()
-        tokens, conf, pred_page = hivt5m.generate(self.params, self.cfg, batch, self.max_new_tokens)
+        page_visual = self._page_visual(batch, aux)
+        tokens, conf, pred_page = hivt5m.generate(
+            self.params, self.cfg, batch, self.max_new_tokens, page_visual=page_visual
+        )
         answers = self._decode(tokens)
         pages = [int(p) for p in np.asarray(pred_page)]
         return {

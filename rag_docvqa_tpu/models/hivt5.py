@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from rag_docvqa_tpu.data.contract import ChunkedBatch
 from rag_docvqa_tpu.models import t5 as t5m
 from rag_docvqa_tpu.models.embeddings import SpatialConfig, init_spatial_params, spatial_embed
+from rag_docvqa_tpu.models.vit import ViTConfig
 from rag_docvqa_tpu.models.layers import normal_init
 from rag_docvqa_tpu.ops.decode import greedy_decode
 from rag_docvqa_tpu.ops.gather import AssembleConfig, assemble_page_rows
@@ -42,12 +43,16 @@ class HiVT5Config:
     max_doc_pages: int = 20
     page_seq_len: int = 512  # per-page token budget (max_text_tokens)
     retrieval_loss_weight: float = 0.25  # page_retrieval_config loss_weight
+    # per-page visual branch (HiVT5.py:471-489): ViT features + visual-box
+    # spatial embeddings appended to each page's encoder input
+    use_visual: bool = False
+    vit: ViTConfig = field(default_factory=ViTConfig)
 
 
 def init_hivt5_params(rng: jax.Array, cfg: HiVT5Config) -> Dict[str, Any]:
-    ks = jax.random.split(rng, 4)
+    ks = jax.random.split(rng, 6)
     d = cfg.t5.d_model
-    return {
+    params = {
         "t5": t5m.init_t5_params(ks[0], cfg.t5),
         "spatial": init_spatial_params(ks[1], cfg.spatial),
         # [PAGE_p] learnable tokens, one embedding per page position
@@ -59,18 +64,47 @@ def init_hivt5_params(rng: jax.Array, cfg: HiVT5Config) -> Dict[str, Any]:
             "bias": jnp.zeros((cfg.max_doc_pages,)),
         },
     }
+    if cfg.use_visual:
+        from rag_docvqa_tpu.models.vit import init_vit_params
+
+        params["visual"] = {
+            "vit": init_vit_params(ks[4], cfg.vit),
+            "matcher": {
+                "kernel": normal_init(ks[5], (cfg.vit.hidden_size, d), cfg.vit.hidden_size**-0.5),
+                "bias": jnp.zeros((d,)),
+            },
+        }
+    return params
+
+
+def page_visual_features(params: Dict[str, Any], cfg: HiVT5Config, pixels: jax.Array) -> jax.Array:
+    """(N, H, W, 3) page renders -> (N, 197, d_model) visual tokens with the
+    visual-box spatial embedding summed in (HiVT5.py:466-469: visual_emb +
+    spatial(get_visual_boxes(scale=1000)))."""
+    from rag_docvqa_tpu.models.embeddings import get_visual_boxes
+    from rag_docvqa_tpu.models.vit import vit_encode
+
+    hidden = vit_encode(params["visual"]["vit"], cfg.vit, pixels)
+    m = params["visual"]["matcher"]
+    vis = jnp.dot(hidden, m["kernel"].astype(hidden.dtype)) + m["bias"].astype(hidden.dtype)
+    grid = cfg.vit.image_size // cfg.vit.patch_size
+    boxes = (get_visual_boxes(num_pages=1, scale=1000.0, grid=grid)[0]).astype(jnp.int32)  # (1+g*g, 4)
+    box_emb = spatial_embed(params["spatial"], cfg.spatial, boxes[None])  # (1, T, D)
+    return vis + box_emb.astype(vis.dtype)
 
 
 def encode_document(
     params: Dict[str, Any],
     cfg: HiVT5Config,
     batch: ChunkedBatch,
+    page_visual: jax.Array = None,  # (B, P, Tv, D) per-page visual tokens
 ) -> Tuple[jax.Array, jax.Array]:
     """Hierarchical encode: returns (doc_emb (B, P*K, D), doc_mask (B, P*K)).
 
     Page inputs come from the raw word arrays; the batch's prompt tokens
     ("question: ... context:") play the role of the reference's per-page
-    question prefix (HiVT5.py:465-470).
+    question prefix (HiVT5.py:465-470). With page_visual, each page's visual
+    tokens are appended after its text (HiVT5.py:471-472: cat(text, visual)).
     """
     B = batch.batch_size
     P, K = cfg.max_doc_pages, cfg.page_tokens
@@ -90,7 +124,12 @@ def encode_document(
     x = jnp.concatenate([page_tok.astype(x.dtype), x], axis=1)  # (B*P, K+T, D)
     mask = jnp.concatenate(
         [jnp.ones((B * P, K), bool), gen.attention_mask], axis=1
-    ) & page_valid.reshape(B * P)[:, None]
+    )
+    if page_visual is not None:
+        Tv = page_visual.shape[2]
+        x = jnp.concatenate([x, page_visual.reshape(B * P, Tv, -1).astype(x.dtype)], axis=1)
+        mask = jnp.concatenate([mask, jnp.ones((B * P, Tv), bool)], axis=1)
+    mask = mask & page_valid.reshape(B * P)[:, None]
 
     hidden = t5m.encode(params["t5"], cfg.t5, x, mask)  # one pass, pages in batch
     compressed = hidden[:, :K, :]  # keep page summary tokens (HiVT5.py:489)
@@ -112,12 +151,13 @@ def forward_train(
     cfg: HiVT5Config,
     batch: ChunkedBatch,
     labels: jax.Array,  # (B, Td) with -100 padding
+    page_visual: jax.Array = None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Returns (total loss, {'lm_loss', 'ret_loss', 'ret_logits'}).
 
     total = LM CE + retrieval_loss_weight * page CE (train.py:69,
     _modules.py:173)."""
-    doc_emb, doc_mask = encode_document(params, cfg, batch)
+    doc_emb, doc_mask = encode_document(params, cfg, batch, page_visual)
     dec_in = t5m.shift_tokens_right(labels, cfg.t5.pad_id, cfg.t5.decoder_start_token_id)
     logits = t5m.decode_train(params["t5"], cfg.t5, dec_in, doc_emb, doc_mask)
     valid = labels != -100
@@ -141,13 +181,14 @@ def generate(
     cfg: HiVT5Config,
     batch: ChunkedBatch,
     max_new_tokens: int = 100,
+    page_visual: jax.Array = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Greedy decode over the compressed document embedding.
 
     Returns (tokens, confidence, pred_page): pred_page from the retrieval head
     (the reference's last-step argmax quirk HiVT5.py:772-778 is replaced by
     the head it was meant to use — the ret_logits path)."""
-    doc_emb, doc_mask = encode_document(params, cfg, batch)
+    doc_emb, doc_mask = encode_document(params, cfg, batch, page_visual)
     tokens, conf = greedy_decode(params["t5"], cfg.t5, doc_emb, doc_mask, max_new_tokens)
     ret_logits = page_retrieval_logits(params, cfg, doc_emb)
     page_valid = jnp.arange(cfg.max_doc_pages)[None, :] < batch.num_pages[:, None]

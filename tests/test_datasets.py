@@ -183,3 +183,58 @@ def test_balanced_nac():
     types = [d.answer_type for d in out]
     assert types.count("not-answerable") == 2
     assert types.count("string") == 2
+
+
+def test_dude_raw_build_pipeline(tmp_path):
+    """Raw DUDE docs -> per-question records -> save_to_disk -> DUDEDataset
+    (reference DUDE_Raw.format_data + build_dude, src/DUDE.py:132-213)."""
+    import random
+
+    import datasets as hf_datasets
+
+    from rag_docvqa_tpu.data.datasets import DUDEDataset, build_dude, format_dude_document
+
+    # two raw documents, 5 and 2 pages, 2 questions each
+    def make_doc(n_pages, qid0):
+        return {
+            "questions": [
+                {"question": f"q{qid0 + i}?", "answers": [f"A{qid0 + i}"],
+                 "answer_type": "not-answerable" if i == 1 else "string",
+                 "question_id": qid0 + i}
+                for i in range(2)
+            ],
+            "ocr_tokens": [[f"w{p}_{j}" for j in range(6)] for p in range(n_pages)],
+            "ocr_boxes": [[[0.1, 0.1, 0.2, 0.2]] * 6 for _ in range(n_pages)],
+        }
+
+    # unit: page windowing keeps the answer page inside the window
+    rng = random.Random(3)
+    recs = format_dude_document(make_doc(5, 0), split="train", max_pages=2, rng=rng)
+    for r in recs:
+        assert len(r["ocr_tokens"]) == 2
+        assert 0 <= r["answer_page_idx"] < 2
+
+    # full build: raw HF dataset dir -> cache dir -> DUDEDataset
+    raw = hf_datasets.Dataset.from_dict({
+        k: [make_doc(5, 0)[k], make_doc(2, 10)[k]]
+        for k in ("questions", "ocr_tokens", "ocr_boxes")
+    })
+    raw_dir = tmp_path / "raw"
+    raw.save_to_disk(str(raw_dir))
+    out = build_dude(str(raw_dir), str(tmp_path / "pre"), split="val", seed=0)
+
+    ds = DUDEDataset(out, split="val")
+    assert len(ds) == 4
+    docs = [ds[i] for i in range(len(ds))]
+    assert docs[0].question == "q0?"
+    assert docs[1].answer_type == "not-answerable"
+    assert all(0 <= d.answer_page_idx < len(d.words) for d in docs)
+    # records ingest cleanly
+    from rag_docvqa_tpu.data import DocVQAIngestor, HashTokenizer
+    from rag_docvqa_tpu.data.contract import Caps
+    from rag_docvqa_tpu.ops.chunking import ChunkSpec
+
+    ing = DocVQAIngestor(HashTokenizer(512), ChunkSpec(chunk_size=6, overlap=1),
+                         Caps(max_pages=5, max_chunks=16, max_slots=128))
+    batch, aux = ing.ingest(docs)
+    assert batch.batch_size == 4

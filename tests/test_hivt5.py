@@ -93,3 +93,42 @@ def test_generate():
     assert tokens.shape == (2, 4)
     assert conf.shape == (2,)
     assert (np.asarray(pred_page) < 3).all()  # only valid pages predicted
+
+
+def test_per_page_visual_branch():
+    """Hi-VT5 visual branch (HiVT5.py:471-489): per-page ViT features +
+    visual-box spatial embeddings append to each page's encoder input and
+    change the document embedding / generation."""
+    import numpy as np
+
+    from rag_docvqa_tpu.engine.hivt5_engine import HiVT5Engine
+    from rag_docvqa_tpu.models.vit import ViTConfig
+
+    vcfg = hivt5.HiVT5Config(
+        t5=CFG.t5, spatial=CFG.spatial, page_tokens=CFG.page_tokens,
+        max_doc_pages=CFG.max_doc_pages, page_seq_len=CFG.page_seq_len,
+        use_visual=True,
+        vit=ViTConfig(hidden_size=16, num_layers=1, num_heads=2, mlp_dim=32,
+                      patch_size=8, image_size=16),
+    )
+    params = hivt5.init_hivt5_params(jax.random.PRNGKey(0), vcfg)
+    assert "visual" in params
+
+    docs, batch, labels = build()
+    rng = np.random.RandomState(0)
+    aux_images = [
+        [rng.randint(0, 255, (32, 32, 3)).astype(np.uint8) for _ in d.words] for d in docs
+    ]
+    aux = {"images": aux_images}
+
+    eng = HiVT5Engine(vcfg, params, TOK, max_new_tokens=3)
+    out_vis = eng.inference(batch, aux)
+    out_txt = eng.inference(batch, {"images": [None] * len(docs)})
+    assert out_vis["pred_answers"] != out_txt["pred_answers"] or \
+        not np.allclose(out_vis["confidences"], out_txt["confidences"])
+
+    # training path accepts the visual tokens
+    page_visual = eng._page_visual(batch, aux)
+    assert page_visual is not None
+    loss, parts = hivt5.forward_train(params, vcfg, batch, labels, page_visual=page_visual)
+    assert np.isfinite(float(loss))
