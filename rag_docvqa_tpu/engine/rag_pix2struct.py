@@ -85,77 +85,104 @@ class RAGPix2StructEngine:
                 xyxy.append(box)
         return chunks, coords, xyxy, shapes
 
-    def _embed_chunks(self, chunks: List[np.ndarray]):
-        """Per-chunk flattened patches -> batched vision encode (fixed shapes)."""
-        cfg = self.cfg
-        T = cfg.patches_per_chunk
-        n = min(len(chunks), cfg.max_chunks)
-        feats = np.zeros((cfg.max_chunks, T, 2 + self.p2s_cfg.vision.patch_dim), np.float32)
-        for i in range(n):
-            flat, _ = extract_flattened_patches(adaptive_normalize(chunks[i]), T, pad=True)
-            feats[i] = flat
-        tok_mask = (np.abs(feats).sum(-1) != 0).astype(np.float32)
-        emb = _encode_patch_sets(self.params, self.p2s_cfg, jnp.asarray(feats), jnp.asarray(tok_mask))
-        chunk_valid = np.zeros((cfg.max_chunks,), bool)
-        chunk_valid[:n] = True
-        return emb, jnp.asarray(tok_mask), jnp.asarray(chunk_valid)
-
-    def _embed_question(self, question: str):
-        q_img = render_text(question)
-        flat, _ = extract_flattened_patches(adaptive_normalize(q_img), self.cfg.patches_per_chunk, pad=True)
-        mask = (np.abs(flat).sum(-1) != 0).astype(np.float32)
-        emb = _encode_patch_sets(
-            self.params, self.p2s_cfg, jnp.asarray(flat)[None], jnp.asarray(mask)[None]
-        )
-        return emb[0], jnp.asarray(mask)
-
     # ------------------------------------------------------------------ #
     def retrieve(self, question: str, images: Sequence[np.ndarray]):
-        """Returns (merged crops, page indices, scores, steps dict)."""
+        """Single-doc retrieval with step info (demo / return_steps path).
+        Returns (merged crops, page indices, scores, steps dict)."""
+        crops, pages, vals, steps = self._retrieve_batch([question], [images], return_steps=True)
+        return crops[0], pages[0], vals[0], steps[0]
+
+    def _retrieve_batch(
+        self,
+        questions: Sequence[str],
+        images_list: Sequence[Sequence[np.ndarray]],
+        return_steps: bool = False,
+    ):
+        """Batched retrieval: ONE vision-encode dispatch for all docs' image
+        chunks + questions and ONE batched MaxSim+top-k (the reference loops
+        documents on host, src/RAGPix2Struct.py:104-181 — an anti-pattern this
+        engine replaces with fixed-shape batching)."""
         cfg = self.cfg
-        chunks, coords, xyxy, shapes = self._chunk_pages(images)
-        patch_emb, tok_mask, chunk_valid = self._embed_chunks(chunks)
-        q_emb, q_mask = self._embed_question(question)
-        vals, idx, valid = _score_topk(patch_emb, tok_mask, q_emb, q_mask, chunk_valid, cfg.chunk_num)
-        idx, valid = np.asarray(idx), np.asarray(valid)
+        B = len(questions)
+        T = cfg.patches_per_chunk
+        F = 2 + self.p2s_cfg.vision.patch_dim
 
-        # surrounding-pattern expansion (host; src/_modules.py:2207-2282)
-        surround: set = set()
-        for r in range(cfg.chunk_num):
-            if not valid[r] or idx[r] >= len(coords):
-                continue
-            page_idx, row, col = coords[idx[r]]
-            rows, cols = shapes[page_idx]
-            for rc in _surrounding_coords((row, col), (rows, cols), cfg.include_surroundings):
-                surround.add((page_idx, *rc))
+        per_doc = [self._chunk_pages(imgs) for imgs in images_list]
 
-        crops = _merge_overlapping(sorted(surround), shapes, xyxy, coords, images)
-        pages = sorted({p for p, _, _ in surround})
-        steps = {"n_chunks": len(chunks), "coords": coords, "xyxy": xyxy}
-        return crops, pages, np.asarray(vals), steps
+        feats = np.zeros((B, cfg.max_chunks, T, F), np.float32)
+        chunk_valid = np.zeros((B, cfg.max_chunks), bool)
+        q_feats = np.zeros((B, T, F), np.float32)
+        for b, (chunks, _, _, _) in enumerate(per_doc):
+            n = min(len(chunks), cfg.max_chunks)
+            for i in range(n):
+                flat, _ = extract_flattened_patches(adaptive_normalize(chunks[i]), T, pad=True)
+                feats[b, i] = flat
+            chunk_valid[b, :n] = True
+            q_img = render_text(questions[b])
+            q_flat, _ = extract_flattened_patches(adaptive_normalize(q_img), T, pad=True)
+            q_feats[b] = q_flat
+
+        tok_mask = (np.abs(feats).sum(-1) != 0).astype(np.float32)
+        q_mask = (np.abs(q_feats).sum(-1) != 0).astype(np.float32)
+        # one dispatch: all docs' chunks + all questions through the encoder
+        stacked = np.concatenate([feats.reshape(B * cfg.max_chunks, T, F), q_feats], axis=0)
+        stacked_mask = np.concatenate([tok_mask.reshape(B * cfg.max_chunks, T), q_mask], axis=0)
+        emb = _encode_patch_sets(self.params, self.p2s_cfg, jnp.asarray(stacked), jnp.asarray(stacked_mask))
+        patch_emb = emb[: B * cfg.max_chunks].reshape(B, cfg.max_chunks, T, -1)
+        q_emb = emb[B * cfg.max_chunks :]
+
+        vals, idx, valid = _score_topk(
+            patch_emb, jnp.asarray(tok_mask), q_emb, jnp.asarray(q_mask),
+            jnp.asarray(chunk_valid), cfg.chunk_num,
+        )
+        idx, valid, vals = np.asarray(idx), np.asarray(valid), np.asarray(vals)
+
+        all_crops, all_pages, all_steps = [], [], []
+        for b, (chunks, coords, xyxy, shapes) in enumerate(per_doc):
+            # surrounding-pattern expansion (host; src/_modules.py:2207-2282)
+            surround: set = set()
+            for r in range(cfg.chunk_num):
+                if not valid[b, r] or idx[b, r] >= len(coords):
+                    continue
+                page_idx, row, col = coords[idx[b, r]]
+                rows, cols = shapes[page_idx]
+                for rc in _surrounding_coords((row, col), (rows, cols), cfg.include_surroundings):
+                    surround.add((page_idx, *rc))
+            all_crops.append(_merge_overlapping(sorted(surround), shapes, xyxy, coords, images_list[b]))
+            all_pages.append(sorted({p for p, _, _ in surround}))
+            if return_steps:
+                all_steps.append({"n_chunks": len(chunks), "coords": coords, "xyxy": xyxy})
+        return all_crops, all_pages, vals, all_steps
 
     # ------------------------------------------------------------------ #
     def inference(self, docs: Sequence[RawDocument]) -> Dict[str, Any]:
         """Batch inference; each doc needs `images` (page renders)."""
         cfg = self.cfg
-        all_patches, all_masks, pred_pages = [], [], []
+        images_list = []
         for doc in docs:
             assert doc.images is not None, "RAGPix2Struct needs page images"
-            images = [np.asarray(im) for im in doc.images if im is not None]
-            if cfg.use_rag:
-                crops, pages, _, _ = self.retrieve(doc.question, images)
-                if not crops:
-                    crops = images  # fallback: all pages
-                    pages = list(range(len(images)))
-            else:
-                crops, pages = images, list(range(len(images)))
+            images_list.append([np.asarray(im) for im in doc.images if im is not None])
+
+        if cfg.use_rag:
+            all_crops, pred_pages, _, _ = self._retrieve_batch(
+                [d.question for d in docs], images_list
+            )
+            for b, images in enumerate(images_list):
+                if not all_crops[b]:
+                    all_crops[b] = images  # fallback: all pages
+                    pred_pages[b] = list(range(len(images)))
+        else:
+            all_crops = images_list
+            pred_pages = [list(range(len(imgs))) for imgs in images_list]
+
+        all_patches, all_masks = [], []
+        for doc, crops in zip(docs, all_crops):
             header = render_text(doc.question)
             flat, mask = pack_multi_image_patches(
                 crops, cfg.max_total_patches, normalize=True, header=header
             )
             all_patches.append(flat)
             all_masks.append(mask)
-            pred_pages.append(pages)
 
         patches = jnp.asarray(np.stack(all_patches))
         masks = jnp.asarray(np.stack(all_masks))

@@ -194,11 +194,119 @@ def cosine_topk_pallas(
     return vals, idx, valid
 
 
-# Measured on TPU v5e, 512k x 768 bf16 index: the fused kernel wins below
-# ~128 queries/batch (4.1 vs 6.0 ms at B=8 — gated merge + no (B, N) score
-# materialization); XLA's matmul + lax.top_k wins for large batches (9.8 vs
-# 11.8 ms at B=256, merge passes dominate the kernel there).
-PALLAS_BATCH_CROSSOVER = 128
+# --------------------------------------------------------------------------- #
+# two-phase hierarchical top-k (exact)
+# --------------------------------------------------------------------------- #
+def _segmax_kernel(n_valid_ref, q_ref, idx_tile_ref, segmax_ref, tile_n: int, group: int):
+    """Per index tile: fused matmul + segment-max reduction.
+
+    Writes this tile's (B, tile_n/group) segment maxima; the (B, N) score
+    matrix never exists. One VPU pass per element (vs k passes in the
+    running-merge kernel) — the tile work is MXU-bound.
+    """
+    t = pl.program_id(0)
+    n_valid = n_valid_ref[0]
+    scores = jax.lax.dot_general(
+        q_ref[:],
+        idx_tile_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (B, tile_n)
+    B = scores.shape[0]
+    global_idx = t * tile_n + jax.lax.broadcasted_iota(jnp.int32, (B, tile_n), 1)
+    scores = jnp.where(global_idx < n_valid, scores, NEG_INF)
+    # contiguous per-`group` max. Mosaic rejects lane-splitting reshapes
+    # (B, T) -> (B, T/G, G) for G < 128; transposing first makes the split a
+    # major-dim split, which lowers cleanly.
+    segmax_ref[:] = jnp.max(scores.T.reshape(tile_n // group, group, B), axis=1).T
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_n", "group", "interpret"))
+def cosine_topk_twophase(
+    index: jax.Array,  # (N, D) pre-normalized, N % tile_n == 0
+    queries: jax.Array,  # (B, D)
+    n_valid: jax.Array,  # () int32
+    k: int,
+    tile_n: int = 2048,
+    group: int = 16,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Exact top-k via segment-max pre-selection.
+
+    Phase 1 (Pallas): fused matmul + per-16-element segment maxima.
+    Phase 2 (XLA):    lax.top_k over the (B, N/16) segment maxima.
+    Phase 3 (XLA):    re-score only the k winning segments' k*16 candidates
+                      and take the final top-k.
+
+    Exactness (incl. lax.top_k's lowest-index tie rule): any segment holding
+    a true top-k element outranks (segmax desc, segment index asc) at least
+    one of any k other segments — so the k selected segments cover the
+    answer; sorting the selected segments by ascending index keeps the
+    first-match tie behavior in the final top_k.
+
+    Backend caveat: phase 3 re-accumulates the k*group candidate scores in a
+    separate contraction; on TPU its f32 accumulation order can differ from a
+    monolithic matmul by ~1e-4 on bf16 data, so adjacent ranks whose scores
+    are closer than that may swap relative to cosine_topk_xla (the selected
+    index SET matches; verified on a 512k-row index). Interpret/CPU mode is
+    bit-identical. Measured on TPU v5e vs 512k x 768 bf16 (ms/batch):
+      B=8: 4.06 (pallas 3.93, xla 4.14) | B=64: 4.18 (4.77, 5.43)
+      B=256: 5.59 (11.85, 9.99)         | B=512: 8.27 (pallas OOM, 15.68)
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    N, D = index.shape
+    B = queries.shape[0]
+    assert N % tile_n == 0 and tile_n % group == 0
+    S = N // group
+    if k * group >= N:  # tiny index: selection saves nothing
+        row = jnp.arange(N)
+        return cosine_topk_xla(index, queries, k, index_mask=row < n_valid)
+
+    q = l2_normalize(queries.astype(jnp.float32))
+    grid = (N // tile_n,)
+    kernel = functools.partial(_segmax_kernel, tile_n=tile_n, group=group)
+    segmax = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, D), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, D), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, tile_n // group), lambda t: (0, t), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, S), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * D,
+            bytes_accessed=N * D * index.dtype.itemsize + B * D * 4 + B * S * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray([n_valid], jnp.int32).reshape(1), q, index)
+
+    # phase 2: segment selection (ties -> lowest segment index, like top_k)
+    _, seg_idx = jax.lax.top_k(segmax, k)  # (B, k)
+    seg_idx = jnp.sort(seg_idx, axis=1)  # ascending global order for tie parity
+
+    # phase 3: exact re-score of the k*group surviving candidates
+    cand_idx = seg_idx[:, :, None] * group + jnp.arange(group)[None, None, :]  # (B, k, G)
+    cand_vecs = index[cand_idx]  # (B, k, G, D)
+    cand_scores = jnp.einsum(
+        "bkgd,bd->bkg", cand_vecs.astype(jnp.float32), q, preferred_element_type=jnp.float32
+    )
+    flat_idx = cand_idx.reshape(B, k * group)
+    flat = jnp.where(flat_idx < n_valid, cand_scores.reshape(B, k * group), NEG_INF)
+    vals, pos = jax.lax.top_k(flat, k)
+    idx = jnp.take_along_axis(flat_idx, pos, axis=1)
+    valid = vals > NEG_INF / 2
+    return vals, idx.astype(jnp.int32), valid
+
+
+# Measured on TPU v5e, 512k x 768 bf16 index (numbers above): the
+# running-merge kernel edges ahead only at tiny batch; the two-phase kernel
+# is MXU/HBM-bound at every batch size and replaces the old B<=128 crossover
+# (XLA top_k no longer wins anywhere).
+PALLAS_BATCH_CROSSOVER = 16
 
 
 def cosine_topk_auto(
@@ -208,11 +316,16 @@ def cosine_topk_auto(
     k: int,
     tile_n: int = 512,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Pick the faster implementation by batch size (see crossover note)."""
-    if queries.shape[0] <= PALLAS_BATCH_CROSSOVER and jax.default_backend() == "tpu":
+    """Pick the faster implementation by batch size."""
+    if jax.default_backend() != "tpu":
+        row = jnp.arange(index.shape[0])
+        return cosine_topk_xla(index, queries, k, index_mask=row < n_valid)
+    if queries.shape[0] <= 16:
         return cosine_topk_pallas(index, queries, n_valid, k, tile_n=tile_n)
-    row = jnp.arange(index.shape[0])
-    return cosine_topk_xla(index, queries, k, index_mask=row < n_valid)
+    two_tile = max(tile_n, 2048)
+    if index.shape[0] % two_tile != 0:
+        two_tile = tile_n
+    return cosine_topk_twophase(index, queries, n_valid, k, tile_n=two_tile)
 
 
 def pad_index(embeddings: jax.Array, tile_n: int = 512) -> Tuple[jax.Array, jax.Array]:

@@ -74,3 +74,47 @@ def test_pad_index():
     assert padded.shape == (1024, 32)
     assert int(n_valid) == 700
     np.testing.assert_array_equal(np.asarray(padded[:700]), np.asarray(x))
+
+
+def test_twophase_matches_xla_exactly():
+    """Two-phase hierarchical top-k (segment-max preselect + rescoring) is
+    exact vs lax.top_k, including lowest-index tie behavior (interpret mode
+    is bit-identical; on-TPU only epsilon-close adjacent ranks may swap)."""
+    from rag_docvqa_tpu.ops.topk import cosine_topk_twophase
+
+    rng = np.random.RandomState(7)
+    for N, B, k, tile in ((1000, 4, 5, 512), (4096, 33, 10, 2048), (8192, 130, 3, 2048)):
+        emb = l2_normalize(jnp.asarray(rng.randn(N, 48).astype(np.float32)))
+        idxp, n_valid = pad_index(emb, tile_n=tile)
+        q = jnp.asarray(rng.randn(B, 48).astype(np.float32))
+        v2, i2, ok2 = cosine_topk_twophase(idxp, q, n_valid, k, tile_n=tile, interpret=True)
+        vx, ix, okx = cosine_topk_xla(emb, q, k)
+        np.testing.assert_array_equal(np.asarray(i2), np.asarray(ix))
+        np.testing.assert_allclose(np.asarray(v2), np.asarray(vx), rtol=1e-6, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(ok2), np.asarray(okx))
+
+
+def test_twophase_tie_semantics_with_duplicates():
+    """Duplicate index rows force exact score ties; lowest global index wins,
+    matching torch.topk / lax.top_k (src/_modules.py:2014-2016)."""
+    from rag_docvqa_tpu.ops.topk import cosine_topk_twophase
+
+    rng = np.random.RandomState(8)
+    emb = l2_normalize(jnp.asarray(np.tile(rng.randn(64, 32).astype(np.float32), (8, 1))))
+    idxp, n_valid = pad_index(emb, tile_n=512)
+    q = jnp.asarray(rng.randn(16, 32).astype(np.float32))
+    _, i2, _ = cosine_topk_twophase(idxp, q, n_valid, 10, tile_n=512, group=16, interpret=True)
+    _, ix, _ = cosine_topk_xla(emb, q, 10)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(ix))
+
+
+def test_twophase_padding_masked():
+    from rag_docvqa_tpu.ops.topk import cosine_topk_twophase
+
+    rng = np.random.RandomState(9)
+    emb = l2_normalize(jnp.asarray(rng.randn(700, 32).astype(np.float32)))
+    idxp, n_valid = pad_index(emb, tile_n=512)  # pads to 1024
+    q = jnp.asarray(rng.randn(4, 32).astype(np.float32))
+    _, idx, ok = cosine_topk_twophase(idxp, q, n_valid, 8, tile_n=512, interpret=True)
+    assert np.asarray(ok).all()
+    assert (np.asarray(idx) < 700).all()
