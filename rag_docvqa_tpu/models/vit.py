@@ -136,8 +136,15 @@ def extract_patches(pixels: jax.Array, patch: int) -> jax.Array:
     return x.reshape(B, h * w, patch * patch * C)
 
 
-def vit_encode(params: Dict[str, Any], cfg: ViTConfig, pixels: jax.Array) -> jax.Array:
-    """(B, H, W, 3) normalized pixels -> (B, 1+N, D) hidden states."""
+def vit_encode(
+    params: Dict[str, Any], cfg: ViTConfig, pixels: jax.Array,
+    return_hidden_states: bool = False,
+) -> jax.Array:
+    """(B, H, W, 3) normalized pixels -> (B, 1+N, D) hidden states.
+
+    With return_hidden_states, also returns the raw per-block outputs
+    (L, B, 1+N, D) — the backbone taps BeitForSemanticSegmentation needs
+    (HF collects hidden_states at config.out_indices)."""
     B = pixels.shape[0]
     patches = extract_patches(pixels, cfg.patch_size)
     x = dense(patches, params["patch_embed"]["kernel"], params["patch_embed"]["bias"])
@@ -173,11 +180,13 @@ def vit_encode(params: Dict[str, Any], cfg: ViTConfig, pixels: jax.Array) -> jax
         if "lambda_2" in layer:
             h = h * layer["lambda_2"].astype(h.dtype)
         x = x + h
-        return x, None
+        return x, x
 
-    x, _ = jax.lax.scan(block, x, params["blocks"])
+    x, per_layer = jax.lax.scan(block, x, params["blocks"])
     if cfg.use_final_layernorm:
         x = layer_norm(x, params["final_ln_w"], params["final_ln_b"], cfg.layer_norm_eps)
+    if return_hidden_states:
+        return x, per_layer
     return x
 
 
