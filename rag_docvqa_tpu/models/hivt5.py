@@ -176,6 +176,35 @@ def forward_train(
     return lm_loss + ret_loss, {"lm_loss": lm_loss, "ret_loss": ret_loss, "ret_logits": ret_logits}
 
 
+def attention_viz(
+    params: Dict[str, Any],
+    cfg: HiVT5Config,
+    batch: ChunkedBatch,
+    labels: jax.Array,  # (B, Td) decoder targets (or generated ids)
+    page_visual: jax.Array = None,
+) -> Dict[str, jax.Array]:
+    """Attention extraction for visualization (reference HiVT5.py:782-851:
+    decoder cross-attentions over the compressed document embedding, mapped
+    back to pages). Returns:
+
+      * "cross_attn":     (L, B, H, Td, P*K) raw cross-attention probs
+      * "page_relevance": (B, P) attention mass per page, averaged over
+                          layers/heads/steps and renormalized over valid pages
+    """
+    doc_emb, doc_mask = encode_document(params, cfg, batch, page_visual)
+    dec_in = t5m.shift_tokens_right(labels, cfg.t5.pad_id, cfg.t5.decoder_start_token_id)
+    _, cross = t5m.decode_train(
+        params["t5"], cfg.t5, dec_in, doc_emb, doc_mask, return_cross_attn=True
+    )  # (L, B, H, Td, P*K)
+    P, K = cfg.max_doc_pages, cfg.page_tokens
+    mass = jnp.mean(cross.astype(jnp.float32), axis=(0, 2, 3))  # (B, P*K)
+    page_mass = mass.reshape(-1, P, K).sum(axis=-1)  # (B, P)
+    page_valid = jnp.arange(P)[None, :] < batch.num_pages[:, None]
+    page_mass = jnp.where(page_valid, page_mass, 0.0)
+    page_rel = page_mass / jnp.clip(jnp.sum(page_mass, axis=-1, keepdims=True), 1e-9)
+    return {"cross_attn": cross, "page_relevance": page_rel}
+
+
 def generate(
     params: Dict[str, Any],
     cfg: HiVT5Config,

@@ -234,8 +234,13 @@ def decode_train(
     encoder_mask: jax.Array,  # (B, Te) bool
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
+    return_cross_attn: bool = False,
 ) -> jax.Array:
-    """Full-sequence decoder forward; returns (B, Td, V) logits."""
+    """Full-sequence decoder forward; returns (B, Td, V) logits.
+
+    With return_cross_attn, also returns the per-layer cross-attention
+    probabilities (L, B, H, Td, Te) — the signal Hi-VT5's attention-viz
+    extraction maps back to pages (reference HiVT5.py:782-851)."""
     dec = params["decoder"]
     B, Td = decoder_input_ids.shape
     x = params["shared"][decoder_input_ids]
@@ -255,10 +260,15 @@ def decode_train(
         q = _split_heads(dense(h, layer["cross_attn"]["q"]), cfg.num_heads)
         k = _split_heads(dense(encoder_hidden, layer["cross_attn"]["k"]), cfg.num_heads)
         v = _split_heads(dense(encoder_hidden, layer["cross_attn"]["v"]), cfg.num_heads)
-        x = x + dense(_attend(q, k, v, None, cross_mask), layer["cross_attn"]["o"])
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+        scores = jnp.where(cross_mask, scores, -1e9)
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        attended = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        attended = attended.reshape(attended.shape[0], attended.shape[1], -1)
+        x = x + dense(attended, layer["cross_attn"]["o"])
         h = rms_norm(x, layer["ln2"], cfg.layer_norm_eps)
         x = x + _ffn(layer["ffn"], cfg, h)
-        return x, None
+        return x, (probs if return_cross_attn else None)
 
     stacked = {
         "ln0": dec["ln0"],
@@ -268,9 +278,12 @@ def decode_train(
         "cross_attn": dec["cross_attn"],
         "ffn": dec["ffn"],
     }
-    x, _ = jax.lax.scan(lambda c, l: block(c, l), x, stacked)
+    x, cross_attn = jax.lax.scan(lambda c, l: block(c, l), x, stacked)
     x = rms_norm(x, dec["final_ln"], cfg.layer_norm_eps)
-    return lm_logits(params, cfg, x)
+    logits = lm_logits(params, cfg, x)
+    if return_cross_attn:
+        return logits, cross_attn
+    return logits
 
 
 def lm_logits(params: Params, cfg: T5Config, hidden: jax.Array) -> jax.Array:

@@ -50,6 +50,56 @@ class RunLogger:
         pct = {f"{k}_pct": round(100 * v / total, 1) for k, v in timing.items()}
         self.log({**{k: round(v, 2) for k, v in timing.items()}, **pct})
 
+    def log_media(
+        self,
+        timing: Optional[Dict[str, float]] = None,
+        label_dist: Optional[Dict[str, float]] = None,
+        media_dir: Optional[str] = None,
+    ) -> None:
+        """Time pie + layout-label spider charts (reference logger.py:136-179
+        wandb media). Gated on matplotlib; PNGs land in media_dir (or the
+        log dir) and are logged to wandb when active."""
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            import numpy as np
+        except Exception:
+            return
+        out_dir = media_dir or (os.path.dirname(self._file.name) if self._file else None)
+        if out_dir is None:
+            return
+        os.makedirs(out_dir, exist_ok=True)
+        images = {}
+        if timing:
+            fig, ax = plt.subplots()
+            keys = [k for k, v in timing.items() if v > 0]
+            ax.pie([timing[k] for k in keys], labels=keys, autopct="%1.1f%%")
+            ax.set_title("time distribution")
+            path = os.path.join(out_dir, "time_pie.png")
+            fig.savefig(path, bbox_inches="tight")
+            plt.close(fig)
+            images["time_pie"] = path
+        if label_dist:
+            keys = list(label_dist)
+            vals = np.asarray([label_dist[k] for k in keys], float)
+            angles = np.linspace(0, 2 * np.pi, len(keys), endpoint=False)
+            fig, ax = plt.subplots(subplot_kw={"projection": "polar"})
+            ax.plot(np.concatenate([angles, angles[:1]]), np.concatenate([vals, vals[:1]]))
+            ax.fill(np.concatenate([angles, angles[:1]]), np.concatenate([vals, vals[:1]]), alpha=0.25)
+            ax.set_xticks(angles)
+            ax.set_xticklabels(keys)
+            ax.set_title("top-k layout label distribution")
+            path = os.path.join(out_dir, "layout_spider.png")
+            fig.savefig(path, bbox_inches="tight")
+            plt.close(fig)
+            images["layout_spider"] = path
+        if self._wandb is not None and images:
+            import wandb
+
+            self._wandb.log({k: wandb.Image(p) for k, p in images.items()})
+
     def finish(self) -> None:
         if self._wandb is not None:
             self._wandb.finish()

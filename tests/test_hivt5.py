@@ -132,3 +132,19 @@ def test_per_page_visual_branch():
     assert page_visual is not None
     loss, parts = hivt5.forward_train(params, vcfg, batch, labels, page_visual=page_visual)
     assert np.isfinite(float(loss))
+
+
+def test_attention_viz_page_relevance():
+    """Cross-attention extraction (HiVT5.py:782-851): probs shaped per layer/
+    head/step over P*K doc tokens; page relevance sums to 1 over valid pages
+    and is zero on padded pages."""
+    params = hivt5.init_hivt5_params(jax.random.PRNGKey(0), CFG)
+    docs, batch, labels = build(bs=2, n_pages=3)
+    out = hivt5.attention_viz(params, CFG, batch, labels)
+    L, H = CFG.t5.num_decoder_layers, CFG.t5.num_heads
+    Td = labels.shape[1]
+    assert out["cross_attn"].shape == (L, 2, H, Td, CFG.max_doc_pages * CFG.page_tokens)
+    rel = np.asarray(out["page_relevance"])
+    assert rel.shape == (2, CFG.max_doc_pages)
+    np.testing.assert_allclose(rel.sum(axis=1), 1.0, rtol=1e-5)
+    assert (rel[:, 3:] == 0).all()  # page 3 padded (3 real pages)
