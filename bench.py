@@ -187,7 +187,7 @@ def main():
     # analytic transformer flops: ~2 * params * tokens (attn score terms minor at T=64)
     bge_n_params = 12 * (4 * 384 * 384 + 2 * 384 * 1536)
     bge_flops = 2 * bge_n_params * (N_CHUNKS * CHUNK_TOKENS + N_QUERIES * QUERY_TOKENS)
-    bge_mfu = bge_flops / bge_time / 394e12 if backend == "tpu" else 0.0  # v5e bf16 peak
+    bge_mfu = bge_flops / bge_time / 197e12 if backend == "tpu" else 0.0  # v5e bf16 peak (197 TFLOPs)
 
     # ---- end-to-end retrieve -> generate (t5-base VT5) ------------------------
     from rag_docvqa_tpu.data.contract import Caps
@@ -200,7 +200,7 @@ def main():
     from rag_docvqa_tpu.ops.chunking import ChunkSpec
     from rag_docvqa_tpu.ops.gather import assemble_concat
 
-    E2E_B, E2E_PAGES, E2E_NEW = 32, 8, 16
+    E2E_B, E2E_PAGES, E2E_NEW = 128, 8, 16
     tok = HashTokenizer(vocab_size=VOCAB)
     t5_cfg = t5m.T5Config(vocab_size=VOCAB, dropout_rate=0.0)  # t5-base dims
     vt5_cfg = vt5m.VT5Config(t5=t5_cfg, spatial=SpatialConfig(hidden_size=768, dropout_rate=0.0),
@@ -239,7 +239,7 @@ def main():
     enc_params = 12 * (4 * 768 * 768 + 2 * 768 * 3072)
     dec_params = 12 * (8 * 768 * 768 + 2 * 768 * 3072) + 768 * VOCAB
     e2e_flops = (2 * enc_params * E2E_B * 512) + (2 * dec_params * E2E_B * E2E_NEW)
-    e2e_mfu = e2e_flops / e2e_time / 394e12 if backend == "tpu" else 0.0
+    e2e_mfu = e2e_flops / e2e_time / 197e12 if backend == "tpu" else 0.0
 
     print(
         json.dumps(

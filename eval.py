@@ -73,16 +73,31 @@ def main(argv=None):
         if config.get("auto_caps", config.get("dataset_name") == "MMLongBenchDoc"):
             ingestor.caps = ingestor.plan_caps(docs)
         model_name = str(config.get("model_name", "VT5")).lower()
+        key = jax.random.PRNGKey(config["seed"])
         if model_name in ("hi-vt5", "hivt5"):
             from rag_docvqa_tpu.config import build_hivt5_config
             from rag_docvqa_tpu.models import hivt5 as hivt5m
 
             hivt5_cfg = build_hivt5_config(config, tokenizer.vocab_size)
-            params = hivt5m.init_hivt5_params(jax.random.PRNGKey(config["seed"]), hivt5_cfg)
-            params = resolve_params(config, params, hivt5_cfg, hivt5=True)
+            params = hivt5m.init_hivt5_params(key, hivt5_cfg)
+            params = resolve_params(config, params, hivt5_cfg, kind="hivt5")
+        elif model_name in ("pix2struct", "ragpix2struct"):
+            from rag_docvqa_tpu.config import build_p2s_config
+            from rag_docvqa_tpu.models import pix2struct as p2s
+
+            p2s_cfg = build_p2s_config(config, tokenizer.vocab_size)
+            params = p2s.init_p2s_params(key, p2s_cfg)
+            params = resolve_params(config, params, p2s_cfg, kind="pix2struct")
+        elif model_name in ("qwen", "qwen2", "qwen2.5-vl", "ragqwen"):
+            from rag_docvqa_tpu.config import build_qwen_config
+            from rag_docvqa_tpu.models import causal_lm as clm
+
+            lm_cfg = build_qwen_config(config, tokenizer.vocab_size)
+            params = clm.init_causal_lm_params(key, lm_cfg)
+            params = resolve_params(config, params, lm_cfg, kind="qwen")
         else:
             vt5_cfg = build_vt5_config(config, tokenizer.vocab_size)
-            params = vt5m.init_vt5_params(jax.random.PRNGKey(config["seed"]), vt5_cfg)
+            params = vt5m.init_vt5_params(key, vt5_cfg)
             params = resolve_params(config, params, vt5_cfg)
         from rag_docvqa_tpu.config import build_engine
 

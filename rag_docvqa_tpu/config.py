@@ -247,9 +247,47 @@ def build_reranker(c: Dict[str, Any], tokenizer, seed: int = 0):
     return Reranker(rcfg, bert_cfg, params)
 
 
+def build_p2s_config(c: Dict[str, Any], vocab_size: int):
+    from rag_docvqa_tpu.models import pix2struct as p2s
+
+    d = c.get("d_model", 768)
+    return p2s.Pix2StructConfig(
+        vision=p2s.P2SVisionConfig(
+            hidden_size=d,
+            num_layers=c.get("num_layers", 12),
+            num_heads=c.get("num_heads", 12),
+            d_ff=c.get("d_ff", d * 4),
+        ),
+        text=t5m.T5Config(
+            vocab_size=vocab_size, d_model=d, d_kv=c.get("d_kv", 64),
+            num_heads=c.get("num_heads", 12), d_ff=c.get("d_ff", d * 4),
+            num_encoder_layers=0,
+            num_decoder_layers=c.get("num_decoder_layers", c.get("num_layers", 12)),
+            dropout_rate=c.get("dropout_rate", 0.0),
+            gated_ffn=True,
+            tie_word_embeddings=False,
+        ),
+    )
+
+
+def build_qwen_config(c: Dict[str, Any], vocab_size: int):
+    from rag_docvqa_tpu.models.causal_lm import CausalLMConfig
+
+    return CausalLMConfig(
+        vocab_size=vocab_size,
+        d_model=c.get("d_model", 1024),
+        num_layers=c.get("num_layers", 12),
+        num_heads=c.get("num_heads", 16),
+        num_kv_heads=c.get("num_kv_heads", 4),
+        d_ff=c.get("d_ff", 2816),
+    )
+
+
 def build_engine(c: Dict[str, Any], params, tokenizer):
-    """Model registry (reference build_model, build_utils.py:26-35), including
-    the optional rerank + NAC stages (src/RAGVT5.py:101-115)."""
+    """Model registry (reference build_model, build_utils.py:26-35:
+    VT5 / Hi-VT5 / Pix2Struct, plus the Qwen weight-name path in RAGVT5's
+    ctor src/RAGVT5.py:72-91), including the optional rerank + NAC stages
+    (src/RAGVT5.py:101-115)."""
     name = str(c.get("model_name", "VT5")).lower()
     if name in ("hi-vt5", "hivt5"):
         from rag_docvqa_tpu.engine.hivt5_engine import HiVT5Engine
@@ -257,6 +295,30 @@ def build_engine(c: Dict[str, Any], params, tokenizer):
         return HiVT5Engine(
             build_hivt5_config(c, tokenizer.vocab_size), params, tokenizer,
             max_new_tokens=c.get("max_new_tokens", 32),
+        )
+    if name in ("pix2struct", "ragpix2struct"):
+        from rag_docvqa_tpu.engine.rag_pix2struct import P2SRAGConfig, RAGPix2StructEngine
+
+        return RAGPix2StructEngine(
+            P2SRAGConfig(
+                chunk_num=c.get("chunk_num", 10),
+                include_surroundings=_scalar(c.get("include_surroundings", 0)),
+                chunk_mode=c.get("chunk_mode", "horizontal"),
+                max_new_tokens=c.get("max_new_tokens", 32),
+                use_rag=c.get("page_retrieval", "concat") != "none",
+            ),
+            build_p2s_config(c, tokenizer.vocab_size), params, tokenizer,
+        )
+    if name in ("qwen", "qwen2", "qwen2.5-vl", "ragqwen"):
+        from rag_docvqa_tpu.engine.rag_qwen import QwenRAGConfig, RAGQwenEngine
+
+        return RAGQwenEngine(
+            QwenRAGConfig(
+                chunk_num=c.get("chunk_num", 10),
+                max_prompt_tokens=c.get("max_prompt_tokens", c.get("max_source_length", 512)),
+                max_new_tokens=c.get("max_new_tokens", 16),
+            ),
+            build_qwen_config(c, tokenizer.vocab_size), params, tokenizer,
         )
     from rag_docvqa_tpu.engine.rag_vt5 import RAGVT5Engine
 

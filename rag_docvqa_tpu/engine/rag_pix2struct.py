@@ -155,8 +155,18 @@ class RAGPix2StructEngine:
         return all_crops, all_pages, vals, all_steps
 
     # ------------------------------------------------------------------ #
-    def inference(self, docs: Sequence[RawDocument]) -> Dict[str, Any]:
-        """Batch inference; each doc needs `images` (page renders)."""
+    def inference(self, docs, aux: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+        """Batch inference; each doc needs `images` (page renders).
+
+        Accepts either a list of RawDocuments (native interface) or the
+        evaluate() loop's (batch, aux) pair — in that case questions/images
+        come from aux (this is an OCR-free engine; the token batch is
+        unused)."""
+        if aux is not None:
+            docs = [
+                RawDocument(question=q, words=[[]], boxes=[[]], images=imgs)
+                for q, imgs in zip(aux["questions"], aux["images"])
+            ]
         cfg = self.cfg
         images_list = []
         for doc in docs:

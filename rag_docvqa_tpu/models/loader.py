@@ -171,6 +171,27 @@ def load_hivt5_params(path: str, cfg, params_like: Optional[Dict[str, Any]] = No
     return _merge(params_like, out)
 
 
+def load_params_for(kind: str, path: str, cfg, params_like: Optional[Dict[str, Any]] = None):
+    """Kind-dispatched checkpoint load: vt5 | hivt5 | pix2struct | qwen."""
+    kind = kind.lower()
+    if kind in ("vt5", "layoutt5"):
+        return load_vt5_params(path, cfg, params_like)
+    if kind in ("hivt5", "hi-vt5"):
+        return load_hivt5_params(path, cfg, params_like)
+    sd = read_state_dict(path)
+    if kind.startswith("pix2struct"):
+        from rag_docvqa_tpu.models.pix2struct import convert_p2s_state_dict
+
+        out = convert_p2s_state_dict(sd, cfg)
+    elif kind.startswith("qwen"):
+        from rag_docvqa_tpu.models.causal_lm import convert_qwen2_state_dict
+
+        out = convert_qwen2_state_dict(sd, cfg)
+    else:
+        raise ValueError(f"unknown checkpoint kind: {kind}")
+    return _merge(params_like, out) if params_like is not None else out
+
+
 # --------------------------------------------------------------------------- #
 # Orbax (our own training checkpoints)
 # --------------------------------------------------------------------------- #

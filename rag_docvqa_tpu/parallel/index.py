@@ -23,6 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from rag_docvqa_tpu.ops.topk import (
     cosine_topk_pallas,
+    cosine_topk_twophase,
     cosine_topk_xla,
     l2_normalize,
     masked_topk,
@@ -44,6 +45,11 @@ class ShardedIndex:
     tile_n: int = 512
     use_pallas: bool = True
     scales: Optional[jax.Array] = None  # (N_pad, 1) f32, int8 mode only
+    # per-shard kernel: "merge" = running-merge Pallas (bit-exact ties, best
+    # at tiny batch); "twophase" = segment-max preselect kernel (fastest for
+    # B > ~16 on TPU; on-TPU adjacent ranks may swap within float-accumulation
+    # epsilon — see ops/topk.py)
+    kernel: str = "merge"
 
     # ------------------------------------------------------------------ #
     @staticmethod
@@ -116,14 +122,15 @@ class ShardedIndex:
             k=k,
             tile_n=self.tile_n,
             use_pallas=self.use_pallas,
+            kernel=self.kernel,
         )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "axis", "n_valid", "k", "tile_n", "use_pallas"),
+    static_argnames=("mesh", "axis", "n_valid", "k", "tile_n", "use_pallas", "kernel"),
 )
-def _sharded_query(index, queries, *, mesh, axis, n_valid, k, tile_n, use_pallas):
+def _sharded_query(index, queries, *, mesh, axis, n_valid, k, tile_n, use_pallas, kernel="merge"):
     n_shards = mesh.shape[axis]
     shard_len = index.shape[0] // n_shards
 
@@ -132,7 +139,9 @@ def _sharded_query(index, queries, *, mesh, axis, n_valid, k, tile_n, use_pallas
         sid = jax.lax.axis_index(axis)
         # rows valid on this shard: global row id in [sid*shard_len, n_valid)
         local_valid = jnp.clip(n_valid - sid * shard_len, 0, shard_len)
-        if use_pallas:
+        if use_pallas and kernel == "twophase":
+            vals, idx, _ = cosine_topk_twophase(index_shard, q, local_valid, k, tile_n=tile_n)
+        elif use_pallas:
             vals, idx, _ = cosine_topk_pallas(index_shard, q, local_valid, k, tile_n=tile_n)
         else:
             row = jax.lax.broadcasted_iota(jnp.int32, (1, shard_len), 1)

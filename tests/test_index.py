@@ -72,3 +72,19 @@ def test_index_layout_is_sharded(mesh):
     assert len(idx.embeddings.sharding.device_set) == 8
     shard_shapes = {s.data.shape for s in idx.embeddings.addressable_shards}
     assert shard_shapes == {(4096 // 8, 64)}
+
+
+def test_sharded_twophase_kernel_equivalent(mesh):
+    """ShardedIndex(kernel="twophase") matches single-device retrieval
+    (interpret mode on the CPU mesh is bit-exact)."""
+    import dataclasses
+
+    rng = np.random.RandomState(11)
+    emb = jnp.asarray(rng.randn(700, 32).astype(np.float32))
+    q = jnp.asarray(rng.randn(24, 32).astype(np.float32))
+    idx = ShardedIndex.build(emb, mesh, tile_n=64)
+    idx = dataclasses.replace(idx, kernel="twophase")
+    vals, ids, ok = idx.query(q, k=7)
+    ref_vals, ref_ids, ref_ok = single_device_query(emb, q, k=7)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ref_ids))
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals), rtol=1e-5, atol=1e-6)

@@ -41,18 +41,29 @@ def build_docs(config, split):
         from rag_docvqa_tpu.data.synthetic import make_corpus
 
         n = config.get("n_train_docs", 64) if split == "train" else config.get("n_val_docs", 16)
-        return make_corpus(
+        docs = make_corpus(
             n,
             n_pages=config.get("n_pages", 4),
             words_per_page=config.get("words_per_page", 120),
             seed=0 if split == "train" else 1,
         )
+        if config.get("synthetic_images"):
+            # page renders for the OCR-free / visual engines
+            import numpy as np
+
+            rng = np.random.RandomState(0 if split == "train" else 1)
+            size = config.get("synthetic_image_size", 256)
+            for d in docs:
+                d.images = [
+                    rng.randint(0, 255, (size, size, 3)).astype(np.uint8) for _ in d.words
+                ]
+        return docs
     from rag_docvqa_tpu.data.datasets import build_dataset
 
     return list(build_dataset(config, split))
 
 
-def resolve_params(config, params, model_cfg, hivt5: bool = False):
+def resolve_params(config, params, model_cfg, hivt5: bool = False, kind: str = None):
     """Overlay checkpoint weights onto random-init params.
 
     Priority: `ckpt` (Orbax dir from our trainer) > `hf_weights` (local HF
@@ -63,8 +74,8 @@ def resolve_params(config, params, model_cfg, hivt5: bool = False):
     if config.get("ckpt"):
         return loader.load_orbax_params(config["ckpt"], params)
     if config.get("hf_weights"):
-        load = loader.load_hivt5_params if hivt5 else loader.load_vt5_params
-        return load(config["hf_weights"], model_cfg, params)
+        kind = kind or ("hivt5" if hivt5 else "vt5")
+        return loader.load_params_for(kind, config["hf_weights"], model_cfg, params)
     return params
 
 
