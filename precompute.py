@@ -82,6 +82,81 @@ def cmd_index(args):
     )
 
 
+def cmd_layouts(args):
+    """Offline layout precompute (reference precompute_layouts.py: per-GPU
+    mp.spawn scatter -> Manager-dict merge -> .npz). Here pages shard over
+    the batch of one jitted detector and land in one .npz keyed
+    "<question_id>_p<page>" — the format load_precomputed_layouts reads."""
+    import jax
+    import numpy as np
+
+    from train import build_docs, parse_overrides
+
+    from rag_docvqa_tpu.config import load_config
+
+    config = load_config(model=args.model, dataset=args.dataset, overrides=parse_overrides(args.overrides))
+    docs = build_docs(config, args.split)
+
+    if args.detector == "DIT":
+        from rag_docvqa_tpu.models.layout_seg import (
+            BeitSegConfig, convert_beit_seg_state_dict, init_beit_seg_params, make_dit_detector,
+        )
+        from rag_docvqa_tpu.models.vit import ViTConfig
+
+        cfg = BeitSegConfig(
+            vit=ViTConfig(hidden_size=config.get("layout_d_model", 32),
+                          num_layers=config.get("layout_num_layers", 5),
+                          num_heads=config.get("layout_num_heads", 4),
+                          mlp_dim=config.get("layout_mlp_dim", 64),
+                          patch_size=16, image_size=config.get("layout_image_size", 224),
+                          arch="beit", use_abs_pos=False, use_rel_pos_bias=True,
+                          layer_scale_init=0.1, use_final_layernorm=False),
+            out_indices=tuple(config.get("layout_out_indices", (2, 3, 4, 5))),
+        )
+        if args.weights:
+            from rag_docvqa_tpu.models.loader import read_state_dict
+
+            params = convert_beit_seg_state_dict(read_state_dict(args.weights), cfg)
+        else:
+            params = init_beit_seg_params(jax.random.PRNGKey(config["seed"]), cfg)
+        detector = make_dit_detector(params, cfg)
+    else:
+        from rag_docvqa_tpu.models.yolo import (
+            YOLOConfig, convert_yolo_state_dict, init_yolo_params, make_yolo_detector,
+        )
+
+        cfg = YOLOConfig(width=config.get("layout_width", 16),
+                         depth=config.get("layout_depth", 1),
+                         image_size=config.get("layout_image_size", 256))
+        if args.weights:
+            from rag_docvqa_tpu.models.loader import read_state_dict
+
+            params = convert_yolo_state_dict(read_state_dict(args.weights), cfg)
+        else:
+            params = init_yolo_params(jax.random.PRNGKey(config["seed"]), cfg)
+        detector = make_yolo_detector(params, cfg)
+
+    out: dict = {}
+    n_pages = 0
+    t0 = time.time()
+    for doc in docs:
+        if doc.images is None:
+            continue
+        for p, img in enumerate(doc.images):
+            if img is None:
+                continue
+            boxes, labels = detector(np.asarray(img))
+            out[f"{doc.question_id}_p{p}"] = np.asarray(
+                {"boxes": boxes, "labels": labels}, dtype=object
+            )
+            n_pages += 1
+    np.savez_compressed(args.out, **out)
+    print(json.dumps({
+        "n_pages": n_pages, "detector": args.detector,
+        "pages_per_sec": round(n_pages / max(time.time() - t0, 1e-9), 2), "out": args.out,
+    }))
+
+
 def cmd_query(args):
     import jax
     import jax.numpy as jnp
@@ -134,6 +209,15 @@ def main(argv=None):
     p_index.add_argument("--out", required=True)
     p_index.add_argument("overrides", nargs="*")
 
+    p_lay = sub.add_parser("layouts")
+    p_lay.add_argument("-m", "--model", required=True)
+    p_lay.add_argument("-d", "--dataset", required=True)
+    p_lay.add_argument("--split", default="val")
+    p_lay.add_argument("--detector", choices=("DIT", "YOLO"), default="DIT")
+    p_lay.add_argument("--weights", default=None, help="local checkpoint dir to convert")
+    p_lay.add_argument("--out", required=True)
+    p_lay.add_argument("overrides", nargs="*")
+
     p_query = sub.add_parser("query")
     p_query.add_argument("--index", required=True)
     p_query.add_argument("-m", "--model", required=True)
@@ -142,7 +226,7 @@ def main(argv=None):
     p_query.add_argument("--tile-n", type=int, default=512)
     p_query.add_argument("overrides", nargs="*")
 
-    for p in (p_index, p_query):
+    for p in (p_index, p_query, p_lay):
         p.add_argument("--platform", choices=("default", "cpu", "tpu"), default="default")
 
     args = parser.parse_args(argv)
@@ -152,6 +236,8 @@ def main(argv=None):
         jax.config.update("jax_platforms", args.platform)
     if args.cmd == "index":
         cmd_index(args)
+    elif args.cmd == "layouts":
+        cmd_layouts(args)
     else:
         cmd_query(args)
 
