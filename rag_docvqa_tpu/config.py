@@ -213,17 +213,44 @@ def build_reranker(c: Dict[str, Any], tokenizer, seed: int = 0):
     key = _jax.random.PRNGKey(seed)
 
     if "gemma" in weights.lower():
-        from rag_docvqa_tpu.models.causal_lm import CausalLMConfig, init_causal_lm_params
+        import os
+
+        from rag_docvqa_tpu.models.causal_lm import (
+            CausalLMConfig, convert_gemma_state_dict, init_causal_lm_params,
+        )
 
         lm_cfg = CausalLMConfig(
             vocab_size=tokenizer.vocab_size,
             d_model=c.get("reranker_d_model", 64),
             num_layers=c.get("reranker_num_layers", 2),
             num_heads=c.get("reranker_num_heads", 4),
-            num_kv_heads=c.get("reranker_num_kv_heads", 2),
+            num_kv_heads=c.get("reranker_num_kv_heads", 1),
             d_ff=c.get("reranker_d_ff", 128),
+            qkv_bias=False,
+            arch="gemma",
+            head_dim_override=c.get("reranker_head_dim", 0),
         )
-        params = init_causal_lm_params(key, lm_cfg)
+        if os.path.isdir(weights):
+            import json
+
+            from rag_docvqa_tpu.models.causal_lm import gemma_config_from_hf
+            from rag_docvqa_tpu.models.loader import read_state_dict
+
+            cfg_path = os.path.join(weights, "config.json")
+            if os.path.exists(cfg_path):
+                with open(cfg_path) as f:
+                    hf = json.load(f)
+                lm_cfg = CausalLMConfig(
+                    vocab_size=hf["vocab_size"], d_model=hf["hidden_size"],
+                    num_layers=hf["num_hidden_layers"], num_heads=hf["num_attention_heads"],
+                    num_kv_heads=hf["num_key_value_heads"], d_ff=hf["intermediate_size"],
+                    rope_theta=hf.get("rope_theta", 10000.0),
+                    rms_eps=hf.get("rms_norm_eps", 1e-6), qkv_bias=False,
+                    arch="gemma", head_dim_override=hf.get("head_dim", 0),
+                )
+            params = convert_gemma_state_dict(read_state_dict(weights), lm_cfg)
+        else:
+            params = init_causal_lm_params(key, lm_cfg)
         return FlagLLMReranker(rcfg, lm_cfg, params, tokenizer)
 
     from rag_docvqa_tpu.models.bert import BertConfig, convert_bert_state_dict, init_bert_params

@@ -119,12 +119,23 @@ class RAGQwenEngine:
             return None
         if not aux.get("images") or aux["images"][0] is None:
             return None
-        from rag_docvqa_tpu.models.qwen_vision import encode_images
         from rag_docvqa_tpu.ops.patches import crop_box, resize_image
+
+        # two towers: the faithful Qwen2.5-VL encoder (weight-convertible,
+        # models/qwen25_vision.py) or the lightweight ViT+merger stand-in
+        if hasattr(self.vision_cfg, "fullatt_block_indexes"):
+            from rag_docvqa_tpu.models.qwen25_vision import encode_image as _enc
+
+            size = self.vision_cfg.image_size
+            encode = lambda p, c, x: _enc(p, c, x)
+        else:
+            from rag_docvqa_tpu.models.qwen_vision import encode_images as _enc
+
+            size = self.vision_cfg.vit.image_size
+            encode = lambda p, c, x: _enc(p, c, x)
 
         B = batch.batch_size
         M = self.cfg.max_crops
-        size = self.vision_cfg.vit.image_size
         boxes = np.asarray(ret.top_k_box)
         pages = np.asarray(ret.top_k_page)
         valid = np.asarray(ret.top_k_valid)
@@ -148,7 +159,7 @@ class RAGQwenEngine:
                 pixels[b * M + m] = (pix - 0.5) / 0.5
                 self._crop_valid[b, m] = True
                 m += 1
-        embeds = encode_images(self.params["vision"], self.vision_cfg, jnp.asarray(pixels))
+        embeds = encode(self.params["vision"], self.vision_cfg, jnp.asarray(pixels))
         Tv = embeds.shape[1]
         return np.asarray(embeds).reshape(B, M, Tv, -1)
 

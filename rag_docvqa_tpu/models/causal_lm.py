@@ -1,4 +1,4 @@
-"""Decoder-only causal LM (Qwen2-family architecture, HF weight compatible).
+"""Decoder-only causal LM (Qwen2 + Gemma families, HF weight compatible).
 
 Backs the framework's Qwen-style generator path (reference
 src/QwenVLInstruct.py wraps Qwen2.5-VL): RoPE, RMSNorm (pre-norm), grouped-
@@ -7,6 +7,11 @@ Visual inputs enter as projected patch embeddings spliced into the token
 embedding sequence at image-placeholder positions — the same mechanism
 Qwen2.5-VL uses — so retrieved page crops can condition generation without a
 separate cross-attention stack.
+
+arch="gemma" switches to the Gemma-1 conventions (the bge-reranker-v2-gemma
+backbone the reference's FlagLLMReranker runs, src/_modules.py:1513-1541):
+sqrt(d_model) input-embedding scale, RMSNorm with (1 + w) weights,
+tanh-GELU gated MLP, no QKV bias, explicit head_dim (MQA via num_kv_heads=1).
 
 Decoding follows ops/decode.py's pattern: explicit KV cache + one lax.scan,
 with the same confidence-product semantics as VT5.
@@ -38,10 +43,12 @@ class CausalLMConfig:
     tie_word_embeddings: bool = True
     pad_id: int = 0
     eos_id: int = 1
+    arch: str = "qwen2"  # "qwen2" | "gemma"
+    head_dim_override: int = 0  # gemma sets head_dim independent of d_model
 
     @property
     def head_dim(self) -> int:
-        return self.d_model // self.num_heads
+        return self.head_dim_override or self.d_model // self.num_heads
 
 
 def init_causal_lm_params(rng: jax.Array, cfg: CausalLMConfig) -> Dict[str, Any]:
@@ -115,6 +122,24 @@ def _proj(x, p):
     return dense(x, p["kernel"], p.get("bias"))
 
 
+def _embed_tokens(params, cfg: CausalLMConfig, ids: jax.Array) -> jax.Array:
+    x = params["embed"][ids]
+    if cfg.arch == "gemma":
+        x = x * jnp.asarray(cfg.d_model**0.5, x.dtype)  # Gemma input scale
+    return x
+
+
+def _ln(x: jax.Array, w: jax.Array, cfg: CausalLMConfig) -> jax.Array:
+    # Gemma RMSNorm multiplies by (1 + weight)
+    return rms_norm(x, 1.0 + w if cfg.arch == "gemma" else w, cfg.rms_eps)
+
+
+def _act(x: jax.Array, cfg: CausalLMConfig) -> jax.Array:
+    return jax.nn.gelu(x, approximate=True) if cfg.arch == "gemma" else jax.nn.silu(x)
+
+
+
+
 def forward(
     params: Dict[str, Any],
     cfg: CausalLMConfig,
@@ -125,7 +150,7 @@ def forward(
 ) -> jax.Array:
     """Full teacher-forced forward; returns (B, T, V) logits."""
     B, T = input_ids.shape
-    x = params["embed"][input_ids]
+    x = _embed_tokens(params, cfg, input_ids)
     if visual_embeds is not None and visual_mask is not None:
         x = jnp.where(visual_mask[..., None], visual_embeds.astype(x.dtype), x)
     pos = jnp.arange(T)
@@ -134,17 +159,17 @@ def forward(
     mask = causal & attention_mask[:, None, None, :]
 
     def block(x, layer):
-        h = rms_norm(x, layer["ln0"], cfg.rms_eps)
+        h = _ln(x, layer["ln0"], cfg)
         q = apply_rope(_proj(h, layer["q"]).reshape(B, T, cfg.num_heads, -1), cos, sin)
         k = apply_rope(_proj(h, layer["k"]).reshape(B, T, cfg.num_kv_heads, -1), cos, sin)
         v = _proj(h, layer["v"]).reshape(B, T, cfg.num_kv_heads, -1)
         x = x + _proj(_attend_gqa(q, k, v, mask), layer["o"])
-        h = rms_norm(x, layer["ln1"], cfg.rms_eps)
-        x = x + _proj(jax.nn.silu(_proj(h, layer["gate"])) * _proj(h, layer["up"]), layer["down"])
+        h = _ln(x, layer["ln1"], cfg)
+        x = x + _proj(_act(_proj(h, layer["gate"]), cfg) * _proj(h, layer["up"]), layer["down"])
         return x, None
 
     x, _ = jax.lax.scan(block, x, params["blocks"])
-    x = rms_norm(x, params["final_ln"], cfg.rms_eps)
+    x = _ln(x, params["final_ln"], cfg)
     if cfg.tie_word_embeddings:
         return jnp.einsum("btd,vd->btv", x, params["embed"].astype(x.dtype))
     return dense(x, params["lm_head"])
@@ -190,7 +215,7 @@ def prefill(
 ) -> Tuple[jax.Array, LMCache]:
     """Run the prompt, fill the KV cache; returns (last logits (B, V), cache)."""
     B, Tp = input_ids.shape
-    x = params["embed"][input_ids]
+    x = _embed_tokens(params, cfg, input_ids)
     if visual_embeds is not None and visual_mask is not None:
         x = jnp.where(visual_mask[..., None], visual_embeds.astype(x.dtype), x)
     pos = jnp.arange(Tp)
@@ -200,19 +225,19 @@ def prefill(
     hd = cfg.head_dim
 
     def block(x, layer):
-        h = rms_norm(x, layer["ln0"], cfg.rms_eps)
+        h = _ln(x, layer["ln0"], cfg)
         q = apply_rope(_proj(h, layer["q"]).reshape(B, Tp, cfg.num_heads, hd), cos, sin)
         k = apply_rope(_proj(h, layer["k"]).reshape(B, Tp, cfg.num_kv_heads, hd), cos, sin)
         v = _proj(h, layer["v"]).reshape(B, Tp, cfg.num_kv_heads, hd)
         x = x + _proj(_attend_gqa(q, k, v, mask), layer["o"])
-        h = rms_norm(x, layer["ln1"], cfg.rms_eps)
-        x = x + _proj(jax.nn.silu(_proj(h, layer["gate"])) * _proj(h, layer["up"]), layer["down"])
+        h = _ln(x, layer["ln1"], cfg)
+        x = x + _proj(_act(_proj(h, layer["gate"]), cfg) * _proj(h, layer["up"]), layer["down"])
         kc = jnp.pad(k, ((0, 0), (0, max_len - Tp), (0, 0), (0, 0)))
         vc = jnp.pad(v, ((0, 0), (0, max_len - Tp), (0, 0), (0, 0)))
         return x, (kc, vc)
 
     x, (kc, vc) = jax.lax.scan(block, x, params["blocks"])
-    x = rms_norm(x, params["final_ln"], cfg.rms_eps)
+    x = _ln(x, params["final_ln"], cfg)
     last = x[jnp.arange(B), jnp.sum(attention_mask, axis=1) - 1]
     logits = (
         last @ params["embed"].T.astype(last.dtype)
@@ -233,12 +258,12 @@ def decode_step(
     B = token.shape[0]
     Tmax = cache.k.shape[2]
     hd = cfg.head_dim
-    x = params["embed"][token][:, None]
+    x = _embed_tokens(params, cfg, token)[:, None]
     cos, sin = rope_frequencies(cfg, step[None])
 
     def block(x, layer_cache):
         layer, (kc, vc) = layer_cache
-        h = rms_norm(x, layer["ln0"], cfg.rms_eps)
+        h = _ln(x, layer["ln0"], cfg)
         q = apply_rope(_proj(h, layer["q"]).reshape(B, 1, cfg.num_heads, hd), cos, sin)
         k_new = apply_rope(_proj(h, layer["k"]).reshape(B, 1, cfg.num_kv_heads, hd), cos, sin)
         v_new = _proj(h, layer["v"]).reshape(B, 1, cfg.num_kv_heads, hd)
@@ -246,12 +271,12 @@ def decode_step(
         vc = jax.lax.dynamic_update_slice(vc, v_new, (0, step, 0, 0))
         mask = attn_len_mask[:, None, None, :]
         x = x + _proj(_attend_gqa(q, kc, vc, mask), layer["o"])
-        h = rms_norm(x, layer["ln1"], cfg.rms_eps)
-        x = x + _proj(jax.nn.silu(_proj(h, layer["gate"])) * _proj(h, layer["up"]), layer["down"])
+        h = _ln(x, layer["ln1"], cfg)
+        x = x + _proj(_act(_proj(h, layer["gate"]), cfg) * _proj(h, layer["up"]), layer["down"])
         return x, (kc, vc)
 
     x, (kc, vc) = jax.lax.scan(block, x, (params["blocks"], (cache.k, cache.v)))
-    x = rms_norm(x, params["final_ln"], cfg.rms_eps)[:, 0]
+    x = _ln(x, params["final_ln"], cfg)[:, 0]
     logits = (
         x @ params["embed"].T.astype(x.dtype)
         if cfg.tie_word_embeddings
@@ -348,3 +373,31 @@ def convert_qwen2_state_dict(sd: Dict[str, Any], cfg: CausalLMConfig) -> Dict[st
     if not cfg.tie_word_embeddings and "lm_head.weight" in sd:
         params["lm_head"] = t("lm_head.weight")
     return params
+
+def convert_gemma_state_dict(sd: Dict[str, Any], cfg: CausalLMConfig) -> Dict[str, Any]:
+    """HF GemmaForCausalLM -> param tree (same module layout as Qwen2; the
+    arch differences — embed scale, (1+w) norms, tanh-GELU, no biases — live
+    in the forward via cfg.arch="gemma"). Covers bge-reranker-v2-gemma."""
+    assert cfg.arch == "gemma" and not cfg.qkv_bias
+    return convert_qwen2_state_dict(sd, cfg)
+
+
+def gemma_config_from_hf(hf_cfg, **overrides) -> CausalLMConfig:
+    """CausalLMConfig for an HF GemmaConfig (gemma-1; gemma-2b: d=2048,
+    8 heads, head_dim 256, MQA)."""
+    kw = dict(
+        vocab_size=hf_cfg.vocab_size,
+        d_model=hf_cfg.hidden_size,
+        num_layers=hf_cfg.num_hidden_layers,
+        num_heads=hf_cfg.num_attention_heads,
+        num_kv_heads=hf_cfg.num_key_value_heads,
+        d_ff=hf_cfg.intermediate_size,
+        rope_theta=hf_cfg.rope_theta,
+        rms_eps=hf_cfg.rms_norm_eps,
+        qkv_bias=False,
+        tie_word_embeddings=True,
+        arch="gemma",
+        head_dim_override=hf_cfg.head_dim,
+    )
+    kw.update(overrides)
+    return CausalLMConfig(**kw)

@@ -127,3 +127,64 @@ def test_lora_identity_at_init_and_trains(params):
     # not overfitting
     assert float(loss) < first * 0.97, f"{first} -> {float(loss)}"
     # base params untouched by construction (functional merge)
+
+
+def test_gemma_hf_parity():
+    """arch="gemma" matches HF GemmaForCausalLM (the FlagLLMReranker backbone,
+    src/_modules.py:1513-1541): embed scale, (1+w) RMSNorm, tanh-GELU MLP,
+    MQA with explicit head_dim."""
+    torch = pytest.importorskip("torch")
+    from transformers import GemmaConfig, GemmaForCausalLM
+
+    from rag_docvqa_tpu.models.causal_lm import (
+        convert_gemma_state_dict, forward, gemma_config_from_hf,
+    )
+
+    hf_cfg = GemmaConfig(
+        vocab_size=256, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=1,
+        head_dim=16, rms_norm_eps=1e-6, rope_theta=10000.0,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    hf = GemmaForCausalLM(hf_cfg).eval()
+    cfg = gemma_config_from_hf(hf_cfg)
+    params = jax.tree.map(jnp.asarray,
+                          convert_gemma_state_dict({k: v.numpy() for k, v in hf.state_dict().items()}, cfg))
+
+    rng = np.random.RandomState(0)
+    ids = rng.randint(1, 256, size=(2, 9))
+    mask = np.ones((2, 9), np.int64)
+    mask[1, 6:] = 0
+    with torch.no_grad():
+        hf_logits = hf(input_ids=torch.from_numpy(ids),
+                       attention_mask=torch.from_numpy(mask)).logits.numpy()
+    ours = np.asarray(forward(params, cfg, jnp.asarray(ids), jnp.asarray(mask, bool)))
+    # HF returns garbage at padded positions; compare valid ones
+    np.testing.assert_allclose(ours[0], hf_logits[0], rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(ours[1, :6], hf_logits[1, :6], rtol=3e-4, atol=3e-4)
+
+
+def test_gemma_llm_reranker_wiring():
+    """FlagLLMReranker runs on the gemma arch end-to-end."""
+    from rag_docvqa_tpu.data import DocVQAIngestor, HashTokenizer
+    from rag_docvqa_tpu.data.contract import Caps
+    from rag_docvqa_tpu.data.synthetic import make_corpus
+    from rag_docvqa_tpu.engine.rag_vt5 import retrieve_device
+    from rag_docvqa_tpu.engine.reranker import FlagLLMReranker, RerankerConfig
+    from rag_docvqa_tpu.ops.chunking import ChunkSpec
+
+    tok = HashTokenizer(vocab_size=512)
+    gcfg = clm.CausalLMConfig(vocab_size=512, d_model=32, num_layers=2, num_heads=4,
+                              num_kv_heads=1, d_ff=64, qkv_bias=False, arch="gemma",
+                              head_dim_override=16)
+    params = clm.init_causal_lm_params(jax.random.PRNGKey(0), gcfg)
+    rr = FlagLLMReranker(RerankerConfig(filter_thresh=0.0, max_chunk_num=3, pair_len=96),
+                         gcfg, params, tok)
+    ing = DocVQAIngestor(tok, ChunkSpec(chunk_size=8, overlap=2),
+                         Caps(max_pages=2, max_chunks=8, max_slots=64))
+    batch, aux = ing.ingest(make_corpus(2, n_pages=2, words_per_page=16, seed=3))
+    ret0 = retrieve_device(jnp.asarray(np.random.RandomState(1).randn(512, 32), jnp.float32), batch, k=4)
+    ret1 = rr(batch, ret0)
+    v = np.asarray(ret1.top_k_valid)
+    assert int(v.sum(axis=1).max()) <= 3

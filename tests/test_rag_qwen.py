@@ -154,3 +154,32 @@ def test_sft_batch_includes_image_placeholders():
     # loss runs with the visual splice
     loss = clm.sft_loss(eng.params, LM, ids, mask, labels, vemb, vmask)
     assert np.isfinite(float(loss))
+
+
+def test_visual_path_with_faithful_qwen25_tower():
+    """The weight-convertible Qwen2.5-VL tower plugs into the same engine
+    visual path (models/qwen25_vision.py)."""
+    from rag_docvqa_tpu.models.qwen25_vision import (
+        Qwen25VisionConfig, init_qwen25_vision_params,
+    )
+
+    vcfg = Qwen25VisionConfig(
+        hidden_size=32, intermediate_size=64, num_heads=4, depth=2,
+        patch_size=4, temporal_patch_size=2, spatial_merge_size=2,
+        window_size=16, out_hidden_size=LM.d_model, fullatt_block_indexes=(1,),
+        image_size=32,
+    )
+    params = clm.init_causal_lm_params(jax.random.PRNGKey(0), LM)
+    params["vision"] = init_qwen25_vision_params(jax.random.PRNGKey(1), vcfg)
+    cfg = QwenRAGConfig(chunk_num=3, max_prompt_tokens=256, max_new_tokens=3,
+                        use_visual=True, max_crops=2)
+    eng = RAGQwenEngine(cfg, LM, params, TOK, vision_cfg=vcfg)
+
+    docs, batch, aux = _docs_with_images()
+    out_vis = eng.inference(batch, aux)
+    out_txt = eng.inference(batch, dict(aux, images=[None] * len(docs)))
+    assert out_vis["pred_answers"] != out_txt["pred_answers"] or \
+        not np.allclose(out_vis["confidences"], out_txt["confidences"])
+    # placeholder spans per crop match the faithful tower's token count
+    ids, mask, labels, vemb, vmask = eng.build_sft_batch(batch, aux)
+    assert np.asarray(vmask)[0].sum() % vcfg.tokens_per_image == 0
