@@ -26,6 +26,8 @@ def main(argv=None):
     parser.add_argument("--hf-weights", default=None, help="local HF checkpoint dir (converted on load)")
     parser.add_argument("--save-path", default=None)
     parser.add_argument("--sweep", action="store_true", help="expand list-valued config keys into a sweep")
+    parser.add_argument("--data-parallel", action="store_true",
+                        help="shard eval batches over all devices (mesh 'data' axis)")
     parser.add_argument("--platform", choices=("default", "cpu", "tpu"), default="default",
                         help="force a JAX platform (cpu for smoke runs; the host may pin a TPU)")
     parser.add_argument("overrides", nargs="*")
@@ -108,12 +110,19 @@ def main(argv=None):
             stem, ext = os.path.splitext(save_path)
             save_path = f"{stem}_{run_idx}{ext or '.json'}"
 
+        mesh = None
+        if args.data_parallel and len(jax.devices()) > 1:
+            from rag_docvqa_tpu.parallel import create_mesh
+
+            mesh = create_mesh((len(jax.devices()), 1), ("data", "model"))
+
         t0 = time.time()
         out = evaluate(
             engine, docs, ingestor, Evaluator(),
             batch_size=config.get("batch_size", 8),
             save_path=save_path, save_continuously=config.get("save_continuously", False),
             compute_stats=config.get("compute_stats", False),
+            mesh=mesh,
         )
         summary = {k: out[k] for k in ("accuracy", "anls", "retrieval_precision", "chunk_score", "n_samples")}
         if "mmlongbench" in out:

@@ -29,6 +29,7 @@ def evaluate(
     save_path: Optional[str] = None,
     save_continuously: bool = False,
     compute_stats: bool = False,
+    mesh=None,  # jax.sharding.Mesh with a "data" axis: shard eval batches
 ) -> Dict[str, Any]:
     evaluator = evaluator or Evaluator()
     stats = None
@@ -52,6 +53,14 @@ def evaluate(
         chunk = list(docs[start : start + batch_size])
         t0 = time.time()
         batch, aux = ingestor.ingest(chunk)
+        if mesh is not None and batch.batch_size % mesh.shape["data"] == 0:
+            # data-parallel eval: shard the batch over the mesh; the engine's
+            # jitted pipelines then run SPMD (the reference's data_parallel
+            # flag was an unused nn.DataParallel, src/HiVT5.py:643-645)
+            import jax as _jax
+            from jax.sharding import NamedSharding, PartitionSpec as _P
+
+            batch = _jax.device_put(batch, NamedSharding(mesh, _P("data")))
         load_time += time.time() - t0
         if stats is not None:
             # chunk distributions, merged across batches (eval.py:359-378)

@@ -89,6 +89,7 @@ def make_train_step(
     nac_loss_weight: float = 1.0,
     nac_pos_weight: float = 1.0,
     nac_decode_len: int = 16,
+    remat: bool = False,
 ) -> Callable[..., Tuple[TrainState, Dict[str, jax.Array]]]:
     """Returns a jitted train_step(state, batch, labels[, nac_labels]) ->
     (state, metrics).
@@ -116,7 +117,18 @@ def make_train_step(
                 oracle=rag_cfg.page_retrieval == "oracle",
             )
             gen, _ = assemble_concat(batch, ret.top_k_idx, ret.top_k_valid, acfg)
-            loss, logits = vt5m.forward_train(params, vt5_cfg, gen, labels)
+            fwd = vt5m.forward_train
+            if remat:
+                # rematerialize the forward on the backward pass, keeping only
+                # matmul outputs (jax.checkpoint dots_saveable policy): trades
+                # ~1/3 extra FLOPs for activation memory — the standard lever
+                # for scaling batch/sequence on HBM-bound chips.
+                fwd = jax.checkpoint(
+                    vt5m.forward_train,
+                    policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                    static_argnums=(1,),
+                )
+            loss, logits = fwd(params, vt5_cfg, gen, labels)
             aux: Dict[str, jax.Array] = {}
             if use_nac:
                 from rag_docvqa_tpu.models.embeddings import spatial_embed

@@ -55,6 +55,8 @@ class TrainLoopConfig:
     use_nac: bool = False
     nac_loss_weight: float = 1.0
     nac_pos_weight: float = 1.0
+    # rematerialize the forward in backward (activation memory <-> ~1/3 FLOPs)
+    remat: bool = False
 
 
 class Trainer:
@@ -125,6 +127,7 @@ class Trainer:
                 use_nac=self.cfg.use_nac,
                 nac_loss_weight=self.cfg.nac_loss_weight,
                 nac_pos_weight=self.cfg.nac_pos_weight,
+                remat=self.cfg.remat,
             )
 
     # ------------------------------------------------------------------ #

@@ -114,3 +114,24 @@ def test_sep_token_insertion(params):
     ids = np.asarray(gen.input_ids)
     # 3 valid chunks -> 2 separators per row
     assert ((ids == 2).sum(axis=1) == 2).all()
+
+
+def test_data_parallel_eval_matches_single_device():
+    """evaluate(mesh=...) shards batches over the 8-device mesh and produces
+    identical metrics to the unsharded run."""
+    from rag_docvqa_tpu.engine.evaluate import evaluate
+    from rag_docvqa_tpu.metrics import Evaluator
+    from rag_docvqa_tpu.parallel import create_mesh
+
+    docs = make_corpus(8, n_pages=2, words_per_page=30, seed=12)
+    ing = DocVQAIngestor(TOK, ChunkSpec(chunk_size=15, overlap=3), CAPS)
+    params = vt5m.init_vt5_params(jax.random.PRNGKey(0), VT5_CFG)
+    eng = RAGVT5Engine(RAGConfig(page_retrieval="concat", chunk_num=3,
+                                 max_source_length=128, max_new_tokens=4),
+                       VT5_CFG, params, TOK)
+    plain = evaluate(eng, docs, ing, Evaluator(), batch_size=8)
+    mesh = create_mesh((8, 1), ("data", "model"))
+    sharded = evaluate(eng, docs, ing, Evaluator(), batch_size=8, mesh=mesh)
+    for k in ("accuracy", "anls", "retrieval_precision", "chunk_score"):
+        assert plain[k] == sharded[k], k
+    assert plain["pred_answers"] == sharded["pred_answers"]

@@ -200,3 +200,28 @@ def test_trainer_hivt5_path():
     assert len(out["history"]) == 3
     # the page-retrieval head trained too (reference trains whole Hi-VT5)
     assert not np.array_equal(before_head, np.asarray(trainer.state.params["page_head"]["kernel"]))
+
+
+def test_remat_step_matches_plain():
+    """remat=True changes memory, not math: identical loss and updates."""
+    ing = make_ingestor()
+    docs = make_corpus(2, n_pages=2, words_per_page=20, seed=8)
+    batch, aux = ing.ingest(docs)
+    labels = jnp.asarray(ing.answer_labels(aux["answers"], max_len=4))
+    params = vt5m.init_vt5_params(jax.random.PRNGKey(0), CFG)
+    tx = build_optimizer(lr=1e-3, warmup_steps=1, total_steps=10,
+                         mask=trainable_mask(params, ("t5", "spatial")))
+
+    import copy
+
+    s1 = TrainState.create(params, tx)
+    s2 = TrainState.create(jax.tree.map(jnp.array, params), tx)
+    step_plain = make_train_step(CFG, RAG, tx)
+    step_remat = make_train_step(CFG, RAG, tx, remat=True)
+    s1, m1 = step_plain(s1, batch, labels)
+    s2, m2 = step_remat(s2, batch, labels)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(s1.params["t5"]["shared"]), np.asarray(s2.params["t5"]["shared"]),
+        rtol=1e-5, atol=1e-6,
+    )

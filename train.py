@@ -183,6 +183,7 @@ def main(argv=None):
         seed=config["seed"],
         train_metrics_every=config.get("train_metrics_every", 0),
         log_every=config.get("log_every", 10),
+        remat=config.get("remat", False),
         use_nac=bool(config.get("use_not_answerable_classifier", False)
                      and config.get("train_not_answerable_classifier", True)),
         nac_loss_weight=float(config.get("nac_loss_weight", 1.0)),
