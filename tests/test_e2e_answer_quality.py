@@ -1,0 +1,68 @@
+"""END-TO-END answer quality: the full train -> retrieve -> assemble ->
+generate -> decode -> ANLS loop produces correct answers.
+
+This is the in-image stand-in for real-checkpoint ANLS validation (no
+pretrained weights ship with this environment): a tiny VT5 trained through
+the actual Trainer step on the planted-fact corpus reaches ANLS = 1.0 via
+the actual evaluation loop — every stage of the reference pipeline
+(eval.py:191-440) demonstrably works at the answer level, not just the
+module level.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rag_docvqa_tpu.data import DocVQAIngestor, HashTokenizer
+from rag_docvqa_tpu.data.contract import Caps
+from rag_docvqa_tpu.data.synthetic import make_corpus
+from rag_docvqa_tpu.engine import RAGConfig, RAGVT5Engine
+from rag_docvqa_tpu.engine.evaluate import evaluate
+from rag_docvqa_tpu.metrics import Evaluator
+from rag_docvqa_tpu.models import t5 as t5m
+from rag_docvqa_tpu.models import vt5 as vt5m
+from rag_docvqa_tpu.models.embeddings import SpatialConfig
+from rag_docvqa_tpu.models.vit import ViTConfig
+from rag_docvqa_tpu.ops.chunking import ChunkSpec
+from rag_docvqa_tpu.training import TrainState, build_optimizer, make_train_step, trainable_mask
+
+pytestmark = pytest.mark.slow
+
+TOK = HashTokenizer(vocab_size=2048)
+CFG = vt5m.VT5Config(
+    t5=t5m.T5Config(vocab_size=2048, d_model=64, d_kv=16, num_heads=4, d_ff=128,
+                    num_encoder_layers=2, num_decoder_layers=2, dropout_rate=0.0),
+    spatial=SpatialConfig(hidden_size=64, dropout_rate=0.0),
+    vit=ViTConfig(hidden_size=16, num_layers=1, num_heads=2, mlp_dim=32,
+                  patch_size=8, image_size=16),
+    use_visual=False,
+)
+CAPS = Caps(max_pages=2, max_chunks=12, max_slots=192, tokens_per_word=8, embed_tokens=48)
+RAG = RAGConfig(page_retrieval="concat", chunk_num=3, max_source_length=128, max_new_tokens=8)
+
+
+def test_trained_model_answers_correctly():
+    docs = make_corpus(8, n_pages=2, words_per_page=30, seed=42)
+    ing = DocVQAIngestor(TOK, ChunkSpec(chunk_size=10, overlap=2), CAPS)
+    batch, aux = ing.ingest(docs)
+    labels = jnp.asarray(ing.answer_labels(aux["answers"], max_len=8, seed=0))
+
+    params = vt5m.init_vt5_params(jax.random.PRNGKey(0), CFG)
+    tx = build_optimizer(lr=3e-3, warmup_steps=10, total_steps=600,
+                         mask=trainable_mask(params, ("t5", "spatial")))
+    state = TrainState.create(params, tx)
+    step = make_train_step(CFG, RAG, tx)
+    for _ in range(500):
+        state, m = step(state, batch, labels)
+    assert float(m["loss"]) < 0.1
+
+    eng = RAGVT5Engine(RAG, CFG, state.params, TOK)
+    out = evaluate(eng, docs, ing, Evaluator(), batch_size=8)
+    assert out["anls"] == 1.0, f"anls {out['anls']}: {out['pred_answers']}"
+    assert out["accuracy"] == 1.0
+    # the answers really decode to the planted facts
+    assert out["pred_answers"] == [d.answers[0] for d in docs]
