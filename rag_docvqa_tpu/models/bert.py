@@ -35,6 +35,12 @@ class BertConfig:
     position_offset: int = 0  # RoBERTa: pad_id + 1 (= 2)
     pad_id: int = 0
     num_labels: int = 0  # > 0 adds a classification head (reranker)
+    # JinaBERT (jina-embeddings-v2, the reference's JINA BiEncoder backend,
+    # src/_modules.py:1435-1443): ALiBi attention bias instead of position
+    # embeddings, GLU feed-forward, mean pooling
+    use_alibi: bool = False
+    glu_mlp: bool = False
+    pooling: str = "cls"  # "cls" | "mean"
 
 
 def _linear(rng, din, dout):
@@ -50,7 +56,8 @@ def init_bert_params(rng: jax.Array, cfg: BertConfig) -> Dict[str, Any]:
     d, L = cfg.hidden_size, cfg.num_layers
     params: Dict[str, Any] = {
         "word_emb": normal_init(ks[0], (cfg.vocab_size, d), 0.02),
-        "pos_emb": normal_init(ks[1], (cfg.max_position_embeddings, d), 0.02),
+        "pos_emb": jnp.zeros((1, d)) if cfg.use_alibi
+        else normal_init(ks[1], (cfg.max_position_embeddings, d), 0.02),
         "type_emb": normal_init(ks[2], (max(cfg.type_vocab_size, 1), d), 0.02),
         "emb_ln_w": jnp.ones((d,)),
         "emb_ln_b": jnp.zeros((d,)),
@@ -61,7 +68,9 @@ def init_bert_params(rng: jax.Array, cfg: BertConfig) -> Dict[str, Any]:
             "o": _stack_linear(ks[6], L, d, d),
             "attn_ln_w": jnp.ones((L, d)),
             "attn_ln_b": jnp.zeros((L, d)),
-            "fc1": _stack_linear(ks[7], L, d, cfg.intermediate_size),
+            "fc1": _stack_linear(
+                ks[7], L, d, cfg.intermediate_size * (2 if cfg.glu_mlp else 1)
+            ),
             "fc2": _stack_linear(ks[8], L, cfg.intermediate_size, d),
             "out_ln_w": jnp.ones((L, d)),
             "out_ln_b": jnp.zeros((L, d)),
@@ -82,13 +91,16 @@ def bert_encode(
     token_type_ids: Optional[jax.Array] = None,
 ) -> jax.Array:
     B, T = input_ids.shape
-    if cfg.position_offset:
-        # RoBERTa: cumulative positions over non-pad tokens, offset by pad_id+1
-        pos = jnp.cumsum(attention_mask.astype(jnp.int32), axis=1) * attention_mask + cfg.pad_id
-        pos = jnp.clip(pos + cfg.position_offset - 1 - cfg.pad_id, 0, cfg.max_position_embeddings - 1)
+    if cfg.use_alibi:
+        x = params["word_emb"][input_ids]  # positions come from the ALiBi bias
     else:
-        pos = jnp.broadcast_to(jnp.arange(T)[None], (B, T))
-    x = params["word_emb"][input_ids] + params["pos_emb"][pos]
+        if cfg.position_offset:
+            # RoBERTa: cumulative positions over non-pad tokens, offset by pad_id+1
+            pos = jnp.cumsum(attention_mask.astype(jnp.int32), axis=1) * attention_mask + cfg.pad_id
+            pos = jnp.clip(pos + cfg.position_offset - 1 - cfg.pad_id, 0, cfg.max_position_embeddings - 1)
+        else:
+            pos = jnp.broadcast_to(jnp.arange(T)[None], (B, T))
+        x = params["word_emb"][input_ids] + params["pos_emb"][pos]
     if token_type_ids is None:
         token_type_ids = jnp.zeros((B, T), jnp.int32)
     x = x + params["type_emb"][token_type_ids]
@@ -97,12 +109,15 @@ def bert_encode(
     H, dh = cfg.num_heads, cfg.hidden_size // cfg.num_heads
     scale = dh**-0.5
     mask = attention_mask[:, None, None, :]
+    alibi = _alibi_bias(H, T) if cfg.use_alibi else None
 
     def block(x, layer):
         q = dense(x, layer["q"]["kernel"], layer["q"]["bias"]).reshape(B, T, H, dh)
         k = dense(x, layer["k"]["kernel"], layer["k"]["bias"]).reshape(B, T, H, dh)
         v = dense(x, layer["v"]["kernel"], layer["v"]["bias"]).reshape(B, T, H, dh)
         s = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+        if alibi is not None:
+            s = s + alibi
         s = jnp.where(mask, s, -1e9)
         p = jax.nn.softmax(s, axis=-1).astype(x.dtype)
         a = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(B, T, cfg.hidden_size)
@@ -110,7 +125,12 @@ def bert_encode(
             x + dense(a, layer["o"]["kernel"], layer["o"]["bias"]),
             layer["attn_ln_w"], layer["attn_ln_b"], cfg.layer_norm_eps,
         )
-        h = jax.nn.gelu(dense(x, layer["fc1"]["kernel"], layer["fc1"]["bias"]), approximate=False)
+        h = dense(x, layer["fc1"]["kernel"], layer["fc1"]["bias"])
+        if cfg.glu_mlp:
+            gate, up = jnp.split(h, 2, axis=-1)
+            h = jax.nn.gelu(gate, approximate=False) * up
+        else:
+            h = jax.nn.gelu(h, approximate=False)
         x = layer_norm(
             x + dense(h, layer["fc2"]["kernel"], layer["fc2"]["bias"]),
             layer["out_ln_w"], layer["out_ln_b"], cfg.layer_norm_eps,
@@ -121,20 +141,43 @@ def bert_encode(
     return x
 
 
+def _alibi_bias(n_heads: int, T: int) -> jax.Array:
+    """Symmetric (encoder) ALiBi: bias[h, i, j] = -slope_h * |i - j| with the
+    standard geometric slopes 2^(-8h/H)."""
+    import math
+
+    def slopes(n):
+        if math.log2(n).is_integer():
+            start = 2.0 ** (-8.0 / n)
+            return [start ** (i + 1) for i in range(n)]
+        p = 2 ** math.floor(math.log2(n))
+        return slopes(p) + slopes(2 * p)[0::2][: n - p]
+
+    m = jnp.asarray(slopes(n_heads), jnp.float32)[:, None, None]
+    dist = jnp.abs(jnp.arange(T)[:, None] - jnp.arange(T)[None, :]).astype(jnp.float32)
+    return (-m * dist)[None]  # (1, H, T, T)
+
+
 def bert_sentence_embed(
     params: Dict[str, Any],
     cfg: BertConfig,
     input_ids: jax.Array,  # (..., T)
     attention_mask: jax.Array,
 ) -> jax.Array:
-    """BGE sentence embedding: CLS token + L2 normalize. Accepts leading batch
-    dims (e.g. (B, C, T) chunk batches)."""
+    """Sentence embedding + L2 normalize: CLS token (BGE) or masked mean
+    pooling (JINA), per cfg.pooling. Accepts leading batch dims (e.g.
+    (B, C, T) chunk batches)."""
     lead = input_ids.shape[:-1]
     T = input_ids.shape[-1]
-    h = bert_encode(params, cfg, input_ids.reshape(-1, T), attention_mask.reshape(-1, T))
-    cls = h[:, 0, :]
-    cls = cls / (jnp.linalg.norm(cls, axis=-1, keepdims=True) + 1e-12)
-    return cls.reshape(lead + (cfg.hidden_size,))
+    mask = attention_mask.reshape(-1, T)
+    h = bert_encode(params, cfg, input_ids.reshape(-1, T), mask)
+    if cfg.pooling == "mean":
+        m = mask.astype(h.dtype)[..., None]
+        emb = jnp.sum(h * m, axis=1) / jnp.clip(jnp.sum(m, axis=1), 1e-9, None)
+    else:
+        emb = h[:, 0, :]
+    emb = emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-12)
+    return emb.reshape(lead + (cfg.hidden_size,))
 
 
 def cross_encoder_score(

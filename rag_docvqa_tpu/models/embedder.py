@@ -44,7 +44,9 @@ def embed_batch(
 ) -> jax.Array:
     if backend == "VT5":
         return vt5_table_embed(params["shared"], tokens, mask)
-    if backend == "BGE":
+    if backend in ("BGE", "JINA"):
+        # same encoder path; JINA selects the ALiBi/GLU/mean-pool options via
+        # its BertConfig (use_alibi=True, glu_mlp=True, pooling="mean")
         from rag_docvqa_tpu.models.bert import bert_sentence_embed
 
         return bert_sentence_embed(params, bert_cfg, tokens, mask)

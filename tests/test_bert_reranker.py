@@ -139,3 +139,31 @@ def test_build_pair_tokens_layout():
     )
     assert ids0[2 + q_len + c_len] == 9  # final SEP
     assert int(np.asarray(mask[0]).sum()) == 3 + q_len + c_len
+
+
+def test_jina_backend_alibi_glu_mean_pool():
+    """JinaBERT options (the JINA BiEncoder backend, src/_modules.py:1435-1443):
+    ALiBi replaces position embeddings (shift-invariant before padding enters),
+    GLU feed-forward, mean pooling; normalized embeddings."""
+    from rag_docvqa_tpu.models.bert import BertConfig, bert_sentence_embed, init_bert_params
+
+    cfg = BertConfig(vocab_size=500, hidden_size=32, num_layers=2, num_heads=4,
+                     intermediate_size=64, use_alibi=True, glu_mlp=True, pooling="mean")
+    params = init_bert_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    ids = jnp.asarray(rng.randint(3, 500, size=(2, 12)))
+    mask = jnp.ones((2, 12), bool)
+    emb = bert_sentence_embed(params, cfg, ids, mask)
+    assert emb.shape == (2, 32)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(emb), axis=-1), 1.0, rtol=1e-5)
+
+    # ALiBi is relative: identical full-length sequences give identical
+    # embeddings regardless of content elsewhere in the batch
+    emb2 = bert_sentence_embed(params, cfg, ids[:1], mask[:1])
+    np.testing.assert_allclose(np.asarray(emb2)[0], np.asarray(emb)[0], rtol=1e-5, atol=1e-6)
+
+    # mean pooling ignores masked positions
+    ids3 = jnp.concatenate([ids[:1], jnp.zeros((1, 4), jnp.int32)], axis=1)
+    mask3 = jnp.concatenate([mask[:1], jnp.zeros((1, 4), bool)], axis=1)
+    emb3 = bert_sentence_embed(params, cfg, ids3, mask3)
+    np.testing.assert_allclose(np.asarray(emb3)[0], np.asarray(emb)[0], rtol=1e-4, atol=1e-5)
