@@ -141,6 +141,23 @@ def main():
     big_time = (time.perf_counter() - t0) / 10
     big_qps = N_QUERIES / big_time
 
+    # int8-quantized index: 4x corpus capacity per chip (ops/quant.py)
+    from rag_docvqa_tpu.ops.quant import cosine_topk_int8, quantize_rows
+
+    iq, iscale = jax.jit(quantize_rows)(big_index.astype(jnp.float32))
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def big_query_int8(iq, iscale, q, k):
+        return cosine_topk_int8(iq, iscale, q, jnp.int32(BIG_N), k)[0]
+
+    _sync(big_query_int8(iq, iscale, qv, TOP_K))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(10):
+        out = big_query_int8(iq, iscale, qv, TOP_K)
+    _sync(out)
+    int8_qps = N_QUERIES / ((time.perf_counter() - t0) / 10)
+
     # ---- BGE-transformer embed backend (not a table lookup) ------------------
     # bge-small-en-v1.5-shaped encoder over the same chunk corpus: proves the
     # embed+index throughput claim holds with a real 12-layer transformer
@@ -260,6 +277,7 @@ def main():
                     "big_index_chunks": BIG_N,
                     "big_index_query_qps": round(big_qps, 1),
                     "big_index_query_ms_per_batch": round(big_time * 1e3, 2),
+                    "big_index_int8_query_qps": round(int8_qps, 1),
                     "bge_embed_retrieve_pages_per_sec": round(bge_pages_per_sec, 1),
                     "bge_mfu": round(bge_mfu, 3),
                     "e2e_retrieve_generate_pages_per_sec": round(e2e_pages_per_sec, 1),

@@ -96,7 +96,13 @@ class DocVQAIngestor:
         for doc in docs:
             n_chunks = n_chunk_slots = n_raw = 0
             for p in range(len(doc.words)):
-                pc = chunk_page(doc.words[p], doc.boxes[p], self.spec)
+                layout = (doc.layout[p] if doc.layout is not None and p < len(doc.layout) else None) or {}
+                pc = chunk_page(
+                    doc.words[p], doc.boxes[p], self.spec,
+                    layout_boxes=layout.get("boxes"),
+                    layout_labels=layout.get("labels"),
+                    layout_clusters=layout.get("clusters"),
+                )
                 n_chunks += len(pc.word_indices)
                 n_chunk_slots += sum(len(w) for w in pc.word_indices)
                 n_raw += len(doc.words[p])

@@ -102,3 +102,17 @@ def test_random_init_shapes():
     out = encode_image(params, CFG, pix)
     assert out.shape == (2, (GRID[0] // 2) * (GRID[1] // 2), CFG.out_hidden_size)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_hf_parity_padded_window_grid(hf_pair):
+    """Grid not divisible by the merger window (llm grid 5x4, window 2):
+    exercises the -100-padded window partition (get_window_index)."""
+    hf, params = hf_pair
+    rng = np.random.RandomState(3)
+    grid = (10, 8)  # 40x32 image, 4px patches
+    seq = grid[0] * grid[1]
+    feats = rng.randn(seq, CFG.patch_dim).astype(np.float32)
+    with torch.no_grad():
+        hf_out = hf(torch.from_numpy(feats), grid_thw=torch.tensor([[1, *grid]])).numpy()
+    ours = encode_features(params, CFG, jnp.asarray(feats)[None], grid)
+    np.testing.assert_allclose(np.asarray(ours)[0], hf_out, rtol=3e-4, atol=3e-4)
