@@ -180,7 +180,7 @@ def main():
             return carry, bert_sentence_embed(params, bge_cfg, t, m)
 
         ts = tokens.reshape(-1, BGE_BATCH, CHUNK_TOKENS)
-        ms = tok_mask.reshape(-1, BGE_BATCH, CHUNK_TOKENS)
+        ms = mask.reshape(-1, BGE_BATCH, CHUNK_TOKENS)
         _, embs = jax.lax.scan(body, 0, (ts, ms))
         return embs.reshape(-1, 384)
 

@@ -239,15 +239,7 @@ def build_reranker(c: Dict[str, Any], tokenizer, seed: int = 0):
             cfg_path = os.path.join(weights, "config.json")
             if os.path.exists(cfg_path):
                 with open(cfg_path) as f:
-                    hf = json.load(f)
-                lm_cfg = CausalLMConfig(
-                    vocab_size=hf["vocab_size"], d_model=hf["hidden_size"],
-                    num_layers=hf["num_hidden_layers"], num_heads=hf["num_attention_heads"],
-                    num_kv_heads=hf["num_key_value_heads"], d_ff=hf["intermediate_size"],
-                    rope_theta=hf.get("rope_theta", 10000.0),
-                    rms_eps=hf.get("rms_norm_eps", 1e-6), qkv_bias=False,
-                    arch="gemma", head_dim_override=hf.get("head_dim", 0),
-                )
+                    lm_cfg = gemma_config_from_hf(json.load(f))
             params = convert_gemma_state_dict(read_state_dict(weights), lm_cfg)
         else:
             params = init_causal_lm_params(key, lm_cfg)

@@ -373,7 +373,8 @@ def build_dude(
     records: List[Dict[str, Any]] = []
     for sample in raw:
         records.extend(format_dude_document(sample, split=split, max_pages=max_pages, rng=rng))
-    cols = {k: [r[k] for r in records] for k in records[0]} if records else {}
+    keys = sorted({k for r in records for k in r})  # union: docs may differ
+    cols = {k: [r.get(k) for r in records] for k in keys} if records else {}
     ds = hf_datasets.Dataset.from_dict(cols)
     out_path = os.path.join(out_dir, f"DUDE_{split}")
     ds.save_to_disk(out_path)

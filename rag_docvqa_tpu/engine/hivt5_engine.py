@@ -24,11 +24,13 @@ class HiVT5Engine:
     def _page_visual(self, batch: ChunkedBatch, aux: Optional[Dict[str, Any]]):
         """Per-page visual tokens (HiVT5.py:471-489): every page render goes
         through the ViT + matcher + visual-box spatial embedding. Returns
-        (B, P, 197, D) or None when the visual branch is off / no images."""
+        ((B, P, 197, D), (B, P) validity) or (None, None) when the visual
+        branch is off / no images. Pages without a real render are masked out
+        downstream (mixed batches must not attend to zero-image features)."""
         if not (self.cfg.use_visual and "visual" in self.params):
-            return None
+            return None, None
         if aux is None or not aux.get("images") or aux["images"][0] is None:
-            return None
+            return None, None
         import jax.numpy as jnp
 
         from rag_docvqa_tpu.ops.patches import resize_image
@@ -36,6 +38,7 @@ class HiVT5Engine:
         B, P = batch.batch_size, self.cfg.max_doc_pages
         size = self.cfg.vit.image_size
         pixels = np.zeros((B * P, size, size, 3), np.float32)
+        valid = np.zeros((B, P), bool)
         for b in range(B):
             page_imgs = aux["images"][b] or []
             for p in range(min(P, len(page_imgs))):
@@ -43,14 +46,16 @@ class HiVT5Engine:
                     continue
                 img = resize_image(np.asarray(page_imgs[p]), size, size) / 255.0
                 pixels[b * P + p] = (img - 0.5) / 0.5
+                valid[b, p] = True
         vis = hivt5m.page_visual_features(self.params, self.cfg, jnp.asarray(pixels))
-        return vis.reshape(B, P, vis.shape[1], vis.shape[2])
+        return vis.reshape(B, P, vis.shape[1], vis.shape[2]), jnp.asarray(valid)
 
     def inference(self, batch: ChunkedBatch, aux: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
         t0 = time.time()
-        page_visual = self._page_visual(batch, aux)
+        page_visual, page_visual_valid = self._page_visual(batch, aux)
         tokens, conf, pred_page = hivt5m.generate(
-            self.params, self.cfg, batch, self.max_new_tokens, page_visual=page_visual
+            self.params, self.cfg, batch, self.max_new_tokens,
+            page_visual=page_visual, page_visual_valid=page_visual_valid,
         )
         answers = self._decode(tokens)
         pages = [int(p) for p in np.asarray(pred_page)]

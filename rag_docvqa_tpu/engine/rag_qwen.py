@@ -113,12 +113,13 @@ class RAGQwenEngine:
     def _encode_crops(self, batch: ChunkedBatch, aux: Dict[str, Any], ret) -> Optional[np.ndarray]:
         """Crop the top-k chunk boxes from their pages and run the vision
         tower (src/QwenVLInstruct.py:85-119: resized retrieved patch images).
-        Returns (B, max_crops, Tv, D) embeddings with zero rows for missing
-        crops, or None when the visual path is off / images unavailable."""
+        Returns ((B, max_crops, Tv, D) embeddings with zero rows for missing
+        crops, (B, max_crops) crop validity), or (None, None) when the visual
+        path is off / images unavailable."""
         if not (self.cfg.use_visual and self.vision_cfg is not None and "vision" in self.params):
-            return None
+            return None, None
         if not aux.get("images") or aux["images"][0] is None:
-            return None
+            return None, None
         from rag_docvqa_tpu.ops.patches import crop_box, resize_image
 
         # two towers: the faithful Qwen2.5-VL encoder (weight-convertible,
@@ -140,7 +141,7 @@ class RAGQwenEngine:
         pages = np.asarray(ret.top_k_page)
         valid = np.asarray(ret.top_k_valid)
         pixels = np.zeros((B * M, size, size, 3), np.float32)
-        self._crop_valid = np.zeros((B, M), bool)
+        crop_valid = np.zeros((B, M), bool)
         for b in range(B):
             page_imgs = aux["images"][b]
             if page_imgs is None:
@@ -157,17 +158,18 @@ class RAGQwenEngine:
                     continue
                 pix = resize_image(crop, size, size) / 255.0
                 pixels[b * M + m] = (pix - 0.5) / 0.5
-                self._crop_valid[b, m] = True
+                crop_valid[b, m] = True
                 m += 1
         embeds = encode(self.params["vision"], self.vision_cfg, jnp.asarray(pixels))
         Tv = embeds.shape[1]
-        return np.asarray(embeds).reshape(B, M, Tv, -1)
+        return np.asarray(embeds).reshape(B, M, Tv, -1), crop_valid
 
     def _assemble_prompts(
         self,
         questions: List[str],
         texts: List[List[str]],
         crop_embeds: Optional[np.ndarray],  # (B, M, Tv, D) or None
+        crop_valid: Optional[np.ndarray] = None,  # (B, M) bool
         total_len: Optional[int] = None,
     ):
         """ChatML prompt ids with <|image_pad|> placeholder spans; returns
@@ -199,7 +201,7 @@ class RAGQwenEngine:
             if crop_embeds is not None:
                 Tv = crop_embeds.shape[2]
                 for m in range(crop_embeds.shape[1]):
-                    if not self._crop_valid[b, m]:
+                    if crop_valid is None or not crop_valid[b, m]:
                         continue
                     seq += vopen
                     spans.append((len(seq), m))
@@ -213,7 +215,10 @@ class RAGQwenEngine:
             if crop_embeds is not None:
                 Tv = crop_embeds.shape[2]
                 for start, m in spans:
-                    end = min(start + Tv, T)
+                    # clip to the TRUNCATED prompt: a span past len(seq) would
+                    # otherwise splice crop embeddings over answer tokens in
+                    # the SFT layout (labels supervise those positions)
+                    end = min(start + Tv, len(seq))
                     if end <= start:
                         continue
                     vemb[b, start:end] = crop_embeds[b, m, : end - start]
@@ -222,8 +227,10 @@ class RAGQwenEngine:
 
     def inference(self, batch: ChunkedBatch, aux: Dict[str, Any]) -> Dict[str, Any]:
         ret, texts, pages = self._retrieve(batch, aux)
-        crop_embeds = self._encode_crops(batch, aux, ret)
-        ids, mask, vemb, vmask, _ = self._assemble_prompts(aux["questions"], texts, crop_embeds)
+        crop_embeds, crop_valid = self._encode_crops(batch, aux, ret)
+        ids, mask, vemb, vmask, _ = self._assemble_prompts(
+            aux["questions"], texts, crop_embeds, crop_valid
+        )
         tokens, conf = clm.generate(
             self.params, self.lm_cfg, jnp.asarray(ids), jnp.asarray(mask),
             max_new_tokens=self.cfg.max_new_tokens,
@@ -259,11 +266,11 @@ class RAGQwenEngine:
         the matching visual embeddings are returned for the splice hook."""
         rng = np.random.RandomState(seed)
         ret, texts, _ = self._retrieve(batch, aux)
-        crop_embeds = self._encode_crops(batch, aux, ret)
+        crop_embeds, crop_valid = self._encode_crops(batch, aux, ret)
         T = self.cfg.max_prompt_tokens + self.cfg.answer_max_tokens
         B = batch.batch_size
         ids, mask, vemb, vmask, lens = self._assemble_prompts(
-            aux["questions"], texts, crop_embeds, total_len=T
+            aux["questions"], texts, crop_embeds, crop_valid, total_len=T
         )
         labels = np.full((B, T), -100, np.int32)
         for b in range(B):

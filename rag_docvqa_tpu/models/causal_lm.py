@@ -383,21 +383,22 @@ def convert_gemma_state_dict(sd: Dict[str, Any], cfg: CausalLMConfig) -> Dict[st
 
 
 def gemma_config_from_hf(hf_cfg, **overrides) -> CausalLMConfig:
-    """CausalLMConfig for an HF GemmaConfig (gemma-1; gemma-2b: d=2048,
-    8 heads, head_dim 256, MQA)."""
+    """CausalLMConfig for an HF GemmaConfig or its config.json dict
+    (gemma-1; gemma-2b: d=2048, 8 heads, head_dim 256, MQA)."""
+    get = hf_cfg.get if isinstance(hf_cfg, dict) else lambda k, d=None: getattr(hf_cfg, k, d)
     kw = dict(
-        vocab_size=hf_cfg.vocab_size,
-        d_model=hf_cfg.hidden_size,
-        num_layers=hf_cfg.num_hidden_layers,
-        num_heads=hf_cfg.num_attention_heads,
-        num_kv_heads=hf_cfg.num_key_value_heads,
-        d_ff=hf_cfg.intermediate_size,
-        rope_theta=hf_cfg.rope_theta,
-        rms_eps=hf_cfg.rms_norm_eps,
+        vocab_size=get("vocab_size"),
+        d_model=get("hidden_size"),
+        num_layers=get("num_hidden_layers"),
+        num_heads=get("num_attention_heads"),
+        num_kv_heads=get("num_key_value_heads"),
+        d_ff=get("intermediate_size"),
+        rope_theta=get("rope_theta", 10000.0),
+        rms_eps=get("rms_norm_eps", 1e-6),
         qkv_bias=False,
         tie_word_embeddings=True,
         arch="gemma",
-        head_dim_override=hf_cfg.head_dim,
+        head_dim_override=get("head_dim", 0) or 0,
     )
     kw.update(overrides)
     return CausalLMConfig(**kw)

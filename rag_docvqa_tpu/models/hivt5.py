@@ -98,6 +98,7 @@ def encode_document(
     cfg: HiVT5Config,
     batch: ChunkedBatch,
     page_visual: jax.Array = None,  # (B, P, Tv, D) per-page visual tokens
+    page_visual_valid: jax.Array = None,  # (B, P) bool: pages with a real image
 ) -> Tuple[jax.Array, jax.Array]:
     """Hierarchical encode: returns (doc_emb (B, P*K, D), doc_mask (B, P*K)).
 
@@ -128,7 +129,15 @@ def encode_document(
     if page_visual is not None:
         Tv = page_visual.shape[2]
         x = jnp.concatenate([x, page_visual.reshape(B * P, Tv, -1).astype(x.dtype)], axis=1)
-        mask = jnp.concatenate([mask, jnp.ones((B * P, Tv), bool)], axis=1)
+        # only pages with a REAL render contribute visual tokens (the
+        # reference masks visual rows by page_idx_mask, _modules.py:137-141);
+        # without the mask, zero-filled images would inject garbage features
+        vis_valid = (
+            page_visual_valid.reshape(B * P)[:, None]
+            if page_visual_valid is not None
+            else jnp.ones((B * P, 1), bool)
+        )
+        mask = jnp.concatenate([mask, jnp.broadcast_to(vis_valid, (B * P, Tv))], axis=1)
     mask = mask & page_valid.reshape(B * P)[:, None]
 
     hidden = t5m.encode(params["t5"], cfg.t5, x, mask)  # one pass, pages in batch
@@ -152,12 +161,13 @@ def forward_train(
     batch: ChunkedBatch,
     labels: jax.Array,  # (B, Td) with -100 padding
     page_visual: jax.Array = None,
+    page_visual_valid: jax.Array = None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Returns (total loss, {'lm_loss', 'ret_loss', 'ret_logits'}).
 
     total = LM CE + retrieval_loss_weight * page CE (train.py:69,
     _modules.py:173)."""
-    doc_emb, doc_mask = encode_document(params, cfg, batch, page_visual)
+    doc_emb, doc_mask = encode_document(params, cfg, batch, page_visual, page_visual_valid)
     dec_in = t5m.shift_tokens_right(labels, cfg.t5.pad_id, cfg.t5.decoder_start_token_id)
     logits = t5m.decode_train(params["t5"], cfg.t5, dec_in, doc_emb, doc_mask)
     valid = labels != -100
@@ -211,13 +221,14 @@ def generate(
     batch: ChunkedBatch,
     max_new_tokens: int = 100,
     page_visual: jax.Array = None,
+    page_visual_valid: jax.Array = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Greedy decode over the compressed document embedding.
 
     Returns (tokens, confidence, pred_page): pred_page from the retrieval head
     (the reference's last-step argmax quirk HiVT5.py:772-778 is replaced by
     the head it was meant to use — the ret_logits path)."""
-    doc_emb, doc_mask = encode_document(params, cfg, batch, page_visual)
+    doc_emb, doc_mask = encode_document(params, cfg, batch, page_visual, page_visual_valid)
     tokens, conf = greedy_decode(params["t5"], cfg.t5, doc_emb, doc_mask, max_new_tokens)
     ret_logits = page_retrieval_logits(params, cfg, doc_emb)
     page_valid = jnp.arange(cfg.max_doc_pages)[None, :] < batch.num_pages[:, None]

@@ -164,7 +164,8 @@ def _attend(
     v: jax.Array,  # (B, Tk, H, dk)
     bias: Optional[jax.Array],  # (1|B, H, Tq, Tk)
     mask: Optional[jax.Array],  # (B, 1, Tq, Tk) bool
-) -> jax.Array:
+    return_probs: bool = False,
+):
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
     if bias is not None:
         scores = scores + bias.astype(jnp.float32)
@@ -172,7 +173,10 @@ def _attend(
         scores = jnp.where(mask, scores, -1e9)
     probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
-    return out.reshape(out.shape[0], out.shape[1], -1)
+    out = out.reshape(out.shape[0], out.shape[1], -1)
+    if return_probs:
+        return out, probs
+    return out
 
 
 def _ffn(p: Params, cfg: T5Config, x: jax.Array) -> jax.Array:
@@ -260,11 +264,7 @@ def decode_train(
         q = _split_heads(dense(h, layer["cross_attn"]["q"]), cfg.num_heads)
         k = _split_heads(dense(encoder_hidden, layer["cross_attn"]["k"]), cfg.num_heads)
         v = _split_heads(dense(encoder_hidden, layer["cross_attn"]["v"]), cfg.num_heads)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-        scores = jnp.where(cross_mask, scores, -1e9)
-        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-        attended = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
-        attended = attended.reshape(attended.shape[0], attended.shape[1], -1)
+        attended, probs = _attend(q, k, v, None, cross_mask, return_probs=True)
         x = x + dense(attended, layer["cross_attn"]["o"])
         h = rms_norm(x, layer["ln2"], cfg.layer_norm_eps)
         x = x + _ffn(layer["ffn"], cfg, h)

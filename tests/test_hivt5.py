@@ -127,10 +127,13 @@ def test_per_page_visual_branch():
     assert out_vis["pred_answers"] != out_txt["pred_answers"] or \
         not np.allclose(out_vis["confidences"], out_txt["confidences"])
 
-    # training path accepts the visual tokens
-    page_visual = eng._page_visual(batch, aux)
+    # training path accepts the visual tokens; validity masks real pages
+    page_visual, page_visual_valid = eng._page_visual(batch, aux)
     assert page_visual is not None
-    loss, parts = hivt5.forward_train(params, vcfg, batch, labels, page_visual=page_visual)
+    assert np.asarray(page_visual_valid).sum() == sum(len(d.words) for d in docs)
+    loss, parts = hivt5.forward_train(params, vcfg, batch, labels,
+                                      page_visual=page_visual,
+                                      page_visual_valid=page_visual_valid)
     assert np.isfinite(float(loss))
 
 

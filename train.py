@@ -98,21 +98,27 @@ def _default_tokenizer_from_ckpt(config):
     if os.path.exists(cfg_path):
         with open(cfg_path) as f:
             hf = json.load(f)
+        # T5-style keys first, decoder-only (Qwen/Gemma) aliases second
+        text = hf.get("text_config", hf)  # Pix2Struct/VLM configs nest text dims
         dims = {
-            "d_model": hf.get("d_model"),
-            "d_kv": hf.get("d_kv"),
-            "num_heads": hf.get("num_heads"),
-            "d_ff": hf.get("d_ff"),
-            "num_layers": hf.get("num_layers"),
-            "num_decoder_layers": hf.get("num_decoder_layers", hf.get("num_layers")),
+            "d_model": text.get("d_model", text.get("hidden_size")),
+            "d_kv": text.get("d_kv"),
+            "num_heads": text.get("num_heads", text.get("num_attention_heads")),
+            "d_ff": text.get("d_ff", text.get("intermediate_size")),
+            "num_layers": text.get("num_layers", text.get("num_hidden_layers")),
+            "num_decoder_layers": text.get(
+                "num_decoder_layers", text.get("num_layers", text.get("num_hidden_layers"))
+            ),
+            "num_kv_heads": text.get("num_key_value_heads"),
         }
         for k, v in dims.items():
             if v is not None:
                 config[k] = v
         # without a shipped tokenizer, size the hash tokenizer to the
         # checkpoint's vocab so the shared table ids stay in range
-        if hf.get("vocab_size") and config.get("tokenizer") in (None, "hash"):
-            config["tokenizer"] = f"hash:{hf['vocab_size']}"
+        vocab = hf.get("vocab_size", hf.get("text_config", {}).get("vocab_size"))
+        if vocab and config.get("tokenizer") in (None, "hash"):
+            config["tokenizer"] = f"hash:{vocab}"
 
 
 def main(argv=None):
