@@ -144,6 +144,10 @@ def encode_document(
     compressed = hidden[:, :K, :]  # keep page summary tokens (HiVT5.py:489)
     doc_emb = compressed.reshape(B, P * K, -1)
     doc_mask = jnp.repeat(page_valid, K, axis=1)  # (B, P*K)
+    # zero padded-page positions: their rows are all-keys-masked softmax
+    # garbage (content-dependent), and page_retrieval_logits flattens the
+    # WHOLE doc_emb into the page head — masked rows must be inert
+    doc_emb = doc_emb * doc_mask[..., None].astype(doc_emb.dtype)
     return doc_emb, doc_mask
 
 

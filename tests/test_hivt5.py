@@ -151,3 +151,41 @@ def test_attention_viz_page_relevance():
     assert rel.shape == (2, CFG.max_doc_pages)
     np.testing.assert_allclose(rel.sum(axis=1), 1.0, rtol=1e-5)
     assert (rel[:, 3:] == 0).all()  # page 3 padded (3 real pages)
+
+
+def test_visual_branch_masks_imageless_pages():
+    """Regression: in a mixed batch, pages without a real render must not
+    contribute visual tokens (zero-image ViT features were attended before)."""
+    import numpy as np
+
+    from rag_docvqa_tpu.engine.hivt5_engine import HiVT5Engine
+    from rag_docvqa_tpu.models.vit import ViTConfig
+
+    vcfg = hivt5.HiVT5Config(
+        t5=CFG.t5, spatial=CFG.spatial, page_tokens=CFG.page_tokens,
+        max_doc_pages=CFG.max_doc_pages, page_seq_len=CFG.page_seq_len,
+        use_visual=True,
+        vit=ViTConfig(hidden_size=16, num_layers=1, num_heads=2, mlp_dim=32,
+                      patch_size=8, image_size=16),
+    )
+    params = hivt5.init_hivt5_params(jax.random.PRNGKey(0), vcfg)
+    docs, batch, labels = build()
+    rng = np.random.RandomState(0)
+    # doc 0 has images, doc 1 does not
+    aux = {"images": [
+        [rng.randint(0, 255, (32, 32, 3)).astype(np.uint8) for _ in docs[0].words],
+        None,
+    ]}
+    eng = HiVT5Engine(vcfg, params, TOK, max_new_tokens=3)
+    pv, pvalid = eng._page_visual(batch, aux)
+    pvalid_np = np.asarray(pvalid)
+    assert pvalid_np[0].sum() == len(docs[0].words) and pvalid_np[1].sum() == 0
+
+    # doc 1's encoding must equal the no-visual encoding (its visual tokens
+    # are fully masked)
+    emb_mixed, _ = hivt5.encode_document(params, vcfg, batch, pv, pvalid)
+    emb_plain, _ = hivt5.encode_document(params, vcfg, batch)
+    np.testing.assert_allclose(np.asarray(emb_mixed)[1], np.asarray(emb_plain)[1],
+                               rtol=1e-5, atol=1e-6)
+    # doc 0's encoding must differ (its visual tokens are attended)
+    assert not np.allclose(np.asarray(emb_mixed)[0], np.asarray(emb_plain)[0], atol=1e-4)

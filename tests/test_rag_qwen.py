@@ -183,3 +183,28 @@ def test_visual_path_with_faithful_qwen25_tower():
     # placeholder spans per crop match the faithful tower's token count
     ids, mask, labels, vemb, vmask = eng.build_sft_batch(batch, aux)
     assert np.asarray(vmask)[0].sum() % vcfg.tokens_per_image == 0
+
+
+def test_visual_sft_spans_clipped_at_prompt_truncation():
+    """Regression: with a prompt overflowing max_prompt_tokens, placeholder
+    spans must NOT bleed into the supervised answer region."""
+    docs, batch, aux = _docs_with_images()
+    from rag_docvqa_tpu.models.qwen_vision import QwenVisionConfig, init_qwen_vision_params
+    from rag_docvqa_tpu.models.vit import ViTConfig
+
+    vcfg = QwenVisionConfig(
+        vit=ViTConfig(hidden_size=16, num_layers=1, num_heads=2, mlp_dim=32,
+                      patch_size=8, image_size=32),
+        out_dim=LM.d_model,
+    )
+    params = clm.init_causal_lm_params(jax.random.PRNGKey(0), LM)
+    params["vision"] = init_qwen_vision_params(jax.random.PRNGKey(1), vcfg)
+    # tiny prompt budget forces truncation mid-placeholder-span
+    cfg = QwenRAGConfig(chunk_num=3, max_prompt_tokens=64, answer_max_tokens=8,
+                        use_visual=True, max_crops=2)
+    eng = RAGQwenEngine(cfg, LM, params, TOK, vision_cfg=vcfg)
+    ids, mask, labels, vemb, vmask = eng.build_sft_batch(batch, aux)
+    ids_np, vmask_np, labels_np = map(np.asarray, (ids, vmask, labels))
+    # every visual-mask position holds a placeholder token and is unsupervised
+    assert (ids_np[vmask_np] == eng.image_pad_id).all()
+    assert (labels_np[vmask_np] == -100).all()
