@@ -142,13 +142,13 @@ def main():
     big_qps = N_QUERIES / big_time
 
     # int8-quantized index: 4x corpus capacity per chip (ops/quant.py)
-    from rag_docvqa_tpu.ops.quant import cosine_topk_int8, quantize_rows
+    from rag_docvqa_tpu.ops.quant import cosine_topk_int8_auto, quantize_rows
 
     iq, iscale = jax.jit(quantize_rows)(big_index.astype(jnp.float32))
 
     @functools.partial(jax.jit, static_argnames=("k",))
     def big_query_int8(iq, iscale, q, k):
-        return cosine_topk_int8(iq, iscale, q, jnp.int32(BIG_N), k)[0]
+        return cosine_topk_int8_auto(iq, iscale, q, jnp.int32(BIG_N), k)[0]
 
     _sync(big_query_int8(iq, iscale, qv, TOP_K))
     t0 = time.perf_counter()

@@ -44,3 +44,33 @@ def test_int8_respects_n_valid():
     iq, s = build_int8_index(emb)
     _, idx, valid = cosine_topk_int8(iq, s, q, jnp.int32(100), 8)
     assert (np.asarray(idx)[np.asarray(valid)] < 100).all()
+
+
+def test_int8_twophase_bit_exact_vs_flat():
+    """Two-phase int8 kernel == flat int8 path exactly (integer accumulation
+    is order-free, so no epsilon caveat)."""
+    from rag_docvqa_tpu.ops.quant import build_int8_index, cosine_topk_int8, cosine_topk_int8_twophase
+
+    rng = np.random.RandomState(3)
+    for N, B, k in ((4096, 8, 10), (6144, 33, 5)):
+        emb = jnp.asarray(rng.randn(N, 64).astype(np.float32))
+        iq, sc = build_int8_index(emb)
+        q = jnp.asarray(rng.randn(B, 64).astype(np.float32))
+        v1, i1, ok1 = cosine_topk_int8(iq, sc, q, jnp.int32(N), k)
+        v2, i2, ok2 = cosine_topk_int8_twophase(iq, sc, q, jnp.int32(N), k, tile_n=2048, interpret=True)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6, atol=1e-7)
+
+
+def test_int8_twophase_padding():
+    from rag_docvqa_tpu.ops.quant import build_int8_index, cosine_topk_int8_twophase
+
+    rng = np.random.RandomState(4)
+    emb = jnp.asarray(rng.randn(700, 32).astype(np.float32))
+    iq, sc = build_int8_index(emb)
+    iq = jnp.pad(iq, ((0, 1024 - 700), (0, 0)))
+    sc = jnp.pad(sc, ((0, 1024 - 700), (0, 0)))
+    q = jnp.asarray(rng.randn(4, 32).astype(np.float32))
+    vals, idx, ok = cosine_topk_int8_twophase(iq, sc, q, jnp.int32(700), 8, tile_n=512, interpret=True)
+    assert np.asarray(ok).all()
+    assert (np.asarray(idx) < 700).all()
