@@ -80,9 +80,9 @@ def main(argv=None):
 
             noisy = NoisePagesWrapper(_ListDS(base_docs), noise_pages=n_noise, mix=True, seed=seed)
             docs = [noisy[i] for i in range(len(noisy))]
-            # caps must absorb the extra pages
-            caps = build_caps({**config, "max_pages": max(len(d.words) for d in docs)})
-            ingestor = DocVQAIngestor(tokenizer, build_chunk_spec(config), caps)
+            # caps must absorb the extra pages/chunks/slots the noise adds
+            ingestor = DocVQAIngestor(tokenizer, build_chunk_spec(config), build_caps(config))
+            ingestor.caps = ingestor.plan_caps(docs)
             out = evaluate(engine, docs, ingestor, Evaluator(), batch_size=config.get("batch_size", 8))
             for k in ("accuracy", "anls", "retrieval_precision", "chunk_score"):
                 per_seed[k].append(out[k])
