@@ -29,7 +29,9 @@ class HiVT5Engine:
         downstream (mixed batches must not attend to zero-image features)."""
         if not (self.cfg.use_visual and "visual" in self.params):
             return None, None
-        if aux is None or not aux.get("images") or aux["images"][0] is None:
+        if aux is None or not aux.get("images") or all(
+            imgs is None for imgs in aux["images"]
+        ):
             return None, None
         import jax.numpy as jnp
 

@@ -118,7 +118,7 @@ class RAGQwenEngine:
         path is off / images unavailable."""
         if not (self.cfg.use_visual and self.vision_cfg is not None and "vision" in self.params):
             return None, None
-        if not aux.get("images") or aux["images"][0] is None:
+        if not aux.get("images") or all(imgs is None for imgs in aux["images"]):
             return None, None
         from rag_docvqa_tpu.ops.patches import crop_box, resize_image
 
@@ -201,7 +201,9 @@ class RAGQwenEngine:
             if crop_embeds is not None:
                 Tv = crop_embeds.shape[2]
                 for m in range(crop_embeds.shape[1]):
-                    if crop_valid is None or not crop_valid[b, m]:
+                    # None validity = all crops valid (same default as
+                    # hivt5.encode_document's page_visual_valid)
+                    if crop_valid is not None and not crop_valid[b, m]:
                         continue
                     seq += vopen
                     spans.append((len(seq), m))

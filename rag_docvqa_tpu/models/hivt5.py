@@ -196,6 +196,7 @@ def attention_viz(
     batch: ChunkedBatch,
     labels: jax.Array,  # (B, Td) decoder targets (or generated ids)
     page_visual: jax.Array = None,
+    page_visual_valid: jax.Array = None,
 ) -> Dict[str, jax.Array]:
     """Attention extraction for visualization (reference HiVT5.py:782-851:
     decoder cross-attentions over the compressed document embedding, mapped
@@ -205,7 +206,7 @@ def attention_viz(
       * "page_relevance": (B, P) attention mass per page, averaged over
                           layers/heads/steps and renormalized over valid pages
     """
-    doc_emb, doc_mask = encode_document(params, cfg, batch, page_visual)
+    doc_emb, doc_mask = encode_document(params, cfg, batch, page_visual, page_visual_valid)
     dec_in = t5m.shift_tokens_right(labels, cfg.t5.pad_id, cfg.t5.decoder_start_token_id)
     _, cross = t5m.decode_train(
         params["t5"], cfg.t5, dec_in, doc_emb, doc_mask, return_cross_attn=True

@@ -101,8 +101,10 @@ def cosine_topk_int8_twophase(
 ):
     """Exact int8 top-k without materializing (B, N): fused segment-max
     preselect + integer re-score of the k winning segments. Integer
-    accumulation is order-independent, so this is BIT-exact vs
-    cosine_topk_int8 (unlike the bf16 two-phase kernel's epsilon caveat)."""
+    accumulation is order-free and phase 3 applies the scales in the flat
+    path's order, so results match cosine_topk_int8 (verified bit-identical
+    on a 512k device index; only sub-ulp rounding ties in the qs-free
+    segment-max selection could theoretically differ)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -144,13 +146,19 @@ def cosine_topk_int8_twophase(
     acc = jnp.einsum(
         "bkgd,bd->bkg", cand_rows.astype(jnp.int32), q8.astype(jnp.int32)
     )
-    cand_scores = acc.astype(jnp.float32) * index_scale[cand_idx.reshape(B, -1), 0].reshape(B, k, group)
+    # apply the scales in the flat path's order ((acc*qs)*index_scale) so
+    # final values and tie behavior match cosine_topk_int8
+    cand_scores = (acc.astype(jnp.float32) * qs[:, :, None]) * index_scale[
+        cand_idx.reshape(B, -1), 0
+    ].reshape(B, k, group)
     flat_idx = cand_idx.reshape(B, k * group)
     flat = jnp.where(flat_idx < n_valid, cand_scores.reshape(B, k * group), NEG_INF)
     vals, pos = jax.lax.top_k(flat, k)
     idx = jnp.take_along_axis(flat_idx, pos, axis=1)
     valid = vals > NEG_INF / 2
-    return vals * qs, idx.astype(jnp.int32), valid
+    # invalid slots keep the raw NEG_INF sentinel (NOT scaled by qs — the
+    # sharded merge's `> -1e29` validity check depends on it)
+    return jnp.where(valid, vals, NEG_INF), idx.astype(jnp.int32), valid
 
 
 def cosine_topk_int8_auto(index_q, index_scale, queries, n_valid, k: int, tile_n: int = 2048):

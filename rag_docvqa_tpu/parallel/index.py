@@ -172,7 +172,7 @@ def _sharded_query(index, queries, *, mesh, axis, n_valid, k, tile_n, use_pallas
 
 @functools.partial(jax.jit, static_argnames=("mesh", "axis", "n_valid", "k"))
 def _sharded_query_int8(index_q, scales, queries, *, mesh, axis, n_valid, k):
-    from rag_docvqa_tpu.ops.quant import cosine_topk_int8, cosine_topk_int8_twophase
+    from rag_docvqa_tpu.ops.quant import cosine_topk_int8_auto
 
     n_shards = mesh.shape[axis]
     shard_len = index_q.shape[0] // n_shards
@@ -180,11 +180,9 @@ def _sharded_query_int8(index_q, scales, queries, *, mesh, axis, n_valid, k):
     def local(iq, sc, q):
         sid = jax.lax.axis_index(axis)
         local_valid = jnp.clip(n_valid - sid * shard_len, 0, shard_len)
-        # two-phase for big query batches (bit-identical, ~2x at B>=256)
-        if q.shape[0] > 16 and shard_len % 2048 == 0 and jax.default_backend() == "tpu":
-            vals, idx, _ = cosine_topk_int8_twophase(iq, sc, q, local_valid, k, tile_n=2048)
-        else:
-            vals, idx, _ = cosine_topk_int8(iq, sc, q, local_valid, k)
+        # auto-dispatch: flat at tiny batch, two-phase beyond (one policy
+        # shared with the single-device path)
+        vals, idx, _ = cosine_topk_int8_auto(iq, sc, q, local_valid, k)
         gidx = idx + sid * shard_len
         cand_vals = jax.lax.all_gather(vals, axis)
         cand_idx = jax.lax.all_gather(gidx, axis)

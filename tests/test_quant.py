@@ -74,3 +74,21 @@ def test_int8_twophase_padding():
     vals, idx, ok = cosine_topk_int8_twophase(iq, sc, q, jnp.int32(700), 8, tile_n=512, interpret=True)
     assert np.asarray(ok).all()
     assert (np.asarray(idx) < 700).all()
+
+
+def test_int8_twophase_invalid_sentinel_unscaled():
+    """Regression: invalid slots return the raw NEG_INF sentinel (not scaled
+    by the query quant scale) so downstream `> -1e29` validity checks hold."""
+    from rag_docvqa_tpu.ops.quant import build_int8_index, cosine_topk_int8_twophase
+
+    rng = np.random.RandomState(5)
+    emb = jnp.asarray(rng.randn(600, 32).astype(np.float32))
+    iq, sc = build_int8_index(emb)
+    iq = jnp.pad(iq, ((0, 1024 - 600), (0, 0)))
+    sc = jnp.pad(sc, ((0, 1024 - 600), (0, 0)))
+    q = jnp.asarray(rng.randn(4, 32).astype(np.float32) * 50)  # big qs scale
+    # n_valid=3 < k=8: most slots invalid
+    vals, idx, ok = cosine_topk_int8_twophase(iq, sc, q, jnp.int32(3), 8, tile_n=512, interpret=True)
+    vals, ok = np.asarray(vals), np.asarray(ok)
+    assert ok[:, :3].all() and not ok[:, 3:].any()
+    assert (vals[~ok] < -1e29).all()
