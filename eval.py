@@ -66,7 +66,12 @@ def main(argv=None):
     for run_idx, config in enumerate(configs):
         _default_tokenizer_from_ckpt(config)
         tokenizer = load_tokenizer(config.get("tokenizer"))
-        rag_cfg = build_rag_config(config)
+        model_name_early = str(config.get("model_name", "VT5")).lower()
+        # "custom"/oracle windowing for hierarchical models lives in the
+        # dataset/ingest layer; RAGConfig drives only the chunked engines
+        from rag_docvqa_tpu.engine import RAGConfig as _RC
+
+        rag_cfg = _RC() if model_name_early in ("hi-vt5", "hivt5") else build_rag_config(config)
         ingestor = DocVQAIngestor(tokenizer, build_chunk_spec(config), build_caps(config))
         docs = build_docs(config, args.split)
         # long-doc datasets: size caps to the data so no page is dropped
@@ -127,7 +132,7 @@ def main(argv=None):
         summary = {k: out[k] for k in ("accuracy", "anls", "retrieval_precision", "chunk_score", "n_samples")}
         if "mmlongbench" in out:
             summary["mmlongbench"] = out["mmlongbench"]
-        summary["page_retrieval"] = rag_cfg.page_retrieval
+        summary["page_retrieval"] = str(config.get("page_retrieval", rag_cfg.page_retrieval))
         summary["wall_time"] = round(time.time() - t0, 2)
         print(json.dumps(summary))
         results.append(summary)
