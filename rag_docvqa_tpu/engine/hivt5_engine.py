@@ -5,13 +5,26 @@ here the interface is uniform)."""
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Any, Dict, List, Optional
 
+import jax
 import numpy as np
 
 from rag_docvqa_tpu.data.contract import ChunkedBatch
 from rag_docvqa_tpu.models import hivt5 as hivt5m
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens"))
+def _generate_device(params, cfg, batch, max_new_tokens, page_visual=None, page_visual_valid=None):
+    """One jitted program for the whole hierarchical encode + decode +
+    page-retrieval head (the model fns are pure; without this wrapper the
+    engine dispatched op-by-op)."""
+    return hivt5m.generate(
+        params, cfg, batch, max_new_tokens,
+        page_visual=page_visual, page_visual_valid=page_visual_valid,
+    )
 
 
 class HiVT5Engine:
@@ -55,7 +68,7 @@ class HiVT5Engine:
     def inference(self, batch: ChunkedBatch, aux: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
         t0 = time.time()
         page_visual, page_visual_valid = self._page_visual(batch, aux)
-        tokens, conf, pred_page = hivt5m.generate(
+        tokens, conf, pred_page = _generate_device(
             self.params, self.cfg, batch, self.max_new_tokens,
             page_visual=page_visual, page_visual_valid=page_visual_valid,
         )

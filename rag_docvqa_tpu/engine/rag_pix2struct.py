@@ -56,6 +56,13 @@ def _encode_patch_sets(params, cfg: p2s.Pix2StructConfig, patches: jax.Array, ma
     return p2s.vision_encode(params, cfg, patches, mask)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens"))
+def _generate_device(params, cfg, patches, masks, max_new_tokens):
+    """Jitted Pix2Struct generate (vision encode + cached greedy decode as
+    one program — avoids eager op-by-op dispatch)."""
+    return p2s.generate(params, cfg, patches, masks, max_new_tokens)
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def _score_topk(patch_emb, patch_tok_mask, q_emb, q_tok_mask, chunk_valid, k: int):
     scores = late_interaction(q_emb, patch_emb, query_mask=q_tok_mask, patch_mask=patch_tok_mask)
@@ -196,7 +203,7 @@ class RAGPix2StructEngine:
 
         patches = jnp.asarray(np.stack(all_patches))
         masks = jnp.asarray(np.stack(all_masks))
-        tokens, conf = p2s.generate(self.params, self.p2s_cfg, patches, masks, cfg.max_new_tokens)
+        tokens, conf = _generate_device(self.params, self.p2s_cfg, patches, masks, cfg.max_new_tokens)
         answers = self._decode(tokens)
         return {
             "pred_answers": answers,
@@ -219,7 +226,7 @@ class RAGPix2StructEngine:
             masks.append(mask)
         patches = jnp.asarray(np.stack(flats))
         m = jnp.asarray(np.stack(masks))
-        tokens, conf = p2s.generate(self.params, self.p2s_cfg, patches, m, cfg.max_new_tokens)
+        tokens, conf = _generate_device(self.params, self.p2s_cfg, patches, m, cfg.max_new_tokens)
         conf = np.asarray(conf)
         best = int(np.argmax(conf))
         return self._decode(tokens)[best], float(conf[best])

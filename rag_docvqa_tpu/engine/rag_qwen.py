@@ -233,9 +233,9 @@ class RAGQwenEngine:
         ids, mask, vemb, vmask, _ = self._assemble_prompts(
             aux["questions"], texts, crop_embeds, crop_valid
         )
-        tokens, conf = clm.generate(
+        tokens, conf = _generate_device(
             self.params, self.lm_cfg, jnp.asarray(ids), jnp.asarray(mask),
-            max_new_tokens=self.cfg.max_new_tokens,
+            self.cfg.max_new_tokens,
             visual_embeds=jnp.asarray(vemb) if vemb is not None else None,
             visual_mask=jnp.asarray(vmask) if vemb is not None else None,
         )
@@ -293,3 +293,10 @@ class RAGQwenEngine:
 @functools.partial(jax.jit, static_argnames=("lm_cfg",))
 def sft_step_loss(params, lm_cfg: clm.CausalLMConfig, ids, mask, labels):
     return clm.sft_loss(params, lm_cfg, ids, mask, labels)
+
+
+@functools.partial(jax.jit, static_argnames=("lm_cfg", "max_new_tokens"))
+def _generate_device(params, lm_cfg, ids, mask, max_new_tokens, visual_embeds=None, visual_mask=None):
+    """Jitted prefill + cached greedy decode as one program."""
+    return clm.generate(params, lm_cfg, ids, mask, max_new_tokens=max_new_tokens,
+                        visual_embeds=visual_embeds, visual_mask=visual_mask)
