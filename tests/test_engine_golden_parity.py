@@ -268,3 +268,77 @@ def test_concat_engine_matches_reference_reassembly(setup):
         o_ids = _truncate(o_seqs[b], TOK.eos_id, TOK.pad_id)
         assert out["pred_answers"][b] == TOK.decode(o_ids)
     np.testing.assert_allclose(np.asarray(out["confidences"]), o_conf, rtol=1e-4, atol=1e-5)
+
+
+def test_maxconf_engine_matches_reference_reassembly(setup):
+    """Second strategy: per-chunk generation rows (maxconf,
+    src/RAGVT5.py:386-454) — each retrieved rank generates on its own words
+    (surroundings + first-cover dedup), the max-confidence row answers."""
+    hf, params, spatial, docs, batch, aux = setup
+    shared = np.asarray(params["t5"]["shared"])
+    import dataclasses
+
+    rag = dataclasses.replace(RAG, page_retrieval="maxconf", per_chunk_seq_len=96)
+    eng = RAGVT5Engine(rag, VT5_CFG, params, TOK)
+    out = eng.inference(batch, aux)
+
+    from rag_docvqa_tpu.ops.gather import assemble_per_chunk
+
+    ret = retrieve_device(params["t5"]["shared"], batch, k=rag.chunk_num)
+    gen, owner, row_valid = assemble_per_chunk(
+        batch, ret.top_k_idx, ret.top_k_valid, rag.assemble(), seq_len=rag.per_chunk_seq_len
+    )
+    gen_ids = np.asarray(gen.input_ids)
+    gen_boxes = np.asarray(gen.input_boxes)
+    K = rag.chunk_num
+
+    for b, doc in enumerate(docs):
+        chunks, o_topk = oracle_retrieve(doc, shared)
+        # oracle per-rank rows: same slot-space windows/dedup as the concat
+        # oracle, but each rank's new words form their own generator row
+        s = rag.include_surroundings
+        page_words = {}
+        chunk_pos = {}
+        for ci, (p, widx) in enumerate(chunks):
+            lst = page_words.setdefault(p, [])
+            start = len(lst)
+            for i in widx:
+                lst.append((doc.words[p][i], doc.boxes[p][i]))
+            chunk_pos[ci] = (p, start, len(lst))
+        included = {p: set() for p in page_words}
+        prompt = TOK.encode(f"question: {doc.question}  context:")[: CAPS.prompt_tokens]
+        S = rag.per_chunk_seq_len
+        for rank, ci in enumerate(o_topk):
+            p, start, end = chunk_pos[int(ci)]
+            lo = max(0, start - s)
+            hi = min(len(page_words[p]), end + s)
+            new = [i for i in range(lo, hi) if i not in included[p]]
+            included[p].update(new)
+            ids, boxes = [], []
+            for t in prompt:
+                ids.append(t)
+                boxes.append([0, 0, 1000, 1000])
+            for i in new:
+                word, box = page_words[p][i]
+                wb = (np.asarray(box, np.float32) * 1000).astype(np.int32).tolist()
+                for t in TOK.encode_word(word)[: CAPS.tokens_per_word]:
+                    ids.append(t)
+                    boxes.append(wb)
+            ids = ids[: S - 1] + [TOK.eos_id]
+            boxes = boxes[: S - 1] + [[0, 0, 0, 0]]
+            n = len(ids)
+            ids += [TOK.pad_id] * (S - n)
+            boxes += [[0, 0, 0, 0]] * (S - n)
+            row = b * K + rank
+            np.testing.assert_array_equal(gen_ids[row], np.asarray(ids, np.int32))
+            np.testing.assert_array_equal(gen_boxes[row], np.asarray(boxes, np.int32))
+
+    # decoded max-conf answer parity via HF generate over the same rows
+    lens = np.asarray(gen.attention_mask).sum(axis=1)
+    o_seqs, o_conf = oracle_generate(hf, spatial, gen_ids, gen_boxes, lens.tolist())
+    valid_np = np.asarray(row_valid)
+    for b in range(len(docs)):
+        rows = np.where(valid_np[b])[0]
+        best = rows[np.argmax(o_conf[b * K + rows])]
+        o_ids = _truncate(o_seqs[b * K + best], TOK.eos_id, TOK.pad_id)
+        assert out["pred_answers"][b] == TOK.decode(o_ids)
