@@ -240,9 +240,9 @@ def main():
                              use_visual=False)
     rag = RAGConfig(page_retrieval="concat", chunk_num=TOP_K, max_source_length=512,
                     max_new_tokens=E2E_NEW)
-    ing = DocVQAIngestor(tok, ChunkSpec(chunk_size=60, overlap=10),
-                         Caps(max_pages=E2E_PAGES, max_chunks=32, max_slots=1024))
+    ing = DocVQAIngestor(tok, ChunkSpec(chunk_size=60, overlap=10))
     docs = make_corpus(E2E_B, n_pages=E2E_PAGES, words_per_page=120, seed=0)
+    ing.caps = ing.plan_caps(docs)  # sized to the corpus: no truncation warning
     batch, _ = ing.ingest(docs)
     vt5_params = vt5m.init_vt5_params(jax.random.PRNGKey(0), vt5_cfg)
     vt5_params = jax.tree.map(
