@@ -223,14 +223,11 @@ def main():
     bge_mfu = bge_flops / bge_time / 197e12 if backend == "tpu" else 0.0  # v5e bf16 peak (197 TFLOPs)
 
     # ---- end-to-end retrieve -> generate (t5-base VT5) ------------------------
-    from rag_docvqa_tpu.data.contract import Caps
-    from rag_docvqa_tpu.data import DocVQAIngestor, HashTokenizer
-    from rag_docvqa_tpu.data.synthetic import make_corpus
+    # (data-layer imports shared with the host-ingest section above)
     from rag_docvqa_tpu.engine.rag_vt5 import RAGConfig, generate_device, retrieve_device
     from rag_docvqa_tpu.models import t5 as t5m
     from rag_docvqa_tpu.models import vt5 as vt5m
     from rag_docvqa_tpu.models.embeddings import SpatialConfig
-    from rag_docvqa_tpu.ops.chunking import ChunkSpec
     from rag_docvqa_tpu.ops.gather import assemble_concat
 
     E2E_B, E2E_PAGES, E2E_NEW = 128, 8, 16

@@ -66,12 +66,13 @@ def main(argv=None):
     for run_idx, config in enumerate(configs):
         _default_tokenizer_from_ckpt(config)
         tokenizer = load_tokenizer(config.get("tokenizer"))
-        model_name_early = str(config.get("model_name", "VT5")).lower()
+        model_name = str(config.get("model_name", "VT5")).lower()
+        is_hivt5 = model_name in ("hi-vt5", "hivt5")
         # "custom"/oracle windowing for hierarchical models lives in the
         # dataset/ingest layer; RAGConfig drives only the chunked engines
         from rag_docvqa_tpu.engine import RAGConfig as _RC
 
-        rag_cfg = _RC() if model_name_early in ("hi-vt5", "hivt5") else build_rag_config(config)
+        rag_cfg = _RC() if is_hivt5 else build_rag_config(config)
         ingestor = DocVQAIngestor(tokenizer, build_chunk_spec(config), build_caps(config))
         docs = build_docs(config, args.split)
         # long-doc datasets: size caps to the data so no page is dropped
@@ -79,9 +80,8 @@ def main(argv=None):
         # pages, src/MMLongBenchDoc.py:44-71)
         if config.get("auto_caps", config.get("dataset_name") == "MMLongBenchDoc"):
             ingestor.caps = ingestor.plan_caps(docs)
-        model_name = str(config.get("model_name", "VT5")).lower()
         key = jax.random.PRNGKey(config["seed"])
-        if model_name in ("hi-vt5", "hivt5"):
+        if is_hivt5:
             from rag_docvqa_tpu.config import build_hivt5_config
             from rag_docvqa_tpu.models import hivt5 as hivt5m
 

@@ -331,13 +331,29 @@ def build_engine(c: Dict[str, Any], params, tokenizer):
     if name in ("qwen", "qwen2", "qwen2.5-vl", "ragqwen"):
         from rag_docvqa_tpu.engine.rag_qwen import QwenRAGConfig, RAGQwenEngine
 
+        use_visual = bool(c.get("use_visual", False))
+        vision_cfg = None
+        if use_visual:
+            vision_cfg = build_qwen_vision_config(c)
+            if isinstance(params, dict) and "vision" not in params:
+                import jax as _jax
+
+                from rag_docvqa_tpu.models.qwen_vision import init_qwen_vision_params
+
+                params["vision"] = init_qwen_vision_params(
+                    _jax.random.PRNGKey(c.get("seed", 0) + 2), vision_cfg
+                )
         return RAGQwenEngine(
             QwenRAGConfig(
                 chunk_num=c.get("chunk_num", 10),
+                include_surroundings=_scalar(c.get("include_surroundings", 0)),
                 max_prompt_tokens=c.get("max_prompt_tokens", c.get("max_source_length", 512)),
                 max_new_tokens=c.get("max_new_tokens", 16),
+                use_visual=use_visual,
+                max_crops=c.get("max_crops", 4),
             ),
             build_qwen_config(c, tokenizer.vocab_size), params, tokenizer,
+            vision_cfg=vision_cfg,
         )
     from rag_docvqa_tpu.engine.rag_vt5 import RAGVT5Engine
 

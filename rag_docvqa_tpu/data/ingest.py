@@ -169,7 +169,10 @@ class DocVQAIngestor:
             "slot_words": [],  # (B, n_slots) word strings in slot order
         }
 
-        overflow: Dict[str, int] = {"pages": 0, "chunks": 0, "words": 0}
+        # chunk_slots = chunked (overlap-duplicated) word occurrences dropped;
+        # raw_words = original page words dropped from the raw arrays — they
+        # describe different views of the same text, so report them separately
+        overflow: Dict[str, int] = {"pages": 0, "chunks": 0, "chunk_slots": 0, "raw_words": 0}
         for b, doc in enumerate(docs):
             n_pages = min(len(doc.words), c.max_pages)
             overflow["pages"] += len(doc.words) - n_pages
@@ -223,9 +226,10 @@ class DocVQAIngestor:
                 for widx, label in zip(pc.word_indices, pc.labels):
                     if chunk_cursor >= c.max_chunks:
                         overflow["chunks"] += 1
+                        overflow["chunk_slots"] += len(widx)
                         continue
                     n_fit = min(len(widx), c.max_slots - slot_cursor)
-                    overflow["words"] += len(widx) - n_fit
+                    overflow["chunk_slots"] += len(widx) - n_fit
                     widx = widx[:n_fit]
                     n = len(widx)
                     # chunk metadata
@@ -256,7 +260,7 @@ class DocVQAIngestor:
                 # the layout assignment, src/_modules.py:1023-1031)
                 page_raw_start[b, p] = raw_cursor
                 n_raw = min(nw, c.max_slots - raw_cursor)
-                overflow["words"] += nw - n_raw
+                overflow["raw_words"] += nw - n_raw
                 rl = slice(raw_cursor, raw_cursor + n_raw)
                 raw_tokens[b, rl] = page_tok[:n_raw]
                 raw_ntok[b, rl] = page_ntok[:n_raw]
@@ -277,8 +281,9 @@ class DocVQAIngestor:
             warnings.warn(
                 f"ingest truncated content beyond Caps(max_pages={c.max_pages}, "
                 f"max_chunks={c.max_chunks}, max_slots={c.max_slots}): dropped "
-                f"{overflow['pages']} pages, {overflow['chunks']} chunks, "
-                f"{overflow['words']} words. Retrieval cannot see the dropped "
+                f"{overflow['pages']} pages, {overflow['chunks']} chunks "
+                f"({overflow['chunk_slots']} chunked word slots), "
+                f"{overflow['raw_words']} raw words. Retrieval cannot see the dropped "
                 f"content — size caps with DocVQAIngestor.plan_caps(docs) "
                 f"(the reference retrieves over all pages, src/MMLongBenchDoc.py:44-71).",
                 stacklevel=2,

@@ -27,6 +27,12 @@ def _generate_device(params, cfg, batch, max_new_tokens, page_visual=None, page_
     )
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _page_visual_device(params, cfg, pixels):
+    """Jitted per-page ViT + matcher pass (one program, not op-by-op)."""
+    return hivt5m.page_visual_features(params, cfg, pixels)
+
+
 class HiVT5Engine:
     def __init__(self, cfg: hivt5m.HiVT5Config, params: Dict[str, Any], tokenizer, max_new_tokens: int = 32):
         self.cfg = cfg
@@ -62,7 +68,7 @@ class HiVT5Engine:
                 img = resize_image(np.asarray(page_imgs[p]), size, size) / 255.0
                 pixels[b * P + p] = (img - 0.5) / 0.5
                 valid[b, p] = True
-        vis = hivt5m.page_visual_features(self.params, self.cfg, jnp.asarray(pixels))
+        vis = _page_visual_device(self.params, self.cfg, jnp.asarray(pixels))
         return vis.reshape(B, P, vis.shape[1], vis.shape[2]), jnp.asarray(valid)
 
     def inference(self, batch: ChunkedBatch, aux: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:

@@ -125,15 +125,10 @@ class RAGQwenEngine:
         # two towers: the faithful Qwen2.5-VL encoder (weight-convertible,
         # models/qwen25_vision.py) or the lightweight ViT+merger stand-in
         if hasattr(self.vision_cfg, "fullatt_block_indexes"):
-            from rag_docvqa_tpu.models.qwen25_vision import encode_image as _enc
-
             size = self.vision_cfg.image_size
-            encode = lambda p, c, x: _enc(p, c, x)
         else:
-            from rag_docvqa_tpu.models.qwen_vision import encode_images as _enc
-
             size = self.vision_cfg.vit.image_size
-            encode = lambda p, c, x: _enc(p, c, x)
+        encode = _encode_crops_device
 
         B = batch.batch_size
         M = self.cfg.max_crops
@@ -300,3 +295,14 @@ def _generate_device(params, lm_cfg, ids, mask, max_new_tokens, visual_embeds=No
     """Jitted prefill + cached greedy decode as one program."""
     return clm.generate(params, lm_cfg, ids, mask, max_new_tokens=max_new_tokens,
                         visual_embeds=visual_embeds, visual_mask=visual_mask)
+
+
+@functools.partial(jax.jit, static_argnames=("vision_cfg",))
+def _encode_crops_device(vision_params, vision_cfg, pixels):
+    """Jitted vision-tower pass over the crop pixel batch (one program;
+    tower auto-dispatch on the static config type)."""
+    if hasattr(vision_cfg, "fullatt_block_indexes"):
+        from rag_docvqa_tpu.models.qwen25_vision import encode_image as _enc
+    else:
+        from rag_docvqa_tpu.models.qwen_vision import encode_images as _enc
+    return _enc(vision_params, vision_cfg, pixels)

@@ -162,7 +162,15 @@ def build_llm_pair_tokens(
     LQ = batch.q_tokens.shape[1]
     LE = batch.chunk_emb_tokens.shape[2]
     T = cfg.pair_len
-    q_len = jnp.minimum(jnp.sum(batch.q_mask, axis=1), cfg.question_len)  # (B,)
+    if n_prefix + 1 + n_mid + n_suffix >= T:
+        raise ValueError(
+            f"pair_len={T} cannot fit prefix({n_prefix}) + question(>=1) + "
+            f"mid({n_mid}) + suffix({n_suffix}); raise RerankerConfig.pair_len"
+        )
+    # question budget guarantees prefix+q+mid+suffix (and >=0 chunk tokens)
+    # always fit: segments can never collide regardless of tokenizer
+    q_budget = T - n_prefix - n_mid - n_suffix - 1
+    q_len = jnp.minimum(jnp.sum(batch.q_mask, axis=1), min(cfg.question_len, q_budget))  # (B,)
     chunk_tokens = jnp.take_along_axis(batch.chunk_emb_tokens, top_k_idx[:, :, None], axis=1)
     chunk_len = jnp.sum(jnp.take_along_axis(batch.chunk_emb_mask, top_k_idx[:, :, None], axis=1), axis=2)
 
@@ -172,7 +180,8 @@ def build_llm_pair_tokens(
     b_q = n_prefix  # question start
     b_mid = b_q + ql
     b_chunk = b_mid + n_mid
-    # keep room for the suffix: clamp the chunk segment
+    # keep room for the suffix: clamp the chunk segment (b_suf >= b_chunk is
+    # guaranteed by the question budget above)
     b_suf = jnp.minimum(b_chunk + cl, T - n_suffix)
     last = b_suf + n_suffix - 1  # (B, K, 1)
 
@@ -245,8 +254,6 @@ class FlagLLMReranker:
         self._suffix = jnp.asarray(np.asarray(tokenizer.encode(prompt), np.int32))
 
     def __call__(self, batch: ChunkedBatch, ret: RetrievalResult) -> RetrievalResult:
-        from rag_docvqa_tpu.models import causal_lm
-
         B, K = ret.top_k_idx.shape
         ids, mask, last = build_llm_pair_tokens(
             batch, ret.top_k_idx, self._prefix, self._mid, self._suffix, self.cfg,
@@ -254,10 +261,24 @@ class FlagLLMReranker:
             n_mid=int(self._mid.shape[0]),
             n_suffix=int(self._suffix.shape[0]),
         )
-        logits = causal_lm.forward(self.params, self.lm_cfg, ids, mask)  # (B*K, T, V)
-        rows = jnp.arange(ids.shape[0])
-        scores = logits[rows, last, self.yes_id].reshape(B, K)
+        scores = _llm_pair_yes_logits(self.params, self.lm_cfg, ids, mask, last, self.yes_id)
+        scores = scores.reshape(B, K)
         if self.normalize:
             scores = jax.nn.sigmoid(scores)
         perm, new_valid, sorted_scores = rerank_select(scores, ret.top_k_valid, self.cfg)
         return apply_rerank(ret, perm, new_valid, sorted_scores)
+
+
+@functools.partial(jax.jit, static_argnames=("lm_cfg", "yes_id"))
+def _llm_pair_yes_logits(params, lm_cfg, ids, mask, last, yes_id: int) -> jax.Array:
+    """Yes-token logit at the last prompt position, as ONE jitted program.
+
+    Dots the final hidden state with just the yes column of the LM head —
+    never materializes (B*K, T, V) logits (V can be 256k for Qwen/Gemma)."""
+    from rag_docvqa_tpu.models import causal_lm
+
+    h = causal_lm.forward_hidden(params, lm_cfg, ids, mask)  # (N, T, D)
+    rows = jnp.arange(ids.shape[0])
+    h_last = h[rows, last]  # (N, D)
+    w = params["embed"][yes_id] if lm_cfg.tie_word_embeddings else params["lm_head"][:, yes_id]
+    return jnp.dot(h_last, w.astype(h_last.dtype)).astype(jnp.float32)

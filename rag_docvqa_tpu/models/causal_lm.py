@@ -140,7 +140,7 @@ def _act(x: jax.Array, cfg: CausalLMConfig) -> jax.Array:
 
 
 
-def forward(
+def forward_hidden(
     params: Dict[str, Any],
     cfg: CausalLMConfig,
     input_ids: jax.Array,  # (B, T)
@@ -148,7 +148,9 @@ def forward(
     visual_embeds: Optional[jax.Array] = None,  # (B, T, D): added where visual_mask
     visual_mask: Optional[jax.Array] = None,  # (B, T) bool placeholder positions
 ) -> jax.Array:
-    """Full teacher-forced forward; returns (B, T, V) logits."""
+    """Final-layer hidden states (B, T, D) — `forward` minus the LM head.
+    Lets heads that need a single position (e.g. the LLM reranker's yes-logit)
+    avoid materializing (B, T, V) logits."""
     B, T = input_ids.shape
     x = _embed_tokens(params, cfg, input_ids)
     if visual_embeds is not None and visual_mask is not None:
@@ -169,7 +171,19 @@ def forward(
         return x, None
 
     x, _ = jax.lax.scan(block, x, params["blocks"])
-    x = _ln(x, params["final_ln"], cfg)
+    return _ln(x, params["final_ln"], cfg)
+
+
+def forward(
+    params: Dict[str, Any],
+    cfg: CausalLMConfig,
+    input_ids: jax.Array,  # (B, T)
+    attention_mask: jax.Array,  # (B, T) bool
+    visual_embeds: Optional[jax.Array] = None,
+    visual_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Full teacher-forced forward; returns (B, T, V) logits."""
+    x = forward_hidden(params, cfg, input_ids, attention_mask, visual_embeds, visual_mask)
     if cfg.tie_word_embeddings:
         return jnp.einsum("btd,vd->btv", x, params["embed"].astype(x.dtype))
     return dense(x, params["lm_head"])

@@ -180,7 +180,9 @@ def vit_encode(
         if "lambda_2" in layer:
             h = h * layer["lambda_2"].astype(h.dtype)
         x = x + h
-        return x, x
+        # stack per-block states only when asked: eager callers (engine visual
+        # towers) must not materialize the (L, N, T, D) stack just to drop it
+        return x, (x if return_hidden_states else None)
 
     x, per_layer = jax.lax.scan(block, x, params["blocks"])
     if cfg.use_final_layernorm:

@@ -317,7 +317,8 @@ def cosine_topk_auto(
     tile_n: int = 512,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Pick the faster implementation by batch size."""
-    if jax.default_backend() != "tpu":
+    if jax.default_backend() != "tpu" or index.shape[0] % tile_n != 0:
+        # off-TPU, or an unpadded index (callers that care pad via pad_index)
         row = jnp.arange(index.shape[0])
         return cosine_topk_xla(index, queries, k, index_mask=row < n_valid)
     if queries.shape[0] <= 16:

@@ -55,6 +55,10 @@ class TrainLoopConfig:
     use_nac: bool = False
     nac_loss_weight: float = 1.0
     nac_pos_weight: float = 1.0
+    # blanking threshold used by the per-epoch eval engine (must match the
+    # final eval's not_answerable_threshold so best-checkpoint selection is
+    # computed at the same operating point)
+    nac_threshold: float = 0.5
     # rematerialize the forward in backward (activation memory <-> ~1/3 FLOPs)
     remat: bool = False
 
@@ -138,7 +142,7 @@ class Trainer:
 
             return HiVT5Engine(self.hivt5_cfg, params, self.tokenizer,
                                max_new_tokens=self.cfg.answer_max_len)
-        nac = (params["nac"], 0.5) if self.cfg.use_nac and "nac" in params else None
+        nac = (params["nac"], self.cfg.nac_threshold) if self.cfg.use_nac and "nac" in params else None
         return RAGVT5Engine(self.rag_cfg, self.vt5_cfg, params, self.tokenizer, nac=nac)
 
     def _evaluate(self, docs: Sequence[RawDocument]) -> Dict[str, Any]:

@@ -193,6 +193,7 @@ def main(argv=None):
         use_nac=bool(config.get("use_not_answerable_classifier", False)
                      and config.get("train_not_answerable_classifier", True)),
         nac_loss_weight=float(config.get("nac_loss_weight", 1.0)),
+        nac_threshold=float(config.get("not_answerable_threshold", 0.5)),
     )
     logger = RunLogger(name=config.get("experiment_name"), config=config,
                        use_wandb=config.get("use_wandb", False), log_dir=config.get("save_dir"))
