@@ -232,7 +232,9 @@ def main():
 
     E2E_B, E2E_PAGES, E2E_NEW = 128, 8, 16
     tok = HashTokenizer(vocab_size=VOCAB)
-    t5_cfg = t5m.T5Config(vocab_size=VOCAB, dropout_rate=0.0)  # t5-base dims
+    # t5-base dims; flash encoder attention on TPU (what RAGVT5Engine enables)
+    t5_cfg = t5m.T5Config(vocab_size=VOCAB, dropout_rate=0.0,
+                          flash_encoder=backend == "tpu")
     vt5_cfg = vt5m.VT5Config(t5=t5_cfg, spatial=SpatialConfig(hidden_size=768, dropout_rate=0.0),
                              use_visual=False)
     rag = RAGConfig(page_retrieval="concat", chunk_num=TOP_K, max_source_length=512,

@@ -34,6 +34,9 @@ class P2SVisionConfig:
     max_rows: int = 4096
     max_cols: int = 4096
     layer_norm_eps: float = 1e-6
+    # fused flash attention for the patch encoder (inference-only; at the
+    # 2048-patch budget the (B, H, N, N) score matrices dominate HBM traffic)
+    flash_encoder: bool = False
 
 
 @dataclass(frozen=True)
@@ -102,17 +105,23 @@ def vision_encode(
 
     B, N, _ = x.shape
     H = v.num_heads
-    mask = attention_mask[:, None, None, :].astype(bool)
+    key_mask = attention_mask.astype(bool)
+    mask = key_mask[:, None, None, :]
+    if v.flash_encoder:
+        from rag_docvqa_tpu.ops.flash_attention import flash_attention
 
     def block(x, layer):
         h = rms_norm(x, layer["ln0"], v.layer_norm_eps)
         q = dense(h, layer["attn"]["q"]).reshape(B, N, H, -1)
         k = dense(h, layer["attn"]["k"]).reshape(B, N, H, -1)
         val = dense(h, layer["attn"]["v"]).reshape(B, N, H, -1)
-        s = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-        s = jnp.where(mask, s, -1e9)
-        a = jax.nn.softmax(s, axis=-1).astype(x.dtype)
-        att = jnp.einsum("bhqk,bkhd->bqhd", a, val).reshape(B, N, -1)
+        if v.flash_encoder:
+            att = flash_attention(q, k, val, key_mask=key_mask).reshape(B, N, -1)
+        else:
+            s = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+            s = jnp.where(mask, s, -1e9)
+            a = jax.nn.softmax(s, axis=-1).astype(x.dtype)
+            att = jnp.einsum("bhqk,bkhd->bqhd", a, val).reshape(B, N, -1)
         x = x + dense(att, layer["attn"]["o"])
         h = rms_norm(x, layer["ln1"], v.layer_norm_eps)
         g = jax.nn.gelu(dense(h, layer["ffn"]["wi_0"]), approximate=True) * dense(h, layer["ffn"]["wi_1"])

@@ -48,6 +48,11 @@ class T5Config:
     pad_id: int = 0
     eos_id: int = 1
     decoder_start_token_id: int = 0
+    # fused flash encoder self-attention (ops/flash_attention.py). Inference
+    # only — the kernel has no VJP (the rel-pos bias table is trainable on the
+    # XLA path). Engines flip this on when running on a TPU backend; keep
+    # False for training and off-TPU runs.
+    flash_encoder: bool = False
 
     @property
     def inner_dim(self) -> int:
@@ -206,13 +211,25 @@ def encode(
     mask = attention_mask[:, None, None, :]  # (B,1,1,T) — keys masked
     x = dropout(inputs_embeds, cfg.dropout_rate, rng, deterministic)
 
+    use_flash = cfg.flash_encoder and deterministic
+    if use_flash:
+        from rag_docvqa_tpu.ops.flash_attention import flash_attention
+
+        # batch-shared rel-pos bias streamed blockwise in bf16: ~6x less
+        # attention HBM than materializing (B, H, T, T) scores + probs
+        flash_bias = bias.astype(jnp.bfloat16)
+
     def block(x, layer):
         h = rms_norm(x, layer["ln0"], cfg.layer_norm_eps)
         q = _split_heads(dense(h, layer["attn"]["q"]), cfg.num_heads)
         k = _split_heads(dense(h, layer["attn"]["k"]), cfg.num_heads)
         v = _split_heads(dense(h, layer["attn"]["v"]), cfg.num_heads)
-        a = dense(_attend(q, k, v, bias, mask), layer["attn"]["o"])
-        x = x + a
+        if use_flash:
+            a = flash_attention(q, k, v, key_mask=attention_mask, bias=flash_bias)
+            a = a.reshape(a.shape[0], a.shape[1], -1)
+        else:
+            a = _attend(q, k, v, bias, mask)
+        x = x + dense(a, layer["attn"]["o"])
         h = rms_norm(x, layer["ln1"], cfg.layer_norm_eps)
         x = x + _ffn(layer["ffn"], cfg, h)
         return x, None
@@ -298,10 +315,14 @@ def lm_logits(params: Params, cfg: T5Config, hidden: jax.Array) -> jax.Array:
 # --------------------------------------------------------------------------- #
 @struct.dataclass
 class DecodeCache:
-    self_k: jax.Array  # (L, B, Tmax, H, dk)
-    self_v: jax.Array  # (L, B, Tmax, H, dk)
-    cross_k: jax.Array  # (L, B, Te, H, dk)
-    cross_v: jax.Array  # (L, B, Te, H, dk)
+    # (B, H, T, dk) per layer: exactly the layout the single-query attention
+    # contractions consume, so no per-step physical transpose of the (large)
+    # cross K/V ever happens — at t5-base B=128 Te=512 that relayout was ~2x
+    # the unavoidable KV HBM read per decode step
+    self_k: jax.Array  # (L, B, H, Tmax, dk)
+    self_v: jax.Array  # (L, B, H, Tmax, dk)
+    cross_k: jax.Array  # (L, B, H, Te, dk)
+    cross_v: jax.Array  # (L, B, H, Te, dk)
 
 
 def init_decode_cache(
@@ -318,10 +339,11 @@ def init_decode_cache(
     def per_layer(_, layer):
         k = _split_heads(dense(encoder_hidden, layer["k"]), cfg.num_heads)
         v = _split_heads(dense(encoder_hidden, layer["v"]), cfg.num_heads)
-        return None, (k, v)
+        # one-time relayout (B, Te, H, dk) -> (B, H, Te, dk)
+        return None, (jnp.transpose(k, (0, 2, 1, 3)), jnp.transpose(v, (0, 2, 1, 3)))
 
     _, (cross_k, cross_v) = jax.lax.scan(per_layer, None, dec["cross_attn"])
-    shape = (L, B, max_decode_len, cfg.num_heads, cfg.d_kv)
+    shape = (L, B, cfg.num_heads, max_decode_len, cfg.d_kv)
     dtype = encoder_hidden.dtype
     return DecodeCache(
         self_k=jnp.zeros(shape, dtype),
@@ -329,6 +351,32 @@ def init_decode_cache(
         cross_k=cross_k,
         cross_v=cross_v,
     )
+
+
+def _attend_one(
+    q: jax.Array,  # (B, H, dk) single-position query
+    k: jax.Array,  # (B, H, T, dk)
+    v: jax.Array,  # (B, H, T, dk)
+    bias: Optional[jax.Array],  # (1|B, H, T) additive
+    mask: Optional[jax.Array],  # (1|B, 1|H, T) bool
+) -> jax.Array:
+    """Layout-native single-query attention; returns (B, H*dk)."""
+    scores = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((2,), (3,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32,
+    )  # (B, H, T)
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
+    if mask is not None:
+        scores = jnp.where(mask, scores, -1e9)
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    out = jax.lax.dot_general(
+        probs, v,
+        dimension_numbers=(((2,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32,
+    ).astype(q.dtype)  # (B, H, dk)
+    return out.reshape(out.shape[0], -1)
 
 
 def decode_step(
@@ -342,14 +390,18 @@ def decode_step(
     """One greedy-decode step; returns ((B, V) logits, updated cache)."""
     dec = params["decoder"]
     B = token.shape[0]
-    Tmax = cache.self_k.shape[2]
-    x = params["shared"][token][:, None, :]  # (B, 1, D)
+    Tmax = cache.self_k.shape[3]
+    x = params["shared"][token]  # (B, D)
 
     # bias/mask over cached positions for this query step
     k_pos = jnp.arange(Tmax)
     bias = relative_bias(dec["rel_bias"], step[None], k_pos, bidirectional=False, cfg=cfg)
-    self_mask = (k_pos <= step)[None, None, None, :]  # (1,1,1,Tmax)
-    cross_mask = encoder_mask[:, None, None, :]
+    self_bias = bias[0, :, 0, :][None]  # (1, H, Tmax)
+    self_mask = (k_pos <= step)[None, None, :]  # (1, 1, Tmax)
+    cross_mask = encoder_mask[:, None, :]  # (B, 1, Te)
+
+    def split_q(h, w):
+        return dense(h, w).reshape(B, cfg.num_heads, cfg.d_kv)
 
     stacked = {
         "ln0": dec["ln0"],
@@ -363,15 +415,15 @@ def decode_step(
     def block(x, layer_and_cache):
         layer, (ck, cv, sk, sv) = layer_and_cache
         h = rms_norm(x, layer["ln0"], cfg.layer_norm_eps)
-        q = _split_heads(dense(h, layer["self_attn"]["q"]), cfg.num_heads)
-        k_new = _split_heads(dense(h, layer["self_attn"]["k"]), cfg.num_heads)
-        v_new = _split_heads(dense(h, layer["self_attn"]["v"]), cfg.num_heads)
-        sk = jax.lax.dynamic_update_slice(sk, k_new, (0, step, 0, 0))
-        sv = jax.lax.dynamic_update_slice(sv, v_new, (0, step, 0, 0))
-        x = x + dense(_attend(q, sk, sv, bias, self_mask), layer["self_attn"]["o"])
+        q = split_q(h, layer["self_attn"]["q"])
+        k_new = split_q(h, layer["self_attn"]["k"])[:, :, None, :]  # (B, H, 1, dk)
+        v_new = split_q(h, layer["self_attn"]["v"])[:, :, None, :]
+        sk = jax.lax.dynamic_update_slice(sk, k_new, (0, 0, step, 0))
+        sv = jax.lax.dynamic_update_slice(sv, v_new, (0, 0, step, 0))
+        x = x + dense(_attend_one(q, sk, sv, self_bias, self_mask), layer["self_attn"]["o"])
         h = rms_norm(x, layer["ln1"], cfg.layer_norm_eps)
-        q = _split_heads(dense(h, layer["cross_attn"]["q"]), cfg.num_heads)
-        x = x + dense(_attend(q, ck, cv, None, cross_mask), layer["cross_attn"]["o"])
+        q = split_q(h, layer["cross_attn"]["q"])
+        x = x + dense(_attend_one(q, ck, cv, None, cross_mask), layer["cross_attn"]["o"])
         h = rms_norm(x, layer["ln2"], cfg.layer_norm_eps)
         x = x + _ffn(layer["ffn"], cfg, h)
         return x, (sk, sv)
@@ -380,7 +432,7 @@ def decode_step(
         block, x, (stacked, (cache.cross_k, cache.cross_v, cache.self_k, cache.self_v))
     )
     x = rms_norm(x, dec["final_ln"], cfg.layer_norm_eps)
-    logits = lm_logits(params, cfg, x)[:, 0, :]
+    logits = lm_logits(params, cfg, x[:, None, :])[:, 0, :]
     return logits, cache.replace(self_k=new_sk, self_v=new_sv)
 
 
