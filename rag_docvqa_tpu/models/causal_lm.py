@@ -214,7 +214,11 @@ def sft_loss(
 # --------------------------------------------------------------------------- #
 @struct.dataclass
 class LMCache:
-    k: jax.Array  # (L, B, Tmax, Hkv, hd)
+    # (B, Hkv, Tmax, hd) per layer: the layout the GQA single-query
+    # contractions consume directly — no per-step transpose, and no
+    # jnp.repeat head inflation (which re-materialized H/Hkv x the KV bytes
+    # every decode step)
+    k: jax.Array  # (L, B, Hkv, Tmax, hd)
     v: jax.Array
 
 
@@ -246,8 +250,9 @@ def prefill(
         x = x + _proj(_attend_gqa(q, k, v, mask), layer["o"])
         h = _ln(x, layer["ln1"], cfg)
         x = x + _proj(_act(_proj(h, layer["gate"]), cfg) * _proj(h, layer["up"]), layer["down"])
-        kc = jnp.pad(k, ((0, 0), (0, max_len - Tp), (0, 0), (0, 0)))
-        vc = jnp.pad(v, ((0, 0), (0, max_len - Tp), (0, 0), (0, 0)))
+        # cache layout (B, Hkv, Tmax, hd) — one-time relayout at prefill
+        kc = jnp.pad(jnp.transpose(k, (0, 2, 1, 3)), ((0, 0), (0, 0), (0, max_len - Tp), (0, 0)))
+        vc = jnp.pad(jnp.transpose(v, (0, 2, 1, 3)), ((0, 0), (0, 0), (0, max_len - Tp), (0, 0)))
         return x, (kc, vc)
 
     x, (kc, vc) = jax.lax.scan(block, x, params["blocks"])
@@ -261,6 +266,28 @@ def prefill(
     return logits, LMCache(k=kc, v=vc)
 
 
+def _attend_gqa_one(q, kc, vc, mask, hd):
+    """Single-position GQA attention in cache layout, no head repetition.
+
+    q (B, H, hd); kc/vc (B, Hkv, T, hd); mask (B, 1, 1, T) -> (B, H*hd)."""
+    B, H, _ = q.shape
+    Hkv = kc.shape[1]
+    qg = q.reshape(B, Hkv, H // Hkv, hd)
+    s = jax.lax.dot_general(
+        qg, kc,
+        dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32,
+    ) * (hd**-0.5)  # (B, Hkv, rep, T)
+    s = jnp.where(mask, s, -1e9)
+    p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+    out = jax.lax.dot_general(
+        p, vc,
+        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32,
+    ).astype(q.dtype)  # (B, Hkv, rep, hd)
+    return out.reshape(B, H * hd)
+
+
 def decode_step(
     params: Dict[str, Any],
     cfg: CausalLMConfig,
@@ -270,27 +297,26 @@ def decode_step(
     attn_len_mask: jax.Array,  # (B, Tmax) valid cache positions incl. this one
 ) -> Tuple[jax.Array, LMCache]:
     B = token.shape[0]
-    Tmax = cache.k.shape[2]
     hd = cfg.head_dim
-    x = _embed_tokens(params, cfg, token)[:, None]
+    x = _embed_tokens(params, cfg, token)
     cos, sin = rope_frequencies(cfg, step[None])
+    mask = attn_len_mask[:, None, None, :]  # (B, 1, 1, Tmax)
 
     def block(x, layer_cache):
         layer, (kc, vc) = layer_cache
         h = _ln(x, layer["ln0"], cfg)
-        q = apply_rope(_proj(h, layer["q"]).reshape(B, 1, cfg.num_heads, hd), cos, sin)
+        q = apply_rope(_proj(h, layer["q"]).reshape(B, 1, cfg.num_heads, hd), cos, sin)[:, 0]
         k_new = apply_rope(_proj(h, layer["k"]).reshape(B, 1, cfg.num_kv_heads, hd), cos, sin)
         v_new = _proj(h, layer["v"]).reshape(B, 1, cfg.num_kv_heads, hd)
-        kc = jax.lax.dynamic_update_slice(kc, k_new, (0, step, 0, 0))
-        vc = jax.lax.dynamic_update_slice(vc, v_new, (0, step, 0, 0))
-        mask = attn_len_mask[:, None, None, :]
-        x = x + _proj(_attend_gqa(q, kc, vc, mask), layer["o"])
+        kc = jax.lax.dynamic_update_slice(kc, jnp.transpose(k_new, (0, 2, 1, 3)), (0, 0, step, 0))
+        vc = jax.lax.dynamic_update_slice(vc, jnp.transpose(v_new, (0, 2, 1, 3)), (0, 0, step, 0))
+        x = x + _proj(_attend_gqa_one(q, kc, vc, mask, hd), layer["o"])
         h = _ln(x, layer["ln1"], cfg)
         x = x + _proj(_act(_proj(h, layer["gate"]), cfg) * _proj(h, layer["up"]), layer["down"])
         return x, (kc, vc)
 
     x, (kc, vc) = jax.lax.scan(block, x, (params["blocks"], (cache.k, cache.v)))
-    x = _ln(x, params["final_ln"], cfg)[:, 0]
+    x = _ln(x, params["final_ln"], cfg)
     logits = (
         x @ params["embed"].T.astype(x.dtype)
         if cfg.tie_word_embeddings
