@@ -240,6 +240,8 @@ class FlagLLMReranker:
         import numpy as np
 
         self.cfg = cfg
+        # (flash_prefill not auto-enabled here: at pair_len ~192 the XLA path
+        # measured faster on v5e; set it on lm_cfg for long-pair configs)
         self.lm_cfg = lm_cfg
         self.params = params
         self.normalize = normalize

@@ -45,6 +45,9 @@ class CausalLMConfig:
     eos_id: int = 1
     arch: str = "qwen2"  # "qwen2" | "gemma"
     head_dim_override: int = 0  # gemma sets head_dim independent of d_model
+    # fused causal flash attention for prefill / full forward (inference-only,
+    # no VJP; GQA-aware). Engines enable it on a single TPU chip.
+    flash_prefill: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -118,6 +121,21 @@ def _attend_gqa(q, k, v, mask):
     return out.reshape(B, Tq, H * hd)
 
 
+def _attend_causal(cfg: "CausalLMConfig", q, k, v, mask, key_mask):
+    """Causal self-attention over the full sequence: flash kernel when the
+    config asks for it (inference on TPU), else the XLA GQA path. `mask` is
+    the combined causal+padding mask the XLA path consumes; `key_mask` the
+    (B, T) padding mask the kernel rebuilds causality from."""
+    if cfg.flash_prefill:
+        from rag_docvqa_tpu.ops.flash_attention import flash_attention
+
+        out = flash_attention(
+            q, k, v, key_mask=key_mask, causal=True, scale=cfg.head_dim**-0.5
+        )
+        return out.reshape(out.shape[0], out.shape[1], -1)
+    return _attend_gqa(q, k, v, mask)
+
+
 def _proj(x, p):
     return dense(x, p["kernel"], p.get("bias"))
 
@@ -165,7 +183,7 @@ def forward_hidden(
         q = apply_rope(_proj(h, layer["q"]).reshape(B, T, cfg.num_heads, -1), cos, sin)
         k = apply_rope(_proj(h, layer["k"]).reshape(B, T, cfg.num_kv_heads, -1), cos, sin)
         v = _proj(h, layer["v"]).reshape(B, T, cfg.num_kv_heads, -1)
-        x = x + _proj(_attend_gqa(q, k, v, mask), layer["o"])
+        x = x + _proj(_attend_causal(cfg, q, k, v, mask, attention_mask), layer["o"])
         h = _ln(x, layer["ln1"], cfg)
         x = x + _proj(_act(_proj(h, layer["gate"]), cfg) * _proj(h, layer["up"]), layer["down"])
         return x, None
@@ -247,7 +265,7 @@ def prefill(
         q = apply_rope(_proj(h, layer["q"]).reshape(B, Tp, cfg.num_heads, hd), cos, sin)
         k = apply_rope(_proj(h, layer["k"]).reshape(B, Tp, cfg.num_kv_heads, hd), cos, sin)
         v = _proj(h, layer["v"]).reshape(B, Tp, cfg.num_kv_heads, hd)
-        x = x + _proj(_attend_gqa(q, k, v, mask), layer["o"])
+        x = x + _proj(_attend_causal(cfg, q, k, v, mask, attention_mask), layer["o"])
         h = _ln(x, layer["ln1"], cfg)
         x = x + _proj(_act(_proj(h, layer["gate"]), cfg) * _proj(h, layer["up"]), layer["down"])
         # cache layout (B, Hkv, Tmax, hd) — one-time relayout at prefill

@@ -118,11 +118,17 @@ def flash_attention(
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Returns (B, Tq, H, dh) in q's dtype. Semantics match
-    `models/t5.py::_attend(q, k, v, bias, mask)` with a key-padding mask."""
+    `models/t5.py::_attend(q, k, v, bias, mask)` with a key-padding mask.
+
+    GQA: k/v may carry fewer heads than q (H % Hkv == 0); query head h reads
+    kv head h // (H // Hkv) straight from HBM — no jnp.repeat inflation."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, Tq, H, dh = q.shape
     Tk = k.shape[1]
+    Hkv = k.shape[2]
+    assert H % Hkv == 0, f"query heads {H} not a multiple of kv heads {Hkv}"
+    rep = H // Hkv
     bq = min(block_q, Tq)
     bk = min(block_k, Tk)
 
@@ -149,8 +155,8 @@ def flash_attention(
     grid = (B, H, Tq_p // bq, Tk_p // bk)
     in_specs = [
         pl.BlockSpec((1, 1, bq, dh), lambda b, h, i, j: (b, h, i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, bk, dh), lambda b, h, i, j: (b, h, j, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, bk, dh), lambda b, h, i, j: (b, h, j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bk, dh), lambda b, h, i, j: (b, h // rep, j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bk, dh), lambda b, h, i, j: (b, h // rep, j, 0), memory_space=pltpu.VMEM),
         # (B, 1, Tk) layout keeps the block's trailing dims Mosaic-tileable
         pl.BlockSpec((1, 1, bk), lambda b, h, i, j: (b, 0, j), memory_space=pltpu.VMEM),
     ]
@@ -204,6 +210,10 @@ def _flash_kernel_nobias(q_ref, k_ref, v_ref, mask_ref, o_ref, m_ref, l_ref, acc
 
 def attention_reference(q, k, v, key_mask=None, bias=None, scale=1.0, causal=False):
     """jnp oracle with identical semantics (for tests and the non-TPU path)."""
+    if k.shape[2] != q.shape[2]:  # GQA
+        rep = q.shape[2] // k.shape[2]
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
     s = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
     if scale != 1.0:
         s = s * scale

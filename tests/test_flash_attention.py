@@ -130,3 +130,41 @@ def test_p2s_vision_encode_flash_flag_parity():
     out = p2s.vision_encode(params, fcfg, patches, mask)
     valid = np.asarray(mask, bool)
     np.testing.assert_allclose(np.asarray(out)[valid], np.asarray(ref)[valid], atol=5e-5, rtol=5e-5)
+
+
+def test_flash_gqa_heads():
+    """k/v with fewer heads than q: kernel maps query head h -> kv head h//rep."""
+    rng = np.random.RandomState(9)
+    B, Tq, Tk, H, Hkv, dh = 2, 32, 48, 8, 2, 16
+    q = _rand(rng, B, Tq, H, dh)
+    k = _rand(rng, B, Tk, Hkv, dh)
+    v = _rand(rng, B, Tk, Hkv, dh)
+    mask = jnp.arange(Tk)[None, :] < jnp.asarray([48, 21])[:, None]
+    out = flash_attention(q, k, v, key_mask=mask, causal=True, scale=dh**-0.5,
+                          block_q=16, block_k=16, interpret=True)
+    ref = attention_reference(q, k, v, key_mask=mask, causal=True, scale=dh**-0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_causal_lm_flash_prefill_parity():
+    """forward_hidden + generate with flash_prefill=True match the XLA path."""
+    import dataclasses
+    from rag_docvqa_tpu.models import causal_lm as clm
+
+    cfg = clm.CausalLMConfig(vocab_size=128, d_model=32, num_layers=2, num_heads=4,
+                             num_kv_heads=2, d_ff=64)
+    fcfg = dataclasses.replace(cfg, flash_prefill=True)
+    params = clm.init_causal_lm_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(10)
+    ids = jnp.asarray(rng.randint(3, 128, size=(2, 40)), jnp.int32)
+    mask = jnp.arange(40)[None, :] < jnp.asarray([40, 27])[:, None]
+    h_ref = clm.forward_hidden(params, cfg, ids, mask)
+    h_fl = clm.forward_hidden(params, fcfg, ids, mask)
+    np.testing.assert_allclose(
+        np.asarray(h_fl)[np.asarray(mask)], np.asarray(h_ref)[np.asarray(mask)],
+        atol=2e-4, rtol=2e-3,
+    )
+    t_ref, c_ref = clm.generate(params, cfg, ids, mask, max_new_tokens=4)
+    t_fl, c_fl = clm.generate(params, fcfg, ids, mask, max_new_tokens=4)
+    np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_fl))
+    np.testing.assert_allclose(np.asarray(c_ref), np.asarray(c_fl), atol=1e-3, rtol=1e-3)
