@@ -116,6 +116,7 @@ def test_sep_token_insertion(params):
     assert ((ids == 2).sum(axis=1) == 2).all()
 
 
+@pytest.mark.slow
 def test_data_parallel_eval_matches_single_device():
     """evaluate(mesh=...) shards batches over the 8-device mesh and produces
     identical metrics to the unsharded run."""

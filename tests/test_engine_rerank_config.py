@@ -9,6 +9,7 @@ reranker (src/_modules.py:1555-1558).
 from __future__ import annotations
 
 import numpy as np
+import pytest
 
 import jax
 
@@ -43,6 +44,7 @@ def _params(cfg_dict):
     return vt5m.init_vt5_params(jax.random.PRNGKey(0), build_vt5_config(cfg_dict, TOK.vocab_size))
 
 
+@pytest.mark.slow
 def test_rerank_from_config_changes_topk_order():
     cfg = {**BASE_CFG, "rerank": True, "rerank_filter_tresh": 0.0,
            "rerank_max_chunk_num": 4, "rerank_min_chunk_num": 1}

@@ -2,6 +2,7 @@
 
 import jax
 import numpy as np
+import pytest
 
 from rag_docvqa_tpu.data import DocVQAIngestor, HashTokenizer
 from rag_docvqa_tpu.data.contract import Caps, RawDocument
@@ -12,6 +13,7 @@ from rag_docvqa_tpu.models.vit import ViTConfig
 from rag_docvqa_tpu.ops.chunking import ChunkSpec
 
 
+@pytest.mark.slow
 def test_concat_with_visual_tokens():
     tok = HashTokenizer(vocab_size=1024)
     cfg = vt5m.VT5Config(

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rag_docvqa_tpu.data import DocVQAIngestor, HashTokenizer
 from rag_docvqa_tpu.data.contract import Caps
@@ -42,6 +43,7 @@ def test_encode_document_shapes_and_mask():
     assert not mask[:, 12:].any()
 
 
+@pytest.mark.slow
 def test_forward_train_losses_and_grads():
     params = hivt5.init_hivt5_params(jax.random.PRNGKey(0), CFG)
     _, batch, labels = build()

@@ -2,6 +2,7 @@
 and the LayoutT5 auxiliary loss."""
 
 import numpy as np
+import pytest
 
 from rag_docvqa_tpu.models.layout import (
     LayoutProvider,
@@ -71,6 +72,7 @@ def test_layout_provider_precomputed():
     assert out[0][1]["boxes"] == []
 
 
+@pytest.mark.slow
 def test_layout_t5_aux_loss():
     import jax
     import jax.numpy as jnp

@@ -178,6 +178,7 @@ def test_trainer_train_metrics_every(capsys):
     assert "train_batch_accuracy" in out and "train_batch_anls" in out
 
 
+@pytest.mark.slow
 def test_trainer_hivt5_path():
     """Hi-VT5 training through the Trainer: lm+ret losses, params update."""
     from rag_docvqa_tpu.config import build_hivt5_config
@@ -202,6 +203,7 @@ def test_trainer_hivt5_path():
     assert not np.array_equal(before_head, np.asarray(trainer.state.params["page_head"]["kernel"]))
 
 
+@pytest.mark.slow
 def test_remat_step_matches_plain():
     """remat=True changes memory, not math: identical loss and updates."""
     ing = make_ingestor()

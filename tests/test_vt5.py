@@ -65,6 +65,7 @@ def test_vit_encode_shapes():
     assert out.shape == (2, 1 + 16, 16)
 
 
+@pytest.mark.slow
 def test_vt5_train_loss_and_grads(params):
     gen = make_gen()
     labels = jnp.asarray([[5, 6, 1, -100], [7, 1, -100, -100]], jnp.int32)

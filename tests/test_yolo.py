@@ -7,6 +7,7 @@ existing filter_detections_yolo post-processing (src/_modules.py:622-829).
 from __future__ import annotations
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -22,6 +23,7 @@ from rag_docvqa_tpu.models.yolo import (
 CFG = YOLOConfig(num_classes=10, width=8, depth=1, reg_max=4, image_size=128, conf_thresh=0.2)
 
 
+@pytest.mark.slow
 def test_forward_shapes():
     params = init_yolo_params(jax.random.PRNGKey(0), CFG)
     pix = jnp.asarray(np.random.RandomState(0).rand(2, 128, 128, 3), jnp.float32)
