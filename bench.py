@@ -17,7 +17,10 @@ the design delta.
 Timing note: on the tunneled TPU platform, block_until_ready does not reliably
 wait for remote execution; every timed region therefore ends with a host fetch
 of a value data-dependent on the full computation, and many reps amortize the
-tunnel round trip.
+tunnel round trip. Every metric is the BEST of 3 windows (_time_min): the
+tunnel exhibits intermittent multi-second stalls (two identical windows
+measured 346 ms vs 1882 ms back to back), so a single-window mean measures
+the tunnel's mood, not the chip.
 
 Prints ONE JSON line.
 """
@@ -54,12 +57,80 @@ def _sync(x) -> float:
     return float(np.asarray(jax.device_get(x)).ravel()[0])
 
 
+def _time_min(call, reps: int, windows: int = 3) -> float:
+    """Best-of-`windows` average seconds per call.
+
+    The tunneled TPU shows intermittent multi-second stalls (identical
+    back-to-back windows measured 346 ms vs 1882 ms); the minimum window is
+    the device's actual throughput, the mean is the tunnel's mood."""
+    best = float("inf")
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(reps):
+            out = call()
+        _sync(out)
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return best
+
+
 def main():
+    from rag_docvqa_tpu.data import DocVQAIngestor, HashTokenizer
+    from rag_docvqa_tpu.data.synthetic import make_corpus
+    from rag_docvqa_tpu.engine.rag_vt5 import RAGConfig, retrieve_device
+    from rag_docvqa_tpu.models import t5 as t5m
+    from rag_docvqa_tpu.models import vt5 as vt5m
     from rag_docvqa_tpu.models.embedder import mean_pool
-    from rag_docvqa_tpu.ops.topk import cosine_topk_pallas, l2_normalize, pad_index
+    from rag_docvqa_tpu.models.embeddings import SpatialConfig
+    from rag_docvqa_tpu.ops.chunking import ChunkSpec
+    from rag_docvqa_tpu.ops.gather import assemble_concat
+    from rag_docvqa_tpu.ops.topk import cosine_topk_auto, cosine_topk_pallas, l2_normalize
 
     rng = np.random.RandomState(0)
     backend = jax.default_backend()
+
+    # ---- end-to-end retrieve -> generate (t5-base VT5) ------------------------
+    # FIRST on purpose: the decode's ~2.4 GB contiguous cross-KV needs a clean
+    # HBM pool — after the corpus-scale sections fragment it, the same program
+    # measured 1.9 s/batch (paging) vs ~350 ms here.
+    E2E_B, E2E_PAGES, E2E_NEW = 128, 8, 16
+    tok = HashTokenizer(vocab_size=VOCAB)
+    # t5-base dims; flash encoder attention on TPU (what RAGVT5Engine enables)
+    t5_cfg = t5m.T5Config(vocab_size=VOCAB, dropout_rate=0.0,
+                          flash_encoder=backend == "tpu")
+    vt5_cfg = vt5m.VT5Config(t5=t5_cfg, spatial=SpatialConfig(hidden_size=768, dropout_rate=0.0),
+                             use_visual=False)
+    rag = RAGConfig(page_retrieval="concat", chunk_num=TOP_K, max_source_length=512,
+                    max_new_tokens=E2E_NEW)
+    ing = DocVQAIngestor(tok, ChunkSpec(chunk_size=60, overlap=10))
+    docs = make_corpus(E2E_B, n_pages=E2E_PAGES, words_per_page=120, seed=0)
+    ing.caps = ing.plan_caps(docs)  # sized to the corpus: no truncation warning
+    batch, _ = ing.ingest(docs)
+    vt5_params = vt5m.init_vt5_params(jax.random.PRNGKey(0), vt5_cfg)
+    vt5_params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+        vt5_params,
+    )
+    acfg = rag.assemble()
+
+    @jax.jit
+    def e2e(params, batch):
+        ret = retrieve_device(params["t5"]["shared"], batch, k=TOP_K)
+        gen, _ = assemble_concat(batch, ret.top_k_idx, ret.top_k_valid, acfg)
+        tokens_out, conf = vt5m.generate(params, vt5_cfg, gen, max_new_tokens=E2E_NEW)
+        return conf
+
+    _sync(e2e(vt5_params, batch))
+    e2e_time = _time_min(lambda: e2e(vt5_params, batch), 5)
+    e2e_pages_per_sec = E2E_B * E2E_PAGES / e2e_time
+    # t5-base: ~110M encoder-side params seen by enc tokens, ~113M decoder+enc
+    # params per decode token (cache reuse) — 2*P*T approximation
+    enc_params = 12 * (4 * 768 * 768 + 2 * 768 * 3072)
+    dec_params = 12 * (8 * 768 * 768 + 2 * 768 * 3072) + 768 * VOCAB
+    e2e_flops = (2 * enc_params * E2E_B * 512) + (2 * dec_params * E2E_B * E2E_NEW)
+    e2e_mfu = e2e_flops / e2e_time / 197e12 if backend == "tpu" else 0.0
+    # free the generator's device state before the remaining sections
+    del vt5_params, batch
 
     tokens = jnp.asarray(rng.randint(3, VOCAB, size=(N_CHUNKS, CHUNK_TOKENS)), jnp.int32)
     tok_mask = jnp.asarray(rng.rand(N_CHUNKS, CHUNK_TOKENS) < 0.9)
@@ -83,12 +154,9 @@ def main():
     # compile + warmup
     _sync(fused_pipeline(shared, tokens, tok_mask, q_tokens, q_mask, TOP_K))
 
-    t0 = time.perf_counter()
-    acc = None
-    for _ in range(FUSED_REPS):
-        acc = fused_pipeline(shared, tokens, tok_mask, q_tokens, q_mask, TOP_K)
-    _sync(acc)
-    fused_time = (time.perf_counter() - t0) / FUSED_REPS
+    fused_time = _time_min(
+        lambda: fused_pipeline(shared, tokens, tok_mask, q_tokens, q_mask, TOP_K), FUSED_REPS
+    )
     fused_pages_per_sec = N_PAGES / fused_time
 
     # ---- reference-structure baseline (same chip, no host-sync penalty) ------
@@ -110,59 +178,18 @@ def main():
 
     _sync(score_one(embed_one(shared, doc_tokens[0], doc_masks[0]), q_single[0], TOP_K)[0])
 
-    t0 = time.perf_counter()
-    last = None
-    for d in range(BASELINE_DOCS):
-        e = embed_one(shared, doc_tokens[d], doc_masks[d])
-        last, _ = score_one(e, q_single[d % N_QUERIES], TOP_K)
-    _sync(last)
-    base_time_per_doc = (time.perf_counter() - t0) / BASELINE_DOCS
+    def baseline_sweep():
+        last = None
+        for d in range(BASELINE_DOCS):
+            e = embed_one(shared, doc_tokens[d], doc_masks[d])
+            last, _ = score_one(e, q_single[d % N_QUERIES], TOP_K)
+        return last
+
+    base_time_per_doc = _time_min(baseline_sweep, 1) / BASELINE_DOCS
     base_pages_per_sec = PAGES_PER_DOC / base_time_per_doc
 
-    # ---- corpus-scale query throughput (HBM-resident big index) --------------
-    BIG_N = 524_288  # 512k chunks = 262k pages resident in HBM (bf16: 768MB)
-    big_index = jnp.asarray(rng.randn(BIG_N, D_MODEL).astype(np.float32)).astype(jnp.bfloat16)
-    big_index = big_index / jnp.linalg.norm(big_index.astype(jnp.float32), axis=-1, keepdims=True).astype(jnp.bfloat16)
-
-    from rag_docvqa_tpu.ops.topk import cosine_topk_auto
-
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def big_query(index, q, k):
-        # auto-select running-merge Pallas (tiny batch) vs two-phase Pallas
-        return cosine_topk_auto(index, q, jnp.int32(BIG_N), k, tile_n=2048)[0]
-
-    qv = mean_pool(shared[q_tokens], q_mask).astype(jnp.float32)
-    _sync(big_query(big_index, qv, TOP_K))
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(10):
-        out = big_query(big_index, qv, TOP_K)
-    _sync(out)
-    big_time = (time.perf_counter() - t0) / 10
-    big_qps = N_QUERIES / big_time
-
-    # int8-quantized index: 4x corpus capacity per chip (ops/quant.py)
-    from rag_docvqa_tpu.ops.quant import cosine_topk_int8_auto, quantize_rows
-
-    iq, iscale = jax.jit(quantize_rows)(big_index.astype(jnp.float32))
-
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def big_query_int8(iq, iscale, q, k):
-        return cosine_topk_int8_auto(iq, iscale, q, jnp.int32(BIG_N), k)[0]
-
-    _sync(big_query_int8(iq, iscale, qv, TOP_K))
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(10):
-        out = big_query_int8(iq, iscale, qv, TOP_K)
-    _sync(out)
-    int8_qps = N_QUERIES / ((time.perf_counter() - t0) / 10)
-
     # ---- host ingest throughput (the host-side bottleneck for index builds) --
-    from rag_docvqa_tpu.data import DocVQAIngestor, HashTokenizer
     from rag_docvqa_tpu.data.contract import Caps
-    from rag_docvqa_tpu.data.synthetic import make_corpus
-    from rag_docvqa_tpu.ops.chunking import ChunkSpec
 
     _tok = HashTokenizer(vocab_size=VOCAB)
     _ing = DocVQAIngestor(_tok, ChunkSpec(chunk_size=60, overlap=10),
@@ -209,69 +236,45 @@ def main():
         return vals
 
     _sync(bge_pipeline(bge_params, tokens, tok_mask, q_tokens, q_mask, TOP_K))
-    t0 = time.perf_counter()
-    acc = None
-    BGE_REPS = 5
-    for _ in range(BGE_REPS):
-        acc = bge_pipeline(bge_params, tokens, tok_mask, q_tokens, q_mask, TOP_K)
-    _sync(acc)
-    bge_time = (time.perf_counter() - t0) / BGE_REPS
+    bge_time = _time_min(
+        lambda: bge_pipeline(bge_params, tokens, tok_mask, q_tokens, q_mask, TOP_K), 5
+    )
     bge_pages_per_sec = N_PAGES / bge_time
     # analytic transformer flops: ~2 * params * tokens (attn score terms minor at T=64)
     bge_n_params = 12 * (4 * 384 * 384 + 2 * 384 * 1536)
     bge_flops = 2 * bge_n_params * (N_CHUNKS * CHUNK_TOKENS + N_QUERIES * QUERY_TOKENS)
     bge_mfu = bge_flops / bge_time / 197e12 if backend == "tpu" else 0.0  # v5e bf16 peak (197 TFLOPs)
 
-    # ---- end-to-end retrieve -> generate (t5-base VT5) ------------------------
-    # (data-layer imports shared with the host-ingest section above)
-    from rag_docvqa_tpu.engine.rag_vt5 import RAGConfig, generate_device, retrieve_device
-    from rag_docvqa_tpu.models import t5 as t5m
-    from rag_docvqa_tpu.models import vt5 as vt5m
-    from rag_docvqa_tpu.models.embeddings import SpatialConfig
-    from rag_docvqa_tpu.ops.gather import assemble_concat
+    # ---- corpus-scale query throughput (HBM-resident big index) --------------
+    # LAST on purpose: the ~2.7 GB allocation peak (bf16 + f32 temp + int8)
+    # fragments the tunneled chip's pool; running the generator e2e afterwards
+    # in the same process measured 1.9 s/batch (vs 350 ms in a clean pool) —
+    # the decode's 2.4 GB contiguous cross-KV ends up paging.
+    BIG_N = 524_288  # 512k chunks = 262k pages resident in HBM (bf16: 768MB)
+    big_index = jnp.asarray(rng.randn(BIG_N, D_MODEL).astype(np.float32)).astype(jnp.bfloat16)
+    big_index = big_index / jnp.linalg.norm(big_index.astype(jnp.float32), axis=-1, keepdims=True).astype(jnp.bfloat16)
 
-    E2E_B, E2E_PAGES, E2E_NEW = 128, 8, 16
-    tok = HashTokenizer(vocab_size=VOCAB)
-    # t5-base dims; flash encoder attention on TPU (what RAGVT5Engine enables)
-    t5_cfg = t5m.T5Config(vocab_size=VOCAB, dropout_rate=0.0,
-                          flash_encoder=backend == "tpu")
-    vt5_cfg = vt5m.VT5Config(t5=t5_cfg, spatial=SpatialConfig(hidden_size=768, dropout_rate=0.0),
-                             use_visual=False)
-    rag = RAGConfig(page_retrieval="concat", chunk_num=TOP_K, max_source_length=512,
-                    max_new_tokens=E2E_NEW)
-    ing = DocVQAIngestor(tok, ChunkSpec(chunk_size=60, overlap=10))
-    docs = make_corpus(E2E_B, n_pages=E2E_PAGES, words_per_page=120, seed=0)
-    ing.caps = ing.plan_caps(docs)  # sized to the corpus: no truncation warning
-    batch, _ = ing.ingest(docs)
-    vt5_params = vt5m.init_vt5_params(jax.random.PRNGKey(0), vt5_cfg)
-    vt5_params = jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16) if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
-        vt5_params,
-    )
-    acfg = rag.assemble()
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def big_query(index, q, k):
+        # auto-select running-merge Pallas (tiny batch) vs two-phase Pallas
+        return cosine_topk_auto(index, q, jnp.int32(BIG_N), k, tile_n=2048)[0]
 
-    @jax.jit
-    def e2e(params, batch):
-        ret = retrieve_device(params["t5"]["shared"], batch, k=TOP_K)
-        gen, _ = assemble_concat(batch, ret.top_k_idx, ret.top_k_valid, acfg)
-        tokens_out, conf = vt5m.generate(params, vt5_cfg, gen, max_new_tokens=E2E_NEW)
-        return conf
+    qv = mean_pool(shared[q_tokens], q_mask).astype(jnp.float32)
+    _sync(big_query(big_index, qv, TOP_K))
+    big_time = _time_min(lambda: big_query(big_index, qv, TOP_K), 10)
+    big_qps = N_QUERIES / big_time
 
-    _sync(e2e(vt5_params, batch))
-    t0 = time.perf_counter()
-    out = None
-    E2E_REPS = 5
-    for _ in range(E2E_REPS):
-        out = e2e(vt5_params, batch)
-    _sync(out)
-    e2e_time = (time.perf_counter() - t0) / E2E_REPS
-    e2e_pages_per_sec = E2E_B * E2E_PAGES / e2e_time
-    # t5-base: ~110M encoder-side params seen by enc tokens, ~113M decoder+enc
-    # params per decode token (cache reuse) — 2*P*T approximation
-    enc_params = 12 * (4 * 768 * 768 + 2 * 768 * 3072)
-    dec_params = 12 * (8 * 768 * 768 + 2 * 768 * 3072) + 768 * VOCAB
-    e2e_flops = (2 * enc_params * E2E_B * 512) + (2 * dec_params * E2E_B * E2E_NEW)
-    e2e_mfu = e2e_flops / e2e_time / 197e12 if backend == "tpu" else 0.0
+    # int8-quantized index: 4x corpus capacity per chip (ops/quant.py)
+    from rag_docvqa_tpu.ops.quant import cosine_topk_int8_auto, quantize_rows
+
+    iq, iscale = jax.jit(quantize_rows)(big_index.astype(jnp.float32))
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def big_query_int8(iq, iscale, q, k):
+        return cosine_topk_int8_auto(iq, iscale, q, jnp.int32(BIG_N), k)[0]
+
+    _sync(big_query_int8(iq, iscale, qv, TOP_K))
+    int8_qps = N_QUERIES / _time_min(lambda: big_query_int8(iq, iscale, qv, TOP_K), 10)
 
     print(
         json.dumps(

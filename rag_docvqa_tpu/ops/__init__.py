@@ -9,4 +9,10 @@ Device side:
   * gather    — retrieval-to-generator token assembly (surround expansion,
                 dedup ownership, token flattening)
   * decode    — cached greedy decode loop with confidence product
+  * flash_attention — fused online-softmax encoder/causal attention
+                (in-kernel key masking, streamed T5 rel-pos bias, GQA)
+  * late_interaction — ColBERT MaxSim scoring (jnp + fused Pallas)
+  * quant     — int8 row-quantized index + bit-exact int8 top-k kernels
+  * s2chunker — spectral layout-region clustering (numpy)
+  * patches   — image patching / Pix2Struct flattened-patch extraction
 """

@@ -69,23 +69,25 @@ def _segmax_int8_kernel(n_valid_ref, q_ref, scale_ref, idx_tile_ref, segmax_ref,
                         tile_n: int, group: int):
     """int8 x int8 -> int32 MXU dot, rescale by per-row index scales, masked
     segment-max. The query's own positive scale is applied outside (it cannot
-    change any per-row ordering)."""
+    change any per-row ordering). Scores are produced in (tile_n, B)
+    orientation so the group max is a major-dim reshape — the old in-kernel
+    transpose made the kernel VPU-bound (int8 ran no faster than bf16)."""
     import jax
     from jax.experimental import pallas as pl
 
     t = pl.program_id(0)
     n_valid = n_valid_ref[0]
     acc = jax.lax.dot_general(
-        q_ref[:],
         idx_tile_ref[:],
+        q_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
-    )  # (B, tile_n)
-    scores = acc.astype(jnp.float32) * scale_ref[:].reshape(1, tile_n)
-    B = scores.shape[0]
-    global_idx = t * tile_n + jax.lax.broadcasted_iota(jnp.int32, (B, tile_n), 1)
+    )  # (tile_n, B)
+    scores = acc.astype(jnp.float32) * scale_ref[:]  # (tile_n, 1) broadcast
+    B = scores.shape[1]
+    global_idx = t * tile_n + jax.lax.broadcasted_iota(jnp.int32, (tile_n, B), 0)
     scores = jnp.where(global_idx < n_valid, scores, NEG_INF)
-    segmax_ref[:] = jnp.max(scores.T.reshape(tile_n // group, group, B), axis=1).T
+    segmax_ref[:] = jnp.max(scores.reshape(tile_n // group, group, B), axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tile_n", "group", "interpret"))
@@ -129,15 +131,15 @@ def cosine_topk_int8_twophase(
             pl.BlockSpec((tile_n, 1), lambda t: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_n, D), lambda t: (t, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((B, tile_n // group), lambda t: (0, t), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, S), jnp.float32),
+        out_specs=pl.BlockSpec((tile_n // group, B), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, B), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * N * D,
             bytes_accessed=N * D + B * D + N * 4 + B * S * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(jnp.asarray([n_valid], jnp.int32).reshape(1), q8, index_scale, index_q)
+    )(jnp.asarray([n_valid], jnp.int32).reshape(1), q8, index_scale, index_q).T  # (B, S)
 
     _, seg_idx = jax.lax.top_k(segmax, k)
     seg_idx = jnp.sort(seg_idx, axis=1)

@@ -200,25 +200,25 @@ def cosine_topk_pallas(
 def _segmax_kernel(n_valid_ref, q_ref, idx_tile_ref, segmax_ref, tile_n: int, group: int):
     """Per index tile: fused matmul + segment-max reduction.
 
-    Writes this tile's (B, tile_n/group) segment maxima; the (B, N) score
-    matrix never exists. One VPU pass per element (vs k passes in the
-    running-merge kernel) — the tile work is MXU-bound.
+    The contraction is issued as (tile_n, D) x (B, D)^T so scores land
+    directly in (tile_n, B) orientation: the per-`group` max is then a
+    MAJOR-dim reshape (Mosaic rejects lane splits for G < 128, and an
+    in-kernel transpose of the score tile made the whole kernel VPU-bound —
+    that transpose was why the int8 variant ran no faster than bf16).
+    Output is (S, B); the wrapper transposes once outside the kernel.
     """
     t = pl.program_id(0)
     n_valid = n_valid_ref[0]
     scores = jax.lax.dot_general(
-        q_ref[:],
         idx_tile_ref[:],
+        q_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (B, tile_n)
-    B = scores.shape[0]
-    global_idx = t * tile_n + jax.lax.broadcasted_iota(jnp.int32, (B, tile_n), 1)
+    )  # (tile_n, B)
+    B = scores.shape[1]
+    global_idx = t * tile_n + jax.lax.broadcasted_iota(jnp.int32, (tile_n, B), 0)
     scores = jnp.where(global_idx < n_valid, scores, NEG_INF)
-    # contiguous per-`group` max. Mosaic rejects lane-splitting reshapes
-    # (B, T) -> (B, T/G, G) for G < 128; transposing first makes the split a
-    # major-dim split, which lowers cleanly.
-    segmax_ref[:] = jnp.max(scores.T.reshape(tile_n // group, group, B), axis=1).T
+    segmax_ref[:] = jnp.max(scores.reshape(tile_n // group, group, B), axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tile_n", "group", "interpret"))
@@ -274,15 +274,15 @@ def cosine_topk_twophase(
             pl.BlockSpec((B, D), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_n, D), lambda t: (t, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((B, tile_n // group), lambda t: (0, t), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, S), jnp.float32),
+        out_specs=pl.BlockSpec((tile_n // group, B), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, B), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * N * D,
             bytes_accessed=N * D * index.dtype.itemsize + B * D * 4 + B * S * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(jnp.asarray([n_valid], jnp.int32).reshape(1), q, index)
+    )(jnp.asarray([n_valid], jnp.int32).reshape(1), q, index).T  # (B, S)
 
     # phase 2: segment selection (ties -> lowest segment index, like top_k)
     _, seg_idx = jax.lax.top_k(segmax, k)  # (B, k)
