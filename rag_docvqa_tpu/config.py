@@ -135,6 +135,7 @@ def build_vt5_config(c: Dict[str, Any], vocab_size: int) -> vt5m.VT5Config:
             num_encoder_layers=c.get("num_layers", 12),
             num_decoder_layers=c.get("num_decoder_layers", c.get("num_layers", 12)),
             dropout_rate=c.get("dropout_rate", 0.1),
+            decode_kv_int8=bool(c.get("decode_kv_int8", False)),
         ),
         spatial=SpatialConfig(
             max_2d_positions=c.get("max_2d_position_embeddings", 1024),

@@ -53,6 +53,12 @@ class T5Config:
     # XLA path). Engines flip this on when running on a TPU backend; keep
     # False for training and off-TPU runs.
     flash_encoder: bool = False
+    # int8 cross-attention KV cache for greedy decode. Decode on the bench
+    # chip is HBM-bound on exactly these reads (cross KV is ~2.4 GB at
+    # t5-base B=128 Te=512), so halving the bytes halves the decode wall.
+    # Channel-wise (per L,B,H,dk) scales fold into the query / the output —
+    # no extra bandwidth. Small quality drift (opt-in; see test_t5 tolerance).
+    decode_kv_int8: bool = False
 
     @property
     def inner_dim(self) -> int:
@@ -321,8 +327,19 @@ class DecodeCache:
     # the unavoidable KV HBM read per decode step
     self_k: jax.Array  # (L, B, H, Tmax, dk)
     self_v: jax.Array  # (L, B, H, Tmax, dk)
-    cross_k: jax.Array  # (L, B, H, Te, dk)
+    cross_k: jax.Array  # (L, B, H, Te, dk) bf16/f32, or int8 (decode_kv_int8)
     cross_v: jax.Array  # (L, B, H, Te, dk)
+    # channel-wise dequant scales, present only with decode_kv_int8
+    cross_k_scale: Optional[jax.Array] = None  # (L, B, H, 1, dk) f32
+    cross_v_scale: Optional[jax.Array] = None
+
+
+def _quantize_kv(x: jax.Array):
+    """(B, H, T, dk) -> int8 values + per-(B, H, dk) channel scales."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=2, keepdims=True)  # (B,H,1,dk)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+    return q, scale
 
 
 def init_decode_cache(
@@ -340,11 +357,23 @@ def init_decode_cache(
         k = _split_heads(dense(encoder_hidden, layer["k"]), cfg.num_heads)
         v = _split_heads(dense(encoder_hidden, layer["v"]), cfg.num_heads)
         # one-time relayout (B, Te, H, dk) -> (B, H, Te, dk)
-        return None, (jnp.transpose(k, (0, 2, 1, 3)), jnp.transpose(v, (0, 2, 1, 3)))
+        k = jnp.transpose(k, (0, 2, 1, 3))
+        v = jnp.transpose(v, (0, 2, 1, 3))
+        if cfg.decode_kv_int8:
+            kq, ks = _quantize_kv(k)
+            vq, vs = _quantize_kv(v)
+            return None, (kq, vq, ks, vs)
+        return None, (k, v)
 
-    _, (cross_k, cross_v) = jax.lax.scan(per_layer, None, dec["cross_attn"])
     shape = (L, B, cfg.num_heads, max_decode_len, cfg.d_kv)
     dtype = encoder_hidden.dtype
+    if cfg.decode_kv_int8:
+        _, (cross_k, cross_v, ks, vs) = jax.lax.scan(per_layer, None, dec["cross_attn"])
+        return DecodeCache(
+            self_k=jnp.zeros(shape, dtype), self_v=jnp.zeros(shape, dtype),
+            cross_k=cross_k, cross_v=cross_v, cross_k_scale=ks, cross_v_scale=vs,
+        )
+    _, (cross_k, cross_v) = jax.lax.scan(per_layer, None, dec["cross_attn"])
     return DecodeCache(
         self_k=jnp.zeros(shape, dtype),
         self_v=jnp.zeros(shape, dtype),
@@ -412,8 +441,13 @@ def decode_step(
         "ffn": dec["ffn"],
     }
 
+    int8_kv = cfg.decode_kv_int8
+
     def block(x, layer_and_cache):
-        layer, (ck, cv, sk, sv) = layer_and_cache
+        if int8_kv:
+            layer, (ck, cv, ks, vs, sk, sv) = layer_and_cache
+        else:
+            layer, (ck, cv, sk, sv) = layer_and_cache
         h = rms_norm(x, layer["ln0"], cfg.layer_norm_eps)
         q = split_q(h, layer["self_attn"]["q"])
         k_new = split_q(h, layer["self_attn"]["k"])[:, :, None, :]  # (B, H, 1, dk)
@@ -423,14 +457,36 @@ def decode_step(
         x = x + dense(_attend_one(q, sk, sv, self_bias, self_mask), layer["self_attn"]["o"])
         h = rms_norm(x, layer["ln1"], cfg.layer_norm_eps)
         q = split_q(h, layer["cross_attn"]["q"])
-        x = x + dense(_attend_one(q, ck, cv, None, cross_mask), layer["cross_attn"]["o"])
+        if int8_kv:
+            # channel scales fold into the query (scores) and the output (PV):
+            # only int8 bytes stream from HBM
+            qs = q.astype(jnp.float32) * ks[:, :, 0, :]  # (B, H, dk)
+            scores = jax.lax.dot_general(
+                qs, ck.astype(jnp.float32),
+                dimension_numbers=(((2,), (3,)), ((0, 1), (0, 1))),
+                preferred_element_type=jnp.float32,
+            )
+            scores = jnp.where(cross_mask, scores, -1e9)
+            probs = jax.nn.softmax(scores, axis=-1)
+            out = jax.lax.dot_general(
+                probs, cv.astype(jnp.float32),
+                dimension_numbers=(((2,), (2,)), ((0, 1), (0, 1))),
+                preferred_element_type=jnp.float32,
+            ) * vs[:, :, 0, :]  # (B, H, dk)
+            a = out.astype(q.dtype).reshape(out.shape[0], -1)
+        else:
+            a = _attend_one(q, ck, cv, None, cross_mask)
+        x = x + dense(a, layer["cross_attn"]["o"])
         h = rms_norm(x, layer["ln2"], cfg.layer_norm_eps)
         x = x + _ffn(layer["ffn"], cfg, h)
         return x, (sk, sv)
 
-    x, (new_sk, new_sv) = jax.lax.scan(
-        block, x, (stacked, (cache.cross_k, cache.cross_v, cache.self_k, cache.self_v))
-    )
+    if int8_kv:
+        xs = (stacked, (cache.cross_k, cache.cross_v, cache.cross_k_scale,
+                        cache.cross_v_scale, cache.self_k, cache.self_v))
+    else:
+        xs = (stacked, (cache.cross_k, cache.cross_v, cache.self_k, cache.self_v))
+    x, (new_sk, new_sv) = jax.lax.scan(block, x, xs)
     x = rms_norm(x, dec["final_ln"], cfg.layer_norm_eps)
     logits = lm_logits(params, cfg, x[:, None, :])[:, 0, :]
     return logits, cache.replace(self_k=new_sk, self_v=new_sv)

@@ -167,3 +167,32 @@ def test_hf_parity_greedy_generate(hf_pair):
     # compare up to HF's early stop length
     T = hf_tokens.shape[1]
     np.testing.assert_array_equal(tokens[:, :T], hf_tokens)
+
+
+def test_decode_kv_int8_close_to_fp(tiny_params):
+    """int8 cross-KV decode: logits near the fp path, same greedy tokens."""
+    import dataclasses
+
+    from rag_docvqa_tpu.ops.decode import greedy_decode
+
+    B, Te, Td = 2, 7, 5
+    x = jax.random.normal(jax.random.PRNGKey(5), (B, Te, TINY.d_model))
+    mask = jnp.asarray([[True] * 7, [True] * 4 + [False] * 3])
+    h = t5m.encode(tiny_params, TINY, x, mask)
+    qcfg = dataclasses.replace(TINY, decode_kv_int8=True)
+    dec_ids = jax.random.randint(jax.random.PRNGKey(6), (B, Td), 3, TINY.vocab_size)
+    dec_ids = dec_ids.at[:, 0].set(TINY.decoder_start_token_id)
+
+    cache_fp = t5m.init_decode_cache(tiny_params, TINY, h, Td)
+    cache_q = t5m.init_decode_cache(tiny_params, qcfg, h, Td)
+    assert cache_q.cross_k.dtype == jnp.int8 and cache_q.cross_k_scale is not None
+    for t in range(Td):
+        lg_fp, cache_fp = t5m.decode_step(tiny_params, TINY, cache_fp, dec_ids[:, t], jnp.int32(t), mask)
+        lg_q, cache_q = t5m.decode_step(tiny_params, qcfg, cache_q, dec_ids[:, t], jnp.int32(t), mask)
+        # channel-wise int8 quantization: ~1% relative score error budget
+        np.testing.assert_allclose(np.asarray(lg_q), np.asarray(lg_fp), rtol=0.05, atol=0.05)
+
+    toks_fp, conf_fp = greedy_decode(tiny_params, TINY, h, mask, max_new_tokens=6)
+    toks_q, conf_q = greedy_decode(tiny_params, qcfg, h, mask, max_new_tokens=6)
+    np.testing.assert_array_equal(np.asarray(toks_fp), np.asarray(toks_q))
+    np.testing.assert_allclose(np.asarray(conf_fp), np.asarray(conf_q), rtol=0.02, atol=0.02)
