@@ -85,6 +85,13 @@ class HashTokenizer(BaseTokenizer):
     Words map to 1-3 subword ids via a stable blake2 hash of (word, piece_idx);
     the instance memoizes a reverse map so decode() recovers words it has seen
     (sufficient for closed-book eval where answers appear in the corpus).
+
+    Cross-process caveat: ids are stable (blake2), but decode() only knows
+    words encoded IN THIS PROCESS. Evaluating a checkpoint in a fresh process
+    decodes ids of train-only words (e.g. a memorized train answer emitted on
+    a val question) to nothing — the train-time eval sees partial-credit ANLS
+    where a fresh `eval.py --ckpt` sees "". Real tokenizers (`--hf-weights`
+    dirs / HFTokenizer) decode any id and do not have this artifact.
     """
 
     def __init__(self, vocab_size: int = 32128, max_pieces: int = 3) -> None:

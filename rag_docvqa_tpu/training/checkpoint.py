@@ -21,10 +21,16 @@ class CheckpointManager:
     def __init__(self, directory: str, max_to_keep: int = 3):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
+        # best = accuracy with ANLS as tiebreaker (the reference tracks
+        # accuracy only, metrics.py:135-146; the tiebreaker matters when every
+        # epoch ties at accuracy 0 — Orbax would otherwise resolve the tie to
+        # the EARLIEST save, i.e. the least-trained checkpoint)
         self._mgr = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep, best_fn=lambda m: m.get("accuracy", 0.0), best_mode="max"
+                max_to_keep=max_to_keep,
+                best_fn=lambda m: m.get("accuracy", 0.0) + 1e-6 * m.get("anls", 0.0),
+                best_mode="max",
             ),
         )
 

@@ -224,7 +224,8 @@ class Trainer:
                 if is_best:
                     best = {"accuracy": m["accuracy"], "epoch": epoch}
                 if self.ckpt:
-                    self.ckpt.save(int(self.state.step), self.state, metrics={"accuracy": m["accuracy"]})
+                    self.ckpt.save(int(self.state.step), self.state,
+                                   metrics={"accuracy": m["accuracy"], "anls": m["anls"]})
             elif self.ckpt:
                 self.ckpt.save(int(self.state.step), self.state)
             self._log(epoch_metrics)
