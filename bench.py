@@ -35,6 +35,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compile cache: compiles dominate bench wall time (~25 min run,
+# ~1 min of timed device work). On a real TPU host warm runs skip them; the
+# tunneled axon backend measured no benefit (AOT path bypasses the cache),
+# but the config is harmless there.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_rag_docvqa")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 # ---- workload --------------------------------------------------------------
 N_DOCS = 512
 PAGES_PER_DOC = 8
