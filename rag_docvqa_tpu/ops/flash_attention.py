@@ -113,7 +113,7 @@ def flash_attention(
     bias: Optional[jax.Array] = None,  # (1|B, H, Tq, Tk) additive (bf16 ok)
     scale: float = 1.0,
     causal: bool = False,
-    block_q: int = 256,
+    block_q: int = 512,  # 512x512 measured fastest at T=512 on v5e (6.5 vs 7.1 ms/layer)
     block_k: int = 512,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
