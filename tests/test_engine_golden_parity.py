@@ -122,8 +122,9 @@ def table_embed(shared, ids):
     return shared[np.asarray(ids)].mean(axis=0)
 
 
-def oracle_retrieve(doc, shared):
-    """Cosine top-k (src/_modules.py:1978-2016). Returns (chunks, topk_idx)."""
+def oracle_retrieve(doc, shared, with_sims=False):
+    """Cosine top-k (src/_modules.py:1978-2016). Returns (chunks, topk_idx
+    [, topk_sims])."""
     chunks = oracle_chunks(doc)
     embs = []
     for p, widx in chunks:
@@ -133,8 +134,10 @@ def oracle_retrieve(doc, shared):
     embs = np.stack(embs)
     sims = embs @ q_emb / (np.linalg.norm(embs, axis=1) * np.linalg.norm(q_emb) + 1e-8)
     k = min(RAG.chunk_num, len(chunks))
-    topk = torch.topk(torch.from_numpy(sims), k).indices.numpy()
-    return chunks, topk
+    top = torch.topk(torch.from_numpy(sims), k)
+    if with_sims:
+        return chunks, top.indices.numpy(), top.values.numpy()
+    return chunks, top.indices.numpy()
 
 
 def oracle_assemble(doc, chunks, topk):
@@ -342,3 +345,74 @@ def test_maxconf_engine_matches_reference_reassembly(setup):
         best = rows[np.argmax(o_conf[b * K + rows])]
         o_ids = _truncate(o_seqs[b * K + best], TOK.eos_id, TOK.pad_id)
         assert out["pred_answers"][b] == TOK.decode(o_ids)
+
+
+def test_weightmajorpage_engine_matches_reference_reassembly(setup):
+    """Page-vote strategy family (src/RAGVT5.py:455-486): similarity-weighted
+    page vote over the top-k chunks -> ONE whole-page generator row built from
+    the page's ORIGINAL word list (new_batch["words"][b][page]). Weights use
+    the top-k-aligned similarities (the reference's intended semantics; its
+    reranker-off path zips against the full similarity vector by mistake —
+    divergence documented in engine/rag_vt5.py)."""
+    hf, params, spatial, docs, batch, aux = setup
+    shared = np.asarray(params["t5"]["shared"])
+    import dataclasses
+
+    rag = dataclasses.replace(RAG, page_retrieval="weightmajorpage")
+    eng = RAGVT5Engine(rag, VT5_CFG, params, TOK)
+    out = eng.inference(batch, aux)
+
+    S = rag.max_source_length
+    o_ids_rows, o_box_rows, o_pages = [], [], []
+    for b, doc in enumerate(docs):
+        chunks, o_topk, o_sims = oracle_retrieve(doc, shared, with_sims=True)
+        w = o_sims / o_sims.sum()  # normalized weights (RAGVT5.py:463)
+        votes = {}
+        for ci, wi in zip(o_topk, w):
+            votes[chunks[int(ci)][0]] = votes.get(chunks[int(ci)][0], 0.0) + wi
+        # ties are measure-zero with real-valued sims; lowest page on exact tie
+        page = max(sorted(votes), key=lambda p: votes[p])
+        o_pages.append(page)
+
+        ids, boxes = [], []
+        prompt = TOK.encode(f"question: {doc.question}  context:")[: CAPS.prompt_tokens]
+        for t in prompt:
+            ids.append(t)
+            boxes.append([0, 0, 1000, 1000])
+        for word, box in zip(doc.words[page], doc.boxes[page]):
+            wb = (np.asarray(box, np.float32) * 1000).astype(np.int32).tolist()
+            for t in TOK.encode_word(word)[: CAPS.tokens_per_word]:
+                ids.append(t)
+                boxes.append(wb)
+        ids = ids[: S - 1] + [TOK.eos_id]
+        boxes = boxes[: S - 1] + [[0, 0, 0, 0]]
+        n = len(ids)
+        ids += [TOK.pad_id] * (S - n)
+        boxes += [[0, 0, 0, 0]] * (S - n)
+        o_ids_rows.append(ids)
+        o_box_rows.append(boxes)
+
+    # 1. engine picked the same majority page
+    assert [int(p) for p in out["pred_answer_pages"]] == o_pages
+
+    # 2. identical whole-page generator rows
+    from rag_docvqa_tpu.engine.rag_vt5 import majority_page_device
+    from rag_docvqa_tpu.ops.gather import assemble_page_rows
+
+    ret = retrieve_device(params["t5"]["shared"], batch, k=rag.chunk_num)
+    major = majority_page_device(ret, weighted=True)
+    gen = assemble_page_rows(
+        batch, major[:, None], jnp.ones((len(docs), 1), bool), rag.assemble()
+    )
+    gen_ids = np.asarray(gen.input_ids)
+    gen_boxes = np.asarray(gen.input_boxes)
+    np.testing.assert_array_equal(gen_ids, np.asarray(o_ids_rows, np.int32))
+    np.testing.assert_array_equal(gen_boxes, np.asarray(o_box_rows, np.int32))
+
+    # 3. decoded answers + confidence vs HF generate on the same rows
+    lens = np.asarray(gen.attention_mask).sum(axis=1).tolist()
+    o_seqs, o_conf = oracle_generate(hf, spatial, gen_ids, gen_boxes, lens)
+    for b in range(len(docs)):
+        o_answer = _truncate(o_seqs[b], TOK.eos_id, TOK.pad_id)
+        assert out["pred_answers"][b] == TOK.decode(o_answer)
+    np.testing.assert_allclose(np.asarray(out["confidences"]), o_conf, rtol=1e-4, atol=1e-5)
