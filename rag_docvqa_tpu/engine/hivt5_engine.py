@@ -35,14 +35,10 @@ def _page_visual_device(params, cfg, pixels):
 
 class HiVT5Engine:
     def __init__(self, cfg: hivt5m.HiVT5Config, params: Dict[str, Any], tokenizer, max_new_tokens: int = 32):
-        # flash encoder attention for the per-page encode on a single TPU
-        # chip (same gate as RAGVT5Engine; training paths never set it)
-        if (
-            not cfg.t5.flash_encoder
-            and jax.default_backend() == "tpu"
-            and jax.device_count() == 1
-            and cfg.page_seq_len >= 256
-        ):
+        # flash encoder attention for the per-page encode (shared gate)
+        from rag_docvqa_tpu.ops.flash_attention import flash_wanted
+
+        if not cfg.t5.flash_encoder and flash_wanted(256, cfg.page_seq_len):
             from dataclasses import replace as _replace
 
             cfg = _replace(cfg, t5=_replace(cfg.t5, flash_encoder=True))

@@ -71,13 +71,11 @@ def _score_topk(patch_emb, patch_tok_mask, q_emb, q_tok_mask, chunk_valid, k: in
 
 class RAGPix2StructEngine:
     def __init__(self, cfg: P2SRAGConfig, p2s_cfg: p2s.Pix2StructConfig, params: Dict[str, Any], tokenizer):
-        # flash attention for the patch encoder on a single TPU chip (same
-        # gate as RAGVT5Engine; the patch budget makes scores HBM-dominant)
-        if (
-            not p2s_cfg.vision.flash_encoder
-            and jax.default_backend() == "tpu"
-            and jax.device_count() == 1
-        ):
+        # flash attention for the patch encoder (shared gate; the patch
+        # budget makes scores HBM-dominant at any length)
+        from rag_docvqa_tpu.ops.flash_attention import flash_wanted
+
+        if not p2s_cfg.vision.flash_encoder and flash_wanted():
             from dataclasses import replace as _replace
 
             p2s_cfg = _replace(p2s_cfg, vision=_replace(p2s_cfg.vision, flash_encoder=True))

@@ -81,14 +81,11 @@ class RAGQwenEngine:
         # inference-only variant: causal flash prefill on a single TPU chip
         # (self.lm_cfg stays pristine for SFT paths, which need the VJP)
         self.lm_cfg_infer = lm_cfg
-        # measured on v5e: a wash at Tp=512 (decode-dominated), -17% forward
-        # at Tp=2048 — enable only for long-context prompts
-        if (
-            not lm_cfg.flash_prefill
-            and jax.default_backend() == "tpu"
-            and jax.device_count() == 1
-            and cfg.max_prompt_tokens >= 1024
-        ):
+        # measured on v5e with the group-folded GQA kernel: -6% generate at
+        # Tp=512, 1.87x forward at Tp=2048 (shared gate)
+        from rag_docvqa_tpu.ops.flash_attention import flash_wanted
+
+        if not lm_cfg.flash_prefill and flash_wanted(512, cfg.max_prompt_tokens):
             from dataclasses import replace as _replace
 
             self.lm_cfg_infer = _replace(lm_cfg, flash_prefill=True)

@@ -171,18 +171,10 @@ class RAGVT5Engine:
         self.tokenizer = tokenizer
         self.reranker = reranker
         self.nac = nac
-        # fused flash encoder attention on a single TPU chip at sequence
-        # lengths where it beats the XLA path (2.15x at T=512); multi-device
-        # runs keep the XLA path (pallas_call + GSPMD batch partitioning is
-        # not wired), and training never sees this engine config
-        import jax as _jax
+        # fused flash encoder attention where it beats XLA (2.15x at T=512)
+        from rag_docvqa_tpu.ops.flash_attention import flash_wanted
 
-        if (
-            not vt5_cfg.t5.flash_encoder
-            and _jax.default_backend() == "tpu"
-            and _jax.device_count() == 1
-            and rag_cfg.max_source_length >= 256
-        ):
+        if not vt5_cfg.t5.flash_encoder and flash_wanted(256, rag_cfg.max_source_length):
             from dataclasses import replace as _replace
 
             self.vt5_cfg = _replace(vt5_cfg, t5=_replace(vt5_cfg.t5, flash_encoder=True))

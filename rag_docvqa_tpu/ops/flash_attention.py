@@ -37,24 +37,38 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+def flash_wanted(min_len: int = 0, seq_len: int = 1 << 30) -> bool:
+    """Shared engine gate: fused attention pays on a single TPU chip at
+    sequence lengths past the measured crossover (multi-device runs keep the
+    XLA path — pallas_call + GSPMD batch partitioning is not wired; training
+    never calls this, the kernels have no VJP)."""
+    return (
+        jax.default_backend() == "tpu"
+        and jax.device_count() == 1
+        and seq_len >= min_len
+    )
+
+
 def _flash_kernel(
-    q_ref,  # (1, 1, bq, dh)
+    q_ref,  # (1, 1, rep, bq, dh) — the KV group's `rep` query heads
     k_ref,  # (1, 1, bk, dh)
     v_ref,  # (1, 1, bk, dh)
     mask_ref,  # (1, 1, bk) bool key-padding mask
-    bias_ref,  # (1, 1, bq, bk) or None
-    o_ref,  # (1, 1, bq, dh)
-    m_ref,  # scratch (bq, 128) f32 running max
-    l_ref,  # scratch (bq, 128) f32 running denominator
-    acc_ref,  # scratch (bq, dh) f32 running numerator
+    bias_ref,  # (1, 1, rep, bq, bk) or None
+    o_ref,  # (1, 1, rep, bq, dh)
+    m_ref,  # scratch (rep*bq, 128) f32 running max
+    l_ref,  # scratch (rep*bq, 128) f32 running denominator
+    acc_ref,  # scratch (rep*bq, dh) f32 running numerator
     *,
     scale: float,
     causal: bool,
     block_q: int,
     block_k: int,
+    rep: int,
 ):
     qi, kj = pl.program_id(2), pl.program_id(3)
     nk = pl.num_programs(3)
+    R = rep * block_q
 
     @pl.when(kj == 0)
     def _init():
@@ -62,44 +76,55 @@ def _flash_kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0, 0]  # (bq, dh)
-    k = k_ref[0, 0]  # (bk, dh)
-    s = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (bq, bk) f32
-    if scale != 1.0:
-        s = s * scale
-    if bias_ref is not None:
-        s = s + bias_ref[0, 0].astype(jnp.float32)
+    # compute guard: in causal mode, blocks entirely above the diagonal are
+    # skipped (their K/V index map also re-points at an already-fetched block,
+    # so neither MXU work nor HBM streaming is spent on them)
+    live = (kj * block_k <= qi * block_q + block_q - 1) if causal else True
 
-    valid = jnp.broadcast_to(mask_ref[0], (block_q, block_k))
-    if causal:
-        q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-        k_pos = kj * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-        valid = valid & (k_pos <= q_pos)
-    s = jnp.where(valid, s, NEG_INF)
+    @pl.when(live)
+    def _compute():
+        # all `rep` query heads of this KV group attend the K/V tile in ONE
+        # matmul — K/V stream from HBM once per group, not once per head
+        q = q_ref[0, 0].reshape(R, q_ref.shape[-1])  # (rep*bq, dh)
+        k = k_ref[0, 0]  # (bk, dh)
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (rep*bq, bk) f32
+        if scale != 1.0:
+            s = s * scale
+        if bias_ref is not None:
+            s = s + bias_ref[0, 0].reshape(R, block_k).astype(jnp.float32)
 
-    m_old = m_ref[:, :1]  # (bq, 1)
-    m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
-    # fully-masked-so-far rows keep exp(0)=1 garbage out of the accumulators
-    alive = m_new > NEG_INF / 2
-    p = jnp.where(alive, jnp.exp(s - m_new), 0.0)  # (bq, bk)
-    alpha = jnp.where(alive, jnp.exp(m_old - m_new), 0.0)  # (bq, 1)
+        valid = jnp.broadcast_to(mask_ref[0], (R, block_k))
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, (R, block_k), 0)
+            q_pos = qi * block_q + row % block_q  # row r*bq+q is query qi*bq+q
+            k_pos = kj * block_k + jax.lax.broadcasted_iota(jnp.int32, (R, block_k), 1)
+            valid = valid & (k_pos <= q_pos)
+        s = jnp.where(valid, s, NEG_INF)
 
-    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-    pv = jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0, 0],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (bq, dh)
-    acc_ref[:] = acc_ref[:] * alpha + pv
-    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        m_old = m_ref[:, :1]  # (R, 1)
+        m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
+        # fully-masked-so-far rows keep exp(0)=1 garbage out of the accumulators
+        alive = m_new > NEG_INF / 2
+        p = jnp.where(alive, jnp.exp(s - m_new), 0.0)  # (R, bk)
+        alpha = jnp.where(alive, jnp.exp(m_old - m_new), 0.0)  # (R, 1)
+
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, 0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (R, dh)
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
 
     @pl.when(kj == nk - 1)
     def _emit():
         denom = jnp.maximum(l_ref[:, :1], 1e-30)
-        o_ref[0, 0] = (acc_ref[:] / denom).astype(o_ref.dtype)
+        out = (acc_ref[:] / denom).astype(o_ref.dtype)
+        o_ref[0, 0] = out.reshape(rep, block_q, o_ref.shape[-1])
 
 
 @functools.partial(
@@ -147,52 +172,63 @@ def flash_attention(
             bias = jnp.pad(bias, ((0, 0), (0, 0), (0, pq), (0, pk)))
     Tq_p, Tk_p = Tq + pq, Tk + pk
 
-    # (B, H, T, dh) blocks tile cleanly (T and dh in the minor dims)
-    qT = jnp.transpose(q, (0, 2, 1, 3))
+    # q grouped by KV head: (B, Hkv, rep, T, dh); k/v: (B, Hkv, T, dh). One
+    # grid step covers a whole KV group, so each K/V tile streams from HBM
+    # once per group (not once per query head).
+    qT = jnp.transpose(q, (0, 2, 1, 3)).reshape(B, Hkv, rep, Tq_p, dh)
     kT = jnp.transpose(k, (0, 2, 1, 3))
     vT = jnp.transpose(v, (0, 2, 1, 3))
 
-    grid = (B, H, Tq_p // bq, Tk_p // bk)
+    nq, nk = Tq_p // bq, Tk_p // bk
+    if causal:
+        # blocks above the diagonal re-point at the previous (already live)
+        # K/V tile: no DMA, and the kernel's `live` guard skips their compute
+        kv_j = lambda i, j: jnp.minimum(j, (i * bq + bq - 1) // bk)
+    else:
+        kv_j = lambda i, j: j
+
+    grid = (B, Hkv, nq, nk)
     in_specs = [
-        pl.BlockSpec((1, 1, bq, dh), lambda b, h, i, j: (b, h, i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, bk, dh), lambda b, h, i, j: (b, h // rep, j, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, bk, dh), lambda b, h, i, j: (b, h // rep, j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, rep, bq, dh), lambda b, g, i, j: (b, g, 0, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bk, dh), lambda b, g, i, j: (b, g, kv_j(i, j), 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bk, dh), lambda b, g, i, j: (b, g, kv_j(i, j), 0), memory_space=pltpu.VMEM),
         # (B, 1, Tk) layout keeps the block's trailing dims Mosaic-tileable
-        pl.BlockSpec((1, 1, bk), lambda b, h, i, j: (b, 0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bk), lambda b, g, i, j: (b, 0, j), memory_space=pltpu.VMEM),
     ]
     args = [qT, kT, vT, key_mask[:, None, :]]
     if bias is not None:
         bb = bias.shape[0]  # 1 = batch-shared (T5 rel-pos), B = per-sample
+        bias5 = bias.reshape(bb, Hkv, rep, Tq_p, Tk_p)
         in_specs.append(
             pl.BlockSpec(
-                (1, 1, bq, bk),
-                (lambda b, h, i, j: (0, h, i, j)) if bb == 1 else (lambda b, h, i, j: (b, h, i, j)),
+                (1, 1, rep, bq, bk),
+                (lambda b, g, i, j: (0, g, 0, i, j)) if bb == 1 else (lambda b, g, i, j: (b, g, 0, i, j)),
                 memory_space=pltpu.VMEM,
             )
         )
-        args.append(bias)
+        args.append(bias5)
 
     kernel = functools.partial(
         _flash_kernel if bias is not None else _flash_kernel_nobias,
-        scale=scale, causal=causal, block_q=bq, block_k=bk,
+        scale=scale, causal=causal, block_q=bq, block_k=bk, rep=rep,
     )
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, 1, bq, dh), lambda b, h, i, j: (b, h, i, 0), memory_space=pltpu.VMEM
+            (1, 1, rep, bq, dh), lambda b, g, i, j: (b, g, 0, i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((B, H, Tq_p, dh), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, rep, Tq_p, dh), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, dh), jnp.float32),
+            pltpu.VMEM((rep * bq, 128), jnp.float32),
+            pltpu.VMEM((rep * bq, 128), jnp.float32),
+            pltpu.VMEM((rep * bq, dh), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * Tq_p * Tk_p * dh,
             bytes_accessed=(
-                B * H * (Tq_p + 2 * Tk_p) * dh * q.dtype.itemsize
+                B * (H * Tq_p + 2 * Hkv * Tk_p) * dh * q.dtype.itemsize
                 + (H * Tq_p * Tk_p * bias.dtype.itemsize if bias is not None else 0)
                 + B * H * Tq_p * dh * q.dtype.itemsize
             ),
@@ -200,7 +236,7 @@ def flash_attention(
         ),
         interpret=interpret,
     )(*args)
-    out = jnp.transpose(out, (0, 2, 1, 3))
+    out = jnp.transpose(out.reshape(B, H, Tq_p, dh), (0, 2, 1, 3))
     return out[:, :Tq] if pq else out
 
 

@@ -24,12 +24,14 @@ class CheckpointManager:
         # best = accuracy with ANLS as tiebreaker (the reference tracks
         # accuracy only, metrics.py:135-146; the tiebreaker matters when every
         # epoch ties at accuracy 0 — Orbax would otherwise resolve the tie to
-        # the EARLIEST save, i.e. the least-trained checkpoint)
+        # the EARLIEST save, i.e. the least-trained checkpoint). The 1e-9
+        # weight stays below any realistic accuracy quantum (1/n_samples), so
+        # it can only break exact ties, never flip a real accuracy difference.
         self._mgr = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=max_to_keep,
-                best_fn=lambda m: m.get("accuracy", 0.0) + 1e-6 * m.get("anls", 0.0),
+                best_fn=lambda m: m.get("accuracy", 0.0) + 1e-9 * m.get("anls", 0.0),
                 best_mode="max",
             ),
         )
