@@ -240,8 +240,15 @@ class FlagLLMReranker:
         import numpy as np
 
         self.cfg = cfg
-        # (flash_prefill not auto-enabled here: at pair_len ~192 the XLA path
-        # measured faster on v5e; set it on lm_cfg for long-pair configs)
+        # group-folded GQA flash pays even at pair_len 192 for gemma's
+        # 8q/1kv heads (2.54 -> 2.20 ms attention on v5e); scoring is
+        # inference-only so the no-VJP kernel is safe here
+        from rag_docvqa_tpu.ops.flash_attention import flash_wanted
+
+        if not lm_cfg.flash_prefill and flash_wanted(128, cfg.pair_len):
+            from dataclasses import replace as _replace
+
+            lm_cfg = _replace(lm_cfg, flash_prefill=True)
         self.lm_cfg = lm_cfg
         self.params = params
         self.normalize = normalize
