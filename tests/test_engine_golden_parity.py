@@ -416,3 +416,111 @@ def test_weightmajorpage_engine_matches_reference_reassembly(setup):
         o_answer = _truncate(o_seqs[b], TOK.eos_id, TOK.pad_id)
         assert out["pred_answers"][b] == TOK.decode(o_answer)
     np.testing.assert_allclose(np.asarray(out["confidences"]), o_conf, rtol=1e-4, atol=1e-5)
+
+
+def test_hivt5_engine_matches_reference_reassembly(setup):
+    """Hierarchical family (src/HiVT5.py:450-556): per-page encode of
+    [PAGE_p] x K ++ prompt ++ page words (+spatial), keep the first K hidden
+    states per page, decoder cross-attends the concatenated document
+    embedding, page-retrieval head predicts the answer page. The oracle runs
+    each page through the HF T5 encoder sequentially (the reference's
+    per-page loop, HiVT5.py:78-104) and decodes with HF generate over
+    encoder_outputs. Engine replaces the loop with pages-folded-into-batch —
+    outputs must be identical."""
+    import dataclasses
+
+    from transformers.modeling_outputs import BaseModelOutput
+
+    from rag_docvqa_tpu.engine.hivt5_engine import HiVT5Engine
+    from rag_docvqa_tpu.models import hivt5 as hivt5m
+    from rag_docvqa_tpu.models.layers import normal_init
+
+    hf, params, spatial, docs, batch, aux = setup
+    P, K, SEQ, NEW = 4, 3, 64, 8
+    hcfg = hivt5m.HiVT5Config(
+        t5=T5_CFG, spatial=SpatialConfig(hidden_size=32, dropout_rate=0.0),
+        page_tokens=K, max_doc_pages=P, page_seq_len=SEQ,
+    )
+    rng = jax.random.PRNGKey(11)
+    page_emb = np.asarray(normal_init(rng, (P, 32), 1.0))
+    head_k = np.asarray(normal_init(jax.random.fold_in(rng, 1), (P * K * 32, P), 0.02))
+    hparams = {
+        "t5": params["t5"], "spatial": params["spatial"],
+        "page_emb": jnp.asarray(page_emb),
+        "page_head": {"kernel": jnp.asarray(head_k), "bias": jnp.zeros((P,))},
+    }
+
+    eng = HiVT5Engine(hcfg, hparams, TOK, max_new_tokens=NEW)
+    out = eng.inference(batch, aux)
+
+    # ---- oracle: sequential per-page HF encode -> concat -> HF generate ----
+    shared_t = hf.get_input_embeddings().weight
+    x_emb = torch.from_numpy(np.asarray(spatial["x_emb"]))
+    y_emb = torch.from_numpy(np.asarray(spatial["y_emb"]))
+    ln_w = torch.from_numpy(np.asarray(spatial["ln_w"]))
+    ln_b = torch.from_numpy(np.asarray(spatial["ln_b"]))
+    mk = torch.from_numpy(np.asarray(spatial["matcher"]["kernel"]))
+    mb = torch.from_numpy(np.asarray(spatial["matcher"]["bias"]))
+    page_emb_t = torch.from_numpy(page_emb)
+
+    def page_row(doc, p):
+        """prompt ++ page words ++ EOS (truncate keeping EOS), like the
+        whole-page rows of the page-level strategies."""
+        ids, boxes = [], []
+        prompt = TOK.encode(f"question: {doc.question}  context:")[: CAPS.prompt_tokens]
+        for t in prompt:
+            ids.append(t)
+            boxes.append([0, 0, 1000, 1000])
+        for word, box in zip(doc.words[p], doc.boxes[p]):
+            wb = (np.asarray(box, np.float32) * 1000).astype(np.int32).tolist()
+            for t in TOK.encode_word(word)[: CAPS.tokens_per_word]:
+                ids.append(t)
+                boxes.append(wb)
+        ids = ids[: SEQ - 1] + [TOK.eos_id]
+        boxes = boxes[: SEQ - 1] + [[0, 0, 0, 0]]
+        n = len(ids)
+        ids += [TOK.pad_id] * (SEQ - n)
+        boxes += [[0, 0, 0, 0]] * (SEQ - n)
+        return np.asarray(ids), np.asarray(boxes), n
+
+    B = len(docs)
+    doc_embs = torch.zeros((B, P * K, 32))
+    doc_mask = torch.zeros((B, P * K), dtype=torch.long)
+    o_pages = []
+    with torch.no_grad():
+        for b, doc in enumerate(docs):
+            for p in range(min(P, len(doc.words))):
+                ids, boxes, n = page_row(doc, p)
+                ids_t = torch.from_numpy(ids).long()[None]
+                box_t = torch.from_numpy(np.clip(boxes, 0, 1023)).long()[None]
+                sem = shared_t[ids_t]
+                sp = x_emb[box_t[..., 0]] + y_emb[box_t[..., 1]] + x_emb[box_t[..., 2]] + y_emb[box_t[..., 3]]
+                sp = torch.nn.functional.layer_norm(sp, sp.shape[-1:], ln_w, ln_b, eps=1e-12)
+                embeds = sem + sp @ mk + mb
+                embeds = torch.cat([page_emb_t[p][None, None].expand(1, K, 32), embeds], dim=1)
+                mask = torch.zeros((1, K + SEQ), dtype=torch.long)
+                mask[0, : K + n] = 1
+                enc = hf.encoder(inputs_embeds=embeds, attention_mask=mask)
+                doc_embs[b, p * K : (p + 1) * K] = enc.last_hidden_state[0, :K]
+                doc_mask[b, p * K : (p + 1) * K] = 1
+            # page head over the flattened document embedding
+            logits = doc_embs[b].reshape(-1) @ torch.from_numpy(head_k)
+            logits = logits.numpy()
+            logits[min(P, len(doc.words)):] = -1e9
+            o_pages.append(int(np.argmax(logits)))
+
+        gen = hf.generate(
+            encoder_outputs=BaseModelOutput(last_hidden_state=doc_embs),
+            attention_mask=doc_mask,
+            max_new_tokens=NEW, do_sample=False, num_beams=1,
+            output_scores=True, return_dict_in_generate=True,
+        )
+    o_seqs = gen.sequences.numpy()[:, 1:]
+    scores = torch.stack(gen.scores, dim=1)[:, :-1, :]
+    o_conf = torch.amax(scores.softmax(-1), 2).prod(1).numpy()
+
+    assert [int(p) for p in out["pred_answer_pages"]] == o_pages
+    for b in range(B):
+        o_ids = _truncate(o_seqs[b], TOK.eos_id, TOK.pad_id)
+        assert out["pred_answers"][b] == TOK.decode(o_ids)
+    np.testing.assert_allclose(np.asarray(out["confidences"]), o_conf, rtol=1e-4, atol=1e-5)
