@@ -56,8 +56,7 @@ def _flash_kernel(
     mask_ref,  # (1, 1, bk) bool key-padding mask
     bias_ref,  # (1, 1, rep, bq, bk) or None
     o_ref,  # (1, 1, rep, bq, dh)
-    m_ref,  # scratch (rep*bq, 128) f32 running max
-    l_ref,  # scratch (rep*bq, 128) f32 running denominator
+    ml_ref,  # scratch (2, rep*bq, 128) f32: [0]=running max, [1]=denominator
     acc_ref,  # scratch (rep*bq, dh) f32 running numerator
     *,
     scale: float,
@@ -72,8 +71,8 @@ def _flash_kernel(
 
     @pl.when(kj == 0)
     def _init():
-        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
-        l_ref[:] = jnp.zeros_like(l_ref)
+        ml_ref[0] = jnp.full((R, 128), NEG_INF, jnp.float32)
+        ml_ref[1] = jnp.zeros((R, 128), jnp.float32)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     # compute guard: in causal mode, blocks entirely above the diagonal are
@@ -104,25 +103,25 @@ def _flash_kernel(
             valid = valid & (k_pos <= q_pos)
         s = jnp.where(valid, s, NEG_INF)
 
-        m_old = m_ref[:, :1]  # (R, 1)
+        m_old = ml_ref[0, :, :1]  # (R, 1)
         m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
         # fully-masked-so-far rows keep exp(0)=1 garbage out of the accumulators
         alive = m_new > NEG_INF / 2
         p = jnp.where(alive, jnp.exp(s - m_new), 0.0)  # (R, bk)
         alpha = jnp.where(alive, jnp.exp(m_old - m_new), 0.0)  # (R, 1)
 
-        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        ml_ref[1] = ml_ref[1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
         pv = jax.lax.dot_general(
             p.astype(v_ref.dtype), v_ref[0, 0],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (R, dh)
         acc_ref[:] = acc_ref[:] * alpha + pv
-        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        ml_ref[0] = jnp.broadcast_to(m_new, (R, 128))
 
     @pl.when(kj == nk - 1)
     def _emit():
-        denom = jnp.maximum(l_ref[:, :1], 1e-30)
+        denom = jnp.maximum(ml_ref[1, :, :1], 1e-30)
         out = (acc_ref[:] / denom).astype(o_ref.dtype)
         o_ref[0, 0] = out.reshape(rep, block_q, o_ref.shape[-1])
 
@@ -154,8 +153,25 @@ def flash_attention(
     Hkv = k.shape[2]
     assert H % Hkv == 0, f"query heads {H} not a multiple of kv heads {Hkv}"
     rep = H // Hkv
-    bq = min(block_q, Tq)
     bk = min(block_k, Tk)
+    # the group fold makes the q/o blocks, score tiles, and scratch rep*bq
+    # rows tall; shrink bq until the estimated VMEM footprint (double-buffered
+    # blocks + f32 score/prob tiles + scratch) fits the ~16 MB budget —
+    # without this, rep=8/dh=256 shapes (gemma rerankers) fail Mosaic
+    # allocation by a few hundred KB
+    bq = min(block_q, Tq)
+
+    def _vmem(bq_):
+        R_ = rep * bq_
+        blocks = 2 * 2 * R_ * dh * q.dtype.itemsize  # q + o, double-buffered
+        kv = 2 * 2 * bk * dh * k.dtype.itemsize
+        tiles = 2 * R_ * bk * 4  # s and p in f32
+        scratch = 2 * R_ * 128 * 4 + R_ * dh * 4
+        bias_b = 2 * R_ * bk * (bias.dtype.itemsize if bias is not None else 0)
+        return blocks + kv + tiles + scratch + bias_b
+
+    while bq > 8 and _vmem(bq) > 14 * 2**20:
+        bq //= 2
 
     # pad sequence dims to block multiples (padded keys are masked off;
     # padded query rows are sliced away)
@@ -221,8 +237,7 @@ def flash_attention(
         ),
         out_shape=jax.ShapeDtypeStruct((B, Hkv, rep, Tq_p, dh), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((rep * bq, 128), jnp.float32),
-            pltpu.VMEM((rep * bq, 128), jnp.float32),
+            pltpu.VMEM((2, rep * bq, 128), jnp.float32),
             pltpu.VMEM((rep * bq, dh), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
@@ -240,8 +255,8 @@ def flash_attention(
     return out[:, :Tq] if pq else out
 
 
-def _flash_kernel_nobias(q_ref, k_ref, v_ref, mask_ref, o_ref, m_ref, l_ref, acc_ref, **kw):
-    _flash_kernel(q_ref, k_ref, v_ref, mask_ref, None, o_ref, m_ref, l_ref, acc_ref, **kw)
+def _flash_kernel_nobias(q_ref, k_ref, v_ref, mask_ref, o_ref, ml_ref, acc_ref, **kw):
+    _flash_kernel(q_ref, k_ref, v_ref, mask_ref, None, o_ref, ml_ref, acc_ref, **kw)
 
 
 def attention_reference(q, k, v, key_mask=None, bias=None, scale=1.0, causal=False):

@@ -24,14 +24,15 @@ class CheckpointManager:
         # best = accuracy with ANLS as tiebreaker (the reference tracks
         # accuracy only, metrics.py:135-146; the tiebreaker matters when every
         # epoch ties at accuracy 0 — Orbax would otherwise resolve the tie to
-        # the EARLIEST save, i.e. the least-trained checkpoint). The 1e-9
-        # weight stays below any realistic accuracy quantum (1/n_samples), so
-        # it can only break exact ties, never flip a real accuracy difference.
+        # the EARLIEST save, i.e. the least-trained checkpoint). 1e-6 sits
+        # below any realistic accuracy quantum (1/n_samples for n < 1e6) yet
+        # above float64 absorption for small ANLS deltas, so it breaks exact
+        # accuracy ties without ever flipping a real accuracy difference.
         self._mgr = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=max_to_keep,
-                best_fn=lambda m: m.get("accuracy", 0.0) + 1e-9 * m.get("anls", 0.0),
+                best_fn=lambda m: m.get("accuracy", 0.0) + 1e-6 * m.get("anls", 0.0),
                 best_mode="max",
             ),
         )
