@@ -33,7 +33,13 @@ def main(argv=None):
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
 
-    from train import _default_tokenizer_from_ckpt, build_docs, parse_overrides, resolve_params
+    from train import (
+        _default_tokenizer_from_ckpt,
+        build_docs,
+        parse_overrides,
+        resolve_params,
+        restore_hash_vocab,
+    )
 
     import jax
 
@@ -66,6 +72,7 @@ def main(argv=None):
     for run_idx, config in enumerate(configs):
         _default_tokenizer_from_ckpt(config)
         tokenizer = load_tokenizer(config.get("tokenizer"))
+        restore_hash_vocab(config, tokenizer)
         model_name = str(config.get("model_name", "VT5")).lower()
         is_hivt5 = model_name in ("hi-vt5", "hivt5")
         # "custom"/oracle windowing for hierarchical models lives in the

@@ -120,6 +120,7 @@ def build_rag_config(c: Dict[str, Any]) -> RAGConfig:
         per_chunk_seq_len=c.get("per_chunk_seq_len", 256),
         max_new_tokens=c.get("max_new_tokens", 100),
         embed_backend=c.get("embed_model", "VT5"),
+        reorder_chunks=bool(c.get("reorder_chunks", False)),
     )
 
 
@@ -337,10 +338,19 @@ def build_engine(c: Dict[str, Any], params, tokenizer):
         if use_visual:
             vision_cfg = build_qwen_vision_config(c)
             if isinstance(params, dict) and "vision" not in params:
+                import warnings
+
                 import jax as _jax
 
                 from rag_docvqa_tpu.models.qwen_vision import init_qwen_vision_params
 
+                if c.get("ckpt") or c.get("hf_weights"):
+                    warnings.warn(
+                        "use_visual=true but the loaded checkpoint has no "
+                        "'vision' tower — running on RANDOM visual features. "
+                        "Provide vision weights or set use_visual=false.",
+                        stacklevel=2,
+                    )
                 params["vision"] = init_qwen_vision_params(
                     _jax.random.PRNGKey(c.get("seed", 0) + 2), vision_cfg
                 )

@@ -53,12 +53,18 @@ class BaseDataset:
             yield self[i]
 
     def sample(self, question_id: int) -> RawDocument:
-        """Lookup by question id (MP_DocVQA.py:48-66)."""
-        for i in range(len(self)):
-            d = self[i]
-            if d.question_id == question_id:
-                return d
-        raise ValueError(f"Question ID {question_id} not in dataset.")
+        """Lookup by question id (MP_DocVQA.py:48-66). The qid->index map is
+        built lazily on first use, so repeated lookups (the demo REPL) are
+        O(1) instead of a full-dataset scan."""
+        index = getattr(self, "_qid_index", None)
+        if index is None:
+            index = {}
+            for i in range(len(self)):
+                index.setdefault(self[i].question_id, i)
+            self._qid_index = index
+        if question_id not in index:
+            raise ValueError(f"Question ID {question_id} not in dataset.")
+        return self[index[question_id]]
 
 
 # --------------------------------------------------------------------------- #

@@ -87,11 +87,11 @@ class HashTokenizer(BaseTokenizer):
     (sufficient for closed-book eval where answers appear in the corpus).
 
     Cross-process caveat: ids are stable (blake2), but decode() only knows
-    words encoded IN THIS PROCESS. Evaluating a checkpoint in a fresh process
-    decodes ids of train-only words (e.g. a memorized train answer emitted on
-    a val question) to nothing — the train-time eval sees partial-credit ANLS
-    where a fresh `eval.py --ckpt` sees "". Real tokenizers (`--hf-weights`
-    dirs / HFTokenizer) decode any id and do not have this artifact.
+    words encoded IN THIS PROCESS. To make decode survive a process boundary
+    (train in one process, `eval.py --ckpt` in another), the trainer persists
+    the reverse map alongside the Orbax checkpoint (`save_vocab`) and the CLIs
+    reload it (`load_vocab`). Real tokenizers (`--hf-weights` dirs /
+    HFTokenizer) decode any id and do not need this.
     """
 
     def __init__(self, vocab_size: int = 32128, max_pieces: int = 3) -> None:
@@ -117,6 +117,24 @@ class HashTokenizer(BaseTokenizer):
             self._reverse[tuple(ids)] = word
             self._word_cache[word] = ids
         return ids
+
+    def save_vocab(self, path: str) -> None:
+        """Persist the reverse map so a fresh process can decode (JSON:
+        one [word, [ids...]] pair per seen word)."""
+        import json
+
+        with open(path, "w") as f:
+            json.dump([[w, ids] for w, ids in self._word_cache.items()], f)
+
+    def load_vocab(self, path: str) -> None:
+        """Merge a persisted reverse map (ids are hash-stable, so entries
+        from any process agree; collisions keep the incoming word last)."""
+        import json
+
+        with open(path) as f:
+            for word, ids in json.load(f):
+                self._word_cache[word] = list(ids)
+                self._reverse[tuple(ids)] = word
 
     def decode(self, ids: Sequence[int]) -> str:
         ids = [i for i in ids if i >= self._first_content_id]

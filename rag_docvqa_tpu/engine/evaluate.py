@@ -51,9 +51,17 @@ def evaluate(
 
     for start in range(0, len(docs), batch_size):
         chunk = list(docs[start : start + batch_size])
+        n_real = len(chunk)
         t0 = time.time()
+        if mesh is not None and n_real % mesh.shape["data"] != 0:
+            # pad the last partial batch to a mesh multiple (repeat the final
+            # doc) so data-parallel sharding never silently degrades to a
+            # replicated run; padded samples are dropped from every per-sample
+            # output below
+            pad = mesh.shape["data"] - n_real % mesh.shape["data"]
+            chunk = chunk + [chunk[-1]] * pad
         batch, aux = ingestor.ingest(chunk)
-        if mesh is not None and batch.batch_size % mesh.shape["data"] == 0:
+        if mesh is not None:
             # data-parallel eval: shard the batch over the mesh; the engine's
             # jitted pipelines then run SPMD (the reference's data_parallel
             # flag was an unused nn.DataParallel, src/HiVT5.py:643-645)
@@ -71,6 +79,10 @@ def evaluate(
         t0 = time.time()
         out = engine.inference(batch, aux)
         step_total = time.time() - t0
+        if len(chunk) > n_real:  # drop mesh-padding samples
+            chunk = chunk[:n_real]
+            aux = {k: v[:n_real] if isinstance(v, list) else v for k, v in aux.items()}
+            out = _trim_output(out, n_real)
         # engines report their own split (retrieval vs generation,
         # eval.py:332-336); fall back to lumping into generation
         r = out.get("retrieval", {}) or {}
@@ -151,6 +163,22 @@ def evaluate(
         _save(save_path, total_acc, total_anls, total_ret_prec, total_chunk_score,
               scores_by_samples, load_time, retrieval_time, generation_time)
     return result
+
+
+def _trim_output(out: Dict[str, Any], n: int) -> Dict[str, Any]:
+    """Slice every per-sample axis of an engine result to the first n rows."""
+    trimmed = dict(out)
+    for k in ("pred_answers", "confidences", "pred_answer_pages"):
+        if isinstance(trimmed.get(k), list):
+            trimmed[k] = trimmed[k][:n]
+    r = trimmed.get("retrieval")
+    if isinstance(r, dict):
+        r = dict(r)
+        for k, v in r.items():
+            if isinstance(v, list) or (isinstance(v, np.ndarray) and v.ndim >= 1):
+                r[k] = v[:n]
+        trimmed["retrieval"] = r
+    return trimmed
 
 
 def _summary(acc, anls, prec, chunk, load_t, ret_t, gen_t) -> Dict[str, Any]:

@@ -71,6 +71,9 @@ class RAGConfig:
     max_new_tokens: int = 100
     embed_backend: str = "VT5"
     use_visual: bool = False  # feed DiT visual tokens of retrieved patches
+    # sort retrieved chunks into document reading order before assembly
+    # (reference's optional reorder, src/_modules.py:2129-2142)
+    reorder_chunks: bool = False
 
     def __post_init__(self):
         assert self.page_retrieval in STRATEGIES, self.page_retrieval
@@ -139,15 +142,39 @@ def generate_device(
     return vt5m.generate(params, vt5_cfg, gen, visual=visual, max_new_tokens=max_new_tokens)
 
 
-@functools.partial(jax.jit, static_argnames=("weighted",))
-def majority_page_device(ret: RetrievalResult, weighted: bool) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("weighted", "n_pages"))
+def majority_page_device(ret: RetrievalResult, weighted: bool, n_pages: int = 4096) -> jax.Array:
     """(Similarity-)weighted page vote over top-k chunks (RAGVT5.py:455-477).
-    Returns (B,) page indices; samples with no valid chunks vote page 0."""
+    Returns (B,) page indices; samples with no valid chunks vote page 0.
+    `n_pages` bounds the vote buffer — engines pass the batch's static page
+    cap so arbitrarily long documents never silently mis-vote."""
     B, K = ret.top_k_page.shape
     w = jnp.where(ret.top_k_valid, ret.top_k_score if weighted else 1.0, 0.0)
-    n_pages = 4096  # static upper bound; real page count is far smaller
     votes = jnp.zeros((B, n_pages)).at[jnp.arange(B)[:, None], ret.top_k_page].add(w)
     return jnp.argmax(votes, axis=1).astype(jnp.int32)
+
+
+@jax.jit
+def reading_order_device(ret: RetrievalResult, batch: ChunkedBatch) -> RetrievalResult:
+    """Reorder the top-k chunks into document reading order — ascending
+    (page, slot_start) — keeping invalid rows at the end (the reference's
+    optional `reorder_chunks` in retrieval output assembly,
+    src/_modules.py:2129-2142)."""
+    start = jnp.take_along_axis(batch.chunk_slot_start, ret.top_k_idx, axis=1)
+    W = batch.slot_mask.shape[1]
+    key = ret.top_k_page * (W + 1) + start  # (B, K), lexicographic (page, pos)
+    key = jnp.where(ret.top_k_valid, key, jnp.iinfo(jnp.int32).max)
+    order = jnp.argsort(key, axis=1, stable=True)
+    take = lambda x: jnp.take_along_axis(x, order, axis=1)
+    return RetrievalResult(
+        top_k_idx=take(ret.top_k_idx),
+        top_k_valid=take(ret.top_k_valid),
+        top_k_score=take(ret.top_k_score),
+        top_k_page=take(ret.top_k_page),
+        top_k_label=take(ret.top_k_label),
+        top_k_box=jnp.take_along_axis(ret.top_k_box, order[..., None], axis=1),
+        similarities=ret.similarities,
+    )
 
 
 # --------------------------------------------------------------------------- #
@@ -219,6 +246,8 @@ class RAGVT5Engine:
         ret = self.retrieve(batch)
         if self.reranker is not None and strategy != "oracle":
             ret = self.reranker(batch, ret)
+        if cfg.reorder_chunks and strategy != "oracle":
+            ret = reading_order_device(ret, batch)
         jax.block_until_ready(ret.top_k_idx)
         _t_retrieval = _time.time() - _t0
         _t0 = _time.time()
@@ -251,7 +280,11 @@ class RAGVT5Engine:
             answers, confs = self._select_rows(tokens, conf, np.asarray(ret.top_k_valid), B, K, strategy.startswith("any"))
 
         elif strategy in ("majorpage", "weightmajorpage"):
-            major = majority_page_device(ret, weighted=strategy == "weightmajorpage")
+            major = majority_page_device(
+                ret,
+                weighted=strategy == "weightmajorpage",
+                n_pages=int(batch.page_slot_start.shape[1]),
+            )
             row_cfg = AssembleConfig(max_source_length=cfg.max_source_length)
             gen = assemble_page_rows(batch, major[:, None], jnp.ones((B, 1), bool), row_cfg)
             owner = compute_ownership(batch, ret.top_k_idx, ret.top_k_valid, cfg.include_surroundings)

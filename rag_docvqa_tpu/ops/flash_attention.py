@@ -170,8 +170,12 @@ def flash_attention(
         bias_b = 2 * R_ * bk * (bias.dtype.itemsize if bias is not None else 0)
         return blocks + kv + tiles + scratch + bias_b
 
-    while bq > 8 and _vmem(bq) > 14 * 2**20:
+    while bq > 16 and _vmem(bq) > 14 * 2**20:
         bq //= 2
+    # keep block rows sublane-aligned for any caller-supplied Tq (a 300-row
+    # block halves to 150/75 — Mosaic would reject the tiling on real TPU);
+    # 16 covers the bf16 (16, 128) min tile, and f32's (8, 128) divides it
+    bq = max(16, bq - bq % 16)
 
     # pad sequence dims to block multiples (padded keys are masked off;
     # padded query rows are sliced away)
@@ -260,7 +264,12 @@ def _flash_kernel_nobias(q_ref, k_ref, v_ref, mask_ref, o_ref, ml_ref, acc_ref, 
 
 
 def attention_reference(q, k, v, key_mask=None, bias=None, scale=1.0, causal=False):
-    """jnp oracle with identical semantics (for tests and the non-TPU path)."""
+    """jnp oracle with identical semantics (for tests and the non-TPU path).
+
+    Fully-masked query rows (no valid key) emit ZEROS — matching the kernel's
+    online-softmax recurrence, which never accumulates for such rows. (A plain
+    softmax would emit the uniform average of V instead; engine callers always
+    have >= 1 valid key, so the choice only pins down the oracle contract.)"""
     if k.shape[2] != q.shape[2]:  # GQA
         rep = q.shape[2] // k.shape[2]
         k = jnp.repeat(k, rep, axis=2)
@@ -278,4 +287,5 @@ def attention_reference(q, k, v, key_mask=None, bias=None, scale=1.0, causal=Fal
         valid = valid & (jnp.arange(Tk)[None, :] <= jnp.arange(Tq)[:, None])[None, None]
     s = jnp.where(valid, s, NEG_INF)
     p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+    p = jnp.where(jnp.any(valid, axis=-1, keepdims=True), p, 0.0).astype(q.dtype)
     return jnp.einsum("bhqk,bkhd->bqhd", p, v)

@@ -14,6 +14,7 @@ enabled with `use_nac`; Hi-VT5 training (LM + page-retrieval CE) by passing
 
 from __future__ import annotations
 
+import os
 import random
 import time
 from dataclasses import dataclass
@@ -228,6 +229,13 @@ class Trainer:
                                    metrics={"accuracy": m["accuracy"], "anls": m["anls"]})
             elif self.ckpt:
                 self.ckpt.save(int(self.state.step), self.state)
+            if self.ckpt and hasattr(self.tokenizer, "save_vocab"):
+                # persist the HashTokenizer reverse map next to the Orbax
+                # state so a fresh-process `eval.py --ckpt` can decode
+                # train-time words (data/tokenizer.py cross-process caveat)
+                self.tokenizer.save_vocab(
+                    os.path.join(self.ckpt.directory, "hash_tokenizer.json")
+                )
             self._log(epoch_metrics)
             history.append(epoch_metrics)
 

@@ -238,3 +238,45 @@ def test_dude_raw_build_pipeline(tmp_path):
                          Caps(max_pages=5, max_chunks=16, max_slots=128))
     batch, aux = ing.ingest(docs)
     assert batch.batch_size == 4
+
+
+def test_hash_tokenizer_vocab_roundtrip(tmp_path):
+    """save_vocab/load_vocab carry the reverse map across a process boundary:
+    a fresh tokenizer decodes ids produced by the saving one."""
+    from rag_docvqa_tpu.data import HashTokenizer
+
+    tok = HashTokenizer(vocab_size=2048)
+    ids = tok.encode("answers survive checkpoint restore")
+    path = tmp_path / "hash_tokenizer.json"
+    tok.save_vocab(str(path))
+
+    fresh = HashTokenizer(vocab_size=2048)
+    assert fresh.decode(ids) == ""  # the cross-process artifact, pre-restore
+    fresh.load_vocab(str(path))
+    assert fresh.decode(ids) == "answers survive checkpoint restore"
+
+
+def test_sample_lookup_indexed():
+    """BaseDataset.sample is an O(1) dict lookup after the first call."""
+    from rag_docvqa_tpu.data.contract import RawDocument
+    from rag_docvqa_tpu.data.datasets import BaseDataset
+
+    class Tiny(BaseDataset):
+        def __init__(self):
+            self.gets = 0
+
+        def __len__(self):
+            return 5
+
+        def __getitem__(self, i):
+            self.gets += 1
+            return RawDocument(question=f"q{i}", words=[["w"]], boxes=[[[0, 0, 1, 1]]],
+                               question_id=100 + i)
+
+    ds = Tiny()
+    assert ds.sample(104).question == "q4"
+    first_pass = ds.gets  # one full scan to build the index
+    assert ds.sample(100).question == "q0"
+    assert ds.gets == first_pass + 1  # only the indexed fetch, no rescan
+    with pytest.raises(ValueError):
+        ds.sample(999)

@@ -124,7 +124,10 @@ def test_data_parallel_eval_matches_single_device():
     from rag_docvqa_tpu.metrics import Evaluator
     from rag_docvqa_tpu.parallel import create_mesh
 
-    docs = make_corpus(8, n_pages=2, words_per_page=30, seed=12)
+    # 10 docs at batch_size 8: the trailing batch of 2 is NOT divisible by the
+    # 8-way data axis — evaluate() must pad it to a mesh multiple (and trim the
+    # padded samples) rather than silently dropping the sharding
+    docs = make_corpus(10, n_pages=2, words_per_page=30, seed=12)
     ing = DocVQAIngestor(TOK, ChunkSpec(chunk_size=15, overlap=3), CAPS)
     params = vt5m.init_vt5_params(jax.random.PRNGKey(0), VT5_CFG)
     eng = RAGVT5Engine(RAGConfig(page_retrieval="concat", chunk_num=3,
@@ -133,6 +136,39 @@ def test_data_parallel_eval_matches_single_device():
     plain = evaluate(eng, docs, ing, Evaluator(), batch_size=8)
     mesh = create_mesh((8, 1), ("data", "model"))
     sharded = evaluate(eng, docs, ing, Evaluator(), batch_size=8, mesh=mesh)
+    assert plain["n_samples"] == sharded["n_samples"] == 10
     for k in ("accuracy", "anls", "retrieval_precision", "chunk_score"):
         assert plain[k] == sharded[k], k
     assert plain["pred_answers"] == sharded["pred_answers"]
+
+
+def test_reading_order_reorder(params):
+    """reorder_chunks sorts the retrieved top-k into ascending (page,
+    slot_start) with invalid rows last (reference _modules.py:2129-2142)."""
+    from rag_docvqa_tpu.engine.rag_vt5 import reading_order_device
+
+    docs, batch, aux = build()
+    eng = RAGVT5Engine(RAGConfig(page_retrieval="concat", chunk_num=3, max_new_tokens=3),
+                       VT5_CFG, params, TOK)
+    ret = eng.retrieve(batch)
+    ordered = reading_order_device(ret, batch)
+    pages = np.asarray(ordered.top_k_page)
+    starts = np.asarray(jax.numpy.take_along_axis(batch.chunk_slot_start, ordered.top_k_idx, axis=1))
+    valid = np.asarray(ordered.top_k_valid)
+    for b in range(pages.shape[0]):
+        keys = [(int(pages[b, r]), int(starts[b, r])) for r in range(pages.shape[1]) if valid[b, r]]
+        assert keys == sorted(keys), keys
+        # invalid rows trail the valid ones
+        first_invalid = valid[b].argmin() if not valid[b].all() else len(valid[b])
+        assert valid[b][:first_invalid].all() and not valid[b][first_invalid:].any()
+    # same chunk set, different order
+    assert set(np.asarray(ret.top_k_idx)[0][np.asarray(ret.top_k_valid)[0]]) == set(
+        np.asarray(ordered.top_k_idx)[0][valid[0]]
+    )
+    # the engine path runs end-to-end with reordering enabled
+    eng2 = RAGVT5Engine(
+        RAGConfig(page_retrieval="concat", chunk_num=3, max_new_tokens=3, reorder_chunks=True),
+        VT5_CFG, params, TOK,
+    )
+    out = eng2.inference(batch, aux)
+    assert len(out["pred_answers"]) == len(docs)

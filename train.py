@@ -79,6 +79,18 @@ def resolve_params(config, params, model_cfg, hivt5: bool = False, kind: str = N
     return params
 
 
+def restore_hash_vocab(config, tokenizer) -> None:
+    """Reload the HashTokenizer reverse map the trainer saved next to an
+    Orbax checkpoint, so decode works across the process boundary."""
+    import os
+
+    d = config.get("ckpt")
+    if d and hasattr(tokenizer, "load_vocab"):
+        vocab = os.path.join(d, "hash_tokenizer.json")
+        if os.path.exists(vocab):
+            tokenizer.load_vocab(vocab)
+
+
 def _default_tokenizer_from_ckpt(config):
     """Derive defaults from an HF checkpoint dir: its tokenizer
     (src/checkpoint.py:21-28) and its architecture dims from config.json —
@@ -158,6 +170,7 @@ def main(argv=None):
     config = load_config(model=args.model, dataset=args.dataset, overrides=overrides)
     _default_tokenizer_from_ckpt(config)
     tokenizer = load_tokenizer(config.get("tokenizer"))
+    restore_hash_vocab(config, tokenizer)
     ingestor = DocVQAIngestor(tokenizer, build_chunk_spec(config), build_caps(config))
     hivt5 = str(config.get("model_name", "VT5")).lower() in ("hi-vt5", "hivt5")
     from rag_docvqa_tpu.engine import RAGConfig
