@@ -103,8 +103,11 @@ def main():
     E2E_B, E2E_PAGES, E2E_NEW = 128, 8, 16
     tok = HashTokenizer(vocab_size=VOCAB)
     # t5-base dims; flash encoder attention on TPU (what RAGVT5Engine enables)
+    # + int8 cross-KV decode cache (halves the dominant decode HBM read,
+    # models/t5.py:56-61 — the engine-exposed decode_kv_int8 option)
     t5_cfg = t5m.T5Config(vocab_size=VOCAB, dropout_rate=0.0,
-                          flash_encoder=backend == "tpu")
+                          flash_encoder=backend == "tpu",
+                          decode_kv_int8=True)
     vt5_cfg = vt5m.VT5Config(t5=t5_cfg, spatial=SpatialConfig(hidden_size=768, dropout_rate=0.0),
                              use_visual=False)
     rag = RAGConfig(page_retrieval="concat", chunk_num=TOP_K, max_source_length=512,
@@ -140,8 +143,66 @@ def main():
     dec_params = 12 * (8 * 768 * 768 + 2 * 768 * 3072) + 768 * VOCAB
     e2e_flops = (2 * enc_params * E2E_B * 512) + (2 * dec_params * E2E_B * E2E_NEW)
     e2e_mfu = e2e_flops / e2e_time / 197e12 if backend == "tpu" else 0.0
+
+    # ---- e2e stage split: retrieve+assemble | +encode | +decode --------------
+    # Each stage program ends in a small reduction (the tunnel streams big jit
+    # outputs back to the host, so returning activations would time transfer,
+    # not compute); stage cost = difference of cumulative-prefix walls.
+    @jax.jit
+    def e2e_assemble(params, batch):
+        ret = retrieve_device(params["t5"]["shared"], batch, k=TOP_K)
+        gen, _ = assemble_concat(batch, ret.top_k_idx, ret.top_k_valid, acfg)
+        return jnp.sum(gen.input_ids) + jnp.sum(ret.top_k_idx)
+
+    @jax.jit
+    def e2e_encode(params, batch):
+        ret = retrieve_device(params["t5"]["shared"], batch, k=TOP_K)
+        gen, _ = assemble_concat(batch, ret.top_k_idx, ret.top_k_valid, acfg)
+        embeds, mask = vt5m.input_embeds(params, vt5_cfg, gen)
+        enc = t5m.encode(params["t5"], t5_cfg, embeds, mask)
+        return jnp.sum(enc.astype(jnp.float32))
+
+    _sync(e2e_assemble(vt5_params, batch))
+    _sync(e2e_encode(vt5_params, batch))
+    t_assemble = _time_min(lambda: e2e_assemble(vt5_params, batch), 10)
+    t_encode_cum = _time_min(lambda: e2e_encode(vt5_params, batch), 5)
+    e2e_assemble_ms = t_assemble * 1e3
+    e2e_encode_ms = max(0.0, (t_encode_cum - t_assemble) * 1e3)
+    e2e_decode_ms = max(0.0, (e2e_time - t_encode_cum) * 1e3)
     # free the generator's device state before the remaining sections
     del vt5_params, batch
+
+    # ---- training step throughput (t5-base VT5, flash fwd+bwd, bf16 mixed) ---
+    # The whole step (retrieve -> assemble -> teacher-forced fwd -> backward ->
+    # AdamW update) is one jitted program; flash attention trains through its
+    # custom VJP. f32 master weights, bf16 compute (make_train_step).
+    from rag_docvqa_tpu.training import TrainState, build_optimizer, make_train_step
+
+    TRAIN_B, TRAIN_TD, TRAIN_REPS = 32, 16, 8
+    tr_docs = make_corpus(TRAIN_B, n_pages=E2E_PAGES, words_per_page=120, seed=1)
+    tr_batch, tr_aux = ing.ingest(tr_docs)
+    tr_batch = jax.device_put(tr_batch)
+    tr_labels = jax.device_put(jnp.asarray(ing.answer_labels(tr_aux["answers"], max_len=TRAIN_TD)))
+    tr_params = vt5m.init_vt5_params(jax.random.PRNGKey(1), vt5_cfg)  # f32 masters
+    tx = build_optimizer(lr=1e-4, warmup_steps=10, total_steps=1000)
+    state = TrainState.create(tr_params, tx)
+    step_fn = make_train_step(vt5_cfg, rag, tx, bf16_compute=True)
+    state, m = step_fn(state, tr_batch, tr_labels)  # compile + warmup
+    _sync(m["loss"])
+
+    def train_window():
+        nonlocal state
+        last = None
+        for _ in range(TRAIN_REPS):
+            state, last = step_fn(state, tr_batch, tr_labels)
+        return last["loss"]
+
+    train_time = _time_min(train_window, 1) / TRAIN_REPS
+    # fwd 2*P*T, backward ~2x fwd -> 3x (retrieval/assembly/opt update minor)
+    train_flops = 3 * (2 * enc_params * TRAIN_B * 512 + 2 * dec_params * TRAIN_B * TRAIN_TD)
+    train_mfu = train_flops / train_time / 197e12 if backend == "tpu" else 0.0
+    train_tokens_per_sec = TRAIN_B * 512 / train_time
+    del state, tr_params, tr_batch, step_fn
 
     tokens = jnp.asarray(rng.randint(3, VOCAB, size=(N_CHUNKS, CHUNK_TOKENS)), jnp.int32)
     tok_mask = jnp.asarray(rng.rand(N_CHUNKS, CHUNK_TOKENS) < 0.9)

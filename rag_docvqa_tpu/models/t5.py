@@ -48,10 +48,10 @@ class T5Config:
     pad_id: int = 0
     eos_id: int = 1
     decoder_start_token_id: int = 0
-    # fused flash encoder self-attention (ops/flash_attention.py). Inference
-    # only — the kernel has no VJP (the rel-pos bias table is trainable on the
-    # XLA path). Engines flip this on when running on a TPU backend; keep
-    # False for training and off-TPU runs.
+    # fused flash encoder self-attention (ops/flash_attention.py). Usable for
+    # BOTH inference and training — the kernel has a custom recompute-based
+    # VJP including the trainable rel-pos bias gradient. Engines and the
+    # Trainer flip this on when running on a TPU backend; keep False off-TPU.
     flash_encoder: bool = False
     # int8 cross-attention KV cache for greedy decode. Decode on the bench
     # chip is HBM-bound on exactly these reads (cross KV is ~2.4 GB at
@@ -217,7 +217,9 @@ def encode(
     mask = attention_mask[:, None, None, :]  # (B,1,1,T) — keys masked
     x = dropout(inputs_embeds, cfg.dropout_rate, rng, deterministic)
 
-    use_flash = cfg.flash_encoder and deterministic
+    # flash applies in training too (custom VJP): neither path implements
+    # attention-prob dropout, so semantics agree deterministic or not
+    use_flash = cfg.flash_encoder
     if use_flash:
         from rag_docvqa_tpu.ops.flash_attention import flash_attention
 

@@ -16,9 +16,19 @@ Bias handling is what makes this T5-native:
   * Key-padding masks are applied in-kernel from the (B, T) bool mask.
   * `causal=True` masks upper-triangular positions (decoder prefill).
 
-Inference-only: no custom VJP — training keeps the XLA path (the bias table
-is trainable there). Numerics: scores and the softmax recurrence accumulate
-in f32 (same as the XLA path); outputs cast back to the query dtype.
+Differentiable: a custom VJP implements the standard recompute-based flash
+backward (two passes — dK/dV with query-block accumulation, dQ with key-block
+accumulation; the forward saves only O and the per-row logsumexp). The
+additive-bias gradient (T5's trainable rel-pos table arrives batch-shared)
+is accumulated across batch and key blocks inside the dQ pass, so training
+never materializes the (B, H, T, T) probability tensor either. Numerics:
+scores and the softmax recurrence accumulate in f32 (same as the XLA path);
+outputs cast back to the query dtype.
+
+Multi-device: the kernel is shard_map-compatible — inside shard_map each
+device runs it on its local batch/head shard with no cross-device traffic
+(the only cross-shard reduction, the batch-summed bias gradient, is produced
+per shard and reduced by the caller's ordinary gradient psum).
 
 Replaces the hot loop of reference VT5 generation (src/VT5.py:278-287 runs
 HF T5Attention, which materializes scores the same way torch-side).
@@ -38,15 +48,10 @@ NEG_INF = -1e30
 
 
 def flash_wanted(min_len: int = 0, seq_len: int = 1 << 30) -> bool:
-    """Shared engine gate: fused attention pays on a single TPU chip at
-    sequence lengths past the measured crossover (multi-device runs keep the
-    XLA path — pallas_call + GSPMD batch partitioning is not wired; training
-    never calls this, the kernels have no VJP)."""
-    return (
-        jax.default_backend() == "tpu"
-        and jax.device_count() == 1
-        and seq_len >= min_len
-    )
+    """Shared engine gate: fused attention pays on TPU at sequence lengths
+    past the measured crossover. Multi-device runs keep it too — the kernel
+    is shard_map-compatible and differentiable (custom VJP below)."""
+    return jax.default_backend() == "tpu" and seq_len >= min_len
 
 
 def _flash_kernel(
@@ -56,6 +61,7 @@ def _flash_kernel(
     mask_ref,  # (1, 1, bk) bool key-padding mask
     bias_ref,  # (1, 1, rep, bq, bk) or None
     o_ref,  # (1, 1, rep, bq, dh)
+    lse_ref,  # (1, 1, rep, bq) f32 per-row logsumexp (backward residual)
     ml_ref,  # scratch (2, rep*bq, 128) f32: [0]=running max, [1]=denominator
     acc_ref,  # scratch (rep*bq, dh) f32 running numerator
     *,
@@ -121,9 +127,416 @@ def _flash_kernel(
 
     @pl.when(kj == nk - 1)
     def _emit():
+        m = ml_ref[0, :, :1]
         denom = jnp.maximum(ml_ref[1, :, :1], 1e-30)
         out = (acc_ref[:] / denom).astype(o_ref.dtype)
         o_ref[0, 0] = out.reshape(rep, block_q, o_ref.shape[-1])
+        alive = m > NEG_INF / 2
+        lse = jnp.where(alive, m + jnp.log(denom), NEG_INF)
+        lse_ref[0, 0] = lse[:, 0].reshape(rep, block_q)
+
+
+def _flash_kernel_nobias(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, ml_ref, acc_ref, **kw):
+    _flash_kernel(q_ref, k_ref, v_ref, mask_ref, None, o_ref, lse_ref, acc_ref=acc_ref, ml_ref=ml_ref, **kw)
+
+
+def _pick_block_q(block_q, Tq, vmem_fn, budget=14 * 2**20):
+    """Shrink the query-block rows until the estimated VMEM footprint fits,
+    then round to a sublane-aligned multiple of 16 (a 300-row block halves to
+    150/75 — Mosaic would reject the tiling on real TPU)."""
+    bq = min(block_q, Tq)
+    while bq > 16 and vmem_fn(bq) > budget:
+        bq //= 2
+    return max(16, bq - bq % 16)
+
+
+def _fwd_call(qT, kT, vT, maskB, bias5, *, scale, causal, bq, bk, rep, interpret):
+    """Forward pallas dispatch on grouped tensors.
+
+    qT (B, Hkv, rep, Tq, dh) / kT, vT (B, Hkv, Tk, dh) / maskB (B, 1, Tk) /
+    bias5 (1|B, Hkv, rep, Tq, Tk) or None. Returns (out (B, Hkv, rep, Tq, dh),
+    lse (B, Hkv, rep, Tq) f32). Tq, Tk must be block multiples."""
+    B, Hkv, _, Tq_p, dh = qT.shape
+    Tk_p = kT.shape[2]
+    H = Hkv * rep
+    nq, nk = Tq_p // bq, Tk_p // bk
+    if causal:
+        # blocks above the diagonal re-point at the previous (already live)
+        # K/V tile: no DMA, and the kernel's `live` guard skips their compute
+        kv_j = lambda i, j: jnp.minimum(j, (i * bq + bq - 1) // bk)
+    else:
+        kv_j = lambda i, j: j
+
+    grid = (B, Hkv, nq, nk)
+    in_specs = [
+        pl.BlockSpec((1, 1, rep, bq, dh), lambda b, g, i, j: (b, g, 0, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bk, dh), lambda b, g, i, j: (b, g, kv_j(i, j), 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bk, dh), lambda b, g, i, j: (b, g, kv_j(i, j), 0), memory_space=pltpu.VMEM),
+        # (B, 1, Tk) layout keeps the block's trailing dims Mosaic-tileable
+        pl.BlockSpec((1, 1, bk), lambda b, g, i, j: (b, 0, j), memory_space=pltpu.VMEM),
+    ]
+    args = [qT, kT, vT, maskB]
+    if bias5 is not None:
+        bb = bias5.shape[0]  # 1 = batch-shared (T5 rel-pos), B = per-sample
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, rep, bq, bk),
+                (lambda b, g, i, j: (0, g, 0, i, j)) if bb == 1 else (lambda b, g, i, j: (b, g, 0, i, j)),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        args.append(bias5)
+
+    kernel = functools.partial(
+        _flash_kernel if bias5 is not None else _flash_kernel_nobias,
+        scale=scale, causal=causal, block_q=bq, block_k=bk, rep=rep,
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, 1, rep, bq, dh), lambda b, g, i, j: (b, g, 0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rep, bq), lambda b, g, i, j: (b, g, 0, i), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Hkv, rep, Tq_p, dh), qT.dtype),
+            jax.ShapeDtypeStruct((B, Hkv, rep, Tq_p), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, rep * bq, 128), jnp.float32),
+            pltpu.VMEM((rep * bq, dh), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * Tq_p * Tk_p * dh,
+            bytes_accessed=(
+                B * (H * Tq_p + 2 * Hkv * Tk_p) * dh * qT.dtype.itemsize
+                + (H * Tq_p * Tk_p * bias5.dtype.itemsize if bias5 is not None else 0)
+                + B * H * Tq_p * dh * qT.dtype.itemsize
+            ),
+            transcendentals=B * H * Tq_p * Tk_p,
+        ),
+        interpret=interpret,
+    )(*args)
+    return out, lse
+
+
+# --------------------------------------------------------------------------- #
+# backward kernels (standard recompute-based flash backward)
+# --------------------------------------------------------------------------- #
+def _recompute_p_gs(q_ref, do_ref, lse_ref, dd_ref, k_ref, v_ref, mask_ref,
+                    bias_ref, *, scale, causal, bq, bk, rep, qi, kj):
+    """Shared backward tile math: recompute p from (q, k, bias, lse), then
+    g_s = p * (dp - D) — the gradient w.r.t. the post-scale scores."""
+    R = rep * bq
+    dh = q_ref.shape[-1]
+    q = q_ref[0, 0].reshape(R, dh)
+    do = do_ref[0, 0].reshape(R, dh)
+    lse = lse_ref[0, 0].reshape(R, 1)
+    dd = dd_ref[0, 0].reshape(R, 1)
+    k = k_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if scale != 1.0:
+        s = s * scale
+    if bias_ref is not None:
+        s = s + bias_ref[0, 0].reshape(R, bk).astype(jnp.float32)
+    valid = jnp.broadcast_to(mask_ref[0], (R, bk))
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (R, bk), 0)
+        q_pos = qi * bq + row % bq
+        k_pos = kj * bk + jax.lax.broadcasted_iota(jnp.int32, (R, bk), 1)
+        valid = valid & (k_pos <= q_pos)
+    alive = lse > NEG_INF / 2  # guards fully-masked rows (lse = -inf)
+    p = jnp.where(valid & alive, jnp.exp(s - lse), 0.0)  # (R, bk) f32
+    dp = jax.lax.dot_general(
+        do, v_ref[0, 0], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (R, bk)
+    gs = p * (dp - dd)
+    return q, do, p, gs
+
+
+def _flash_bwd_dkv_kernel(
+    q_ref, do_ref, lse_ref, dd_ref, k_ref, v_ref, mask_ref, bias_ref,
+    dk_ref, dv_ref, dk_acc, dv_acc,
+    *, scale, causal, bq, bk, rep,
+):
+    """grid (B, Hkv, nk, nq): for each K/V tile, accumulate dK/dV over all
+    query blocks; emit at the last query block."""
+    kj, qi = pl.program_id(2), pl.program_id(3)
+    ni = pl.num_programs(3)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    live = (qi * bq + bq - 1 >= kj * bk) if causal else True
+
+    @pl.when(live)
+    def _compute():
+        q, do, p, gs = _recompute_p_gs(
+            q_ref, do_ref, lse_ref, dd_ref, k_ref, v_ref, mask_ref, bias_ref,
+            scale=scale, causal=causal, bq=bq, bk=bk, rep=rep, qi=qi, kj=kj,
+        )
+        dv_acc[:] += jax.lax.dot_general(
+            p.astype(do.dtype), do, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bk, dh)
+        dk_acc[:] += jax.lax.dot_general(
+            gs.astype(q.dtype), q, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bk, dh)
+
+    @pl.when(qi == ni - 1)
+    def _emit():
+        dk_ref[0, 0] = (dk_acc[:] * scale).astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd_dq_kernel(
+    q_ref, do_ref, lse_ref, dd_ref, k_ref, v_ref, mask_ref, bias_ref,
+    dq_ref, dbias_ref, dq_acc,
+    *, scale, causal, bq, bk, rep, bias_batched,
+):
+    """grid (Hkv, nq, B, nk): for each query block, accumulate dQ over key
+    blocks. The batch-shared bias gradient accumulates IN the output block
+    across both the key and batch grid axes (its block index depends only on
+    (g, i), so revisits are consecutive and the TPU's sequential grid makes
+    read-modify-write accumulation exact)."""
+    qi, b, kj = pl.program_id(1), pl.program_id(2), pl.program_id(3)
+    nb, nk = pl.num_programs(2), pl.num_programs(3)
+    R = rep * bq
+
+    @pl.when(kj == 0)
+    def _init_dq():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    if dbias_ref is not None and not bias_batched:
+        @pl.when((b == 0) & (kj == 0))
+        def _init_dbias():
+            dbias_ref[...] = jnp.zeros(dbias_ref.shape, dbias_ref.dtype)
+
+    live = (kj * bk <= qi * bq + bq - 1) if causal else True
+
+    @pl.when(live)
+    def _compute():
+        q, do, p, gs = _recompute_p_gs(
+            q_ref, do_ref, lse_ref, dd_ref, k_ref, v_ref, mask_ref, bias_ref,
+            scale=scale, causal=causal, bq=bq, bk=bk, rep=rep, qi=qi, kj=kj,
+        )
+        dq_acc[:] += jax.lax.dot_general(
+            gs.astype(k_ref.dtype), k_ref[0, 0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (R, dh)
+        if dbias_ref is not None:
+            if bias_batched:
+                dbias_ref[0, 0] = gs.reshape(rep, bq, bk)
+            else:
+                dbias_ref[0, :, :, pl.ds(kj * bk, bk)] += gs.reshape(rep, bq, bk)
+
+    @pl.when(kj == nk - 1)
+    def _emit():
+        dq_ref[0, 0] = (dq_acc[:] * scale).reshape(rep, bq, dq_ref.shape[-1]).astype(dq_ref.dtype)
+
+
+def _bwd_call(res, g, *, scale, causal, rep, interpret, block_q=256, block_k=512):
+    """Dispatch the two backward kernels; returns (dq, dk, dv, dbias?) on the
+    grouped layouts. Chooses its own block sizes (the backward holds more
+    live VMEM than the forward)."""
+    qT, kT, vT, maskB, bias5, out, lse = res
+    B, Hkv, _, Tq_p, dh = qT.shape
+    Tk_p = kT.shape[2]
+    H = Hkv * rep
+    bb = bias5.shape[0] if bias5 is not None else 0
+    esz = qT.dtype.itemsize
+
+    bk = min(block_k, Tk_p)
+
+    def _vmem(bq_):
+        R_ = rep * bq_
+        blocks = 2 * 2 * 2 * R_ * dh * esz  # q, do (+ dq out), double-buffered
+        kv = 2 * 2 * bk * dh * esz
+        tiles = 4 * R_ * bk * 4  # s, p, dp, gs in f32
+        scratch = R_ * dh * 4 + 2 * bk * dh * 4
+        bias_b = 2 * R_ * bk * (bias5.dtype.itemsize if bias5 is not None else 0)
+        dbias_b = rep * bq_ * Tk_p * 4 if (bias5 is not None and bb == 1) else 0
+        return blocks + kv + tiles + scratch + bias_b + dbias_b
+
+    bq = _pick_block_q(block_q, Tq_p, _vmem)
+    # backward tiles must divide the (already block-padded) forward shapes
+    while Tq_p % bq:
+        bq //= 2
+    while Tk_p % bk:
+        bk //= 2
+    nq, nk = Tq_p // bq, Tk_p // bk
+
+    # D = rowsum(dO * O), the only residual beyond (O, lse)
+    dd = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # (B,Hkv,rep,Tq)
+    do = g.astype(qT.dtype)
+
+    cost = pl.CostEstimate(
+        flops=10 * B * H * Tq_p * Tk_p * dh,
+        bytes_accessed=3 * B * (H * Tq_p + Hkv * Tk_p) * dh * esz,
+        transcendentals=2 * B * H * Tq_p * Tk_p,
+    )
+
+    # ---- pass 1: dK/dV, grid (B, Hkv, nk, nq) -----------------------------
+    if causal:
+        q_i = lambda j, i: jnp.maximum(i, (j * bk) // bq)  # skip dead DMA
+    else:
+        q_i = lambda j, i: i
+    in_specs = [
+        pl.BlockSpec((1, 1, rep, bq, dh), lambda b, g_, j, i: (b, g_, 0, q_i(j, i), 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, rep, bq, dh), lambda b, g_, j, i: (b, g_, 0, q_i(j, i), 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, rep, bq), lambda b, g_, j, i: (b, g_, 0, q_i(j, i)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, rep, bq), lambda b, g_, j, i: (b, g_, 0, q_i(j, i)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bk, dh), lambda b, g_, j, i: (b, g_, j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bk, dh), lambda b, g_, j, i: (b, g_, j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bk), lambda b, g_, j, i: (b, 0, j), memory_space=pltpu.VMEM),
+    ]
+    args = [qT, do, lse, dd, kT, vT, maskB]
+    if bias5 is not None:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, rep, bq, bk),
+                (lambda b, g_, j, i: (0, g_, 0, q_i(j, i), j)) if bb == 1
+                else (lambda b, g_, j, i: (b, g_, 0, q_i(j, i), j)),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        args.append(bias5)
+
+    dkv_kernel = functools.partial(
+        _flash_bwd_dkv_kernel if bias5 is not None else _dkv_nobias,
+        scale=scale, causal=causal, bq=bq, bk=bk, rep=rep,
+    )
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid=(B, Hkv, nk, nq),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, 1, bk, dh), lambda b, g_, j, i: (b, g_, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, dh), lambda b, g_, j, i: (b, g_, j, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(kT.shape, kT.dtype),
+            jax.ShapeDtypeStruct(vT.shape, vT.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bk, dh), jnp.float32),
+            pltpu.VMEM((bk, dh), jnp.float32),
+        ],
+        cost_estimate=cost,
+        interpret=interpret,
+    )(*args)
+
+    # ---- pass 2: dQ (+ dbias), grid (Hkv, nq, B, nk) ----------------------
+    if causal:
+        kv_j = lambda i, j: jnp.minimum(j, (i * bq + bq - 1) // bk)
+    else:
+        kv_j = lambda i, j: j
+    in_specs = [
+        pl.BlockSpec((1, 1, rep, bq, dh), lambda g_, i, b, j: (b, g_, 0, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, rep, bq, dh), lambda g_, i, b, j: (b, g_, 0, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, rep, bq), lambda g_, i, b, j: (b, g_, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, rep, bq), lambda g_, i, b, j: (b, g_, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bk, dh), lambda g_, i, b, j: (b, g_, kv_j(i, j), 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bk, dh), lambda g_, i, b, j: (b, g_, kv_j(i, j), 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bk), lambda g_, i, b, j: (b, 0, j), memory_space=pltpu.VMEM),
+    ]
+    args = [qT, do, lse, dd, kT, vT, maskB]
+    out_specs = [
+        pl.BlockSpec((1, 1, rep, bq, dh), lambda g_, i, b, j: (b, g_, 0, i, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [jax.ShapeDtypeStruct(qT.shape, qT.dtype)]
+    if bias5 is not None:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, rep, bq, bk),
+                (lambda g_, i, b, j: (0, g_, 0, i, j)) if bb == 1
+                else (lambda g_, i, b, j: (b, g_, 0, i, j)),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        args.append(bias5)
+        if bb == 1:
+            # batch-shared bias: accumulate over (batch, key blocks) in-place
+            out_specs.append(
+                pl.BlockSpec((1, rep, bq, Tk_p), lambda g_, i, b, j: (g_, 0, i, 0), memory_space=pltpu.VMEM)
+            )
+            out_shape.append(jax.ShapeDtypeStruct((Hkv, rep, Tq_p, Tk_p), jnp.float32))
+        else:
+            out_specs.append(
+                pl.BlockSpec((1, 1, rep, bq, bk), lambda g_, i, b, j: (b, g_, 0, i, j), memory_space=pltpu.VMEM)
+            )
+            out_shape.append(jax.ShapeDtypeStruct((B, Hkv, rep, Tq_p, Tk_p), jnp.float32))
+
+    dq_kernel = functools.partial(
+        _flash_bwd_dq_kernel if bias5 is not None else _dq_nobias,
+        scale=scale, causal=causal, bq=bq, bk=bk, rep=rep, bias_batched=bb == B and bb != 1,
+    )
+    outs = pl.pallas_call(
+        dq_kernel,
+        grid=(Hkv, nq, B, nk),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=[pltpu.VMEM((rep * bq, dh), jnp.float32)],
+        cost_estimate=cost,
+        interpret=interpret,
+    )(*args)
+    if bias5 is None:
+        dq = outs[0] if isinstance(outs, (tuple, list)) else outs
+        return dq, dk, dv, None
+    dq, dbias = outs
+    if bb == 1:
+        dbias = dbias[None]  # (1, Hkv, rep, Tq, Tk)
+    return dq, dk, dv, dbias.astype(bias5.dtype)
+
+
+def _dkv_nobias(q_ref, do_ref, lse_ref, dd_ref, k_ref, v_ref, mask_ref,
+                dk_ref, dv_ref, dk_acc, dv_acc, **kw):
+    _flash_bwd_dkv_kernel(q_ref, do_ref, lse_ref, dd_ref, k_ref, v_ref, mask_ref,
+                          None, dk_ref, dv_ref, dk_acc, dv_acc, **kw)
+
+
+def _dq_nobias(q_ref, do_ref, lse_ref, dd_ref, k_ref, v_ref, mask_ref,
+               dq_ref, dq_acc, **kw):
+    _flash_bwd_dq_kernel(q_ref, do_ref, lse_ref, dd_ref, k_ref, v_ref, mask_ref,
+                         None, dq_ref, None, dq_acc, **kw)
+
+
+# --------------------------------------------------------------------------- #
+# custom-VJP core on grouped, block-padded tensors
+# --------------------------------------------------------------------------- #
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _flash_core(qT, kT, vT, maskB, bias5, scale, causal, bq, bk, rep, interpret):
+    out, _ = _fwd_call(qT, kT, vT, maskB, bias5, scale=scale, causal=causal,
+                       bq=bq, bk=bk, rep=rep, interpret=interpret)
+    return out
+
+
+def _flash_core_fwd(qT, kT, vT, maskB, bias5, scale, causal, bq, bk, rep, interpret):
+    out, lse = _fwd_call(qT, kT, vT, maskB, bias5, scale=scale, causal=causal,
+                         bq=bq, bk=bk, rep=rep, interpret=interpret)
+    return out, (qT, kT, vT, maskB, bias5, out, lse)
+
+
+def _flash_core_bwd(scale, causal, bq, bk, rep, interpret, res, g):
+    import numpy as np
+
+    dq, dk, dv, dbias = _bwd_call(res, g, scale=scale, causal=causal, rep=rep,
+                                  interpret=interpret)
+    dmask = np.zeros(res[3].shape, dtype=jax.dtypes.float0)
+    return dq, dk, dv, dmask, dbias
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
 @functools.partial(
@@ -142,7 +555,8 @@ def flash_attention(
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Returns (B, Tq, H, dh) in q's dtype. Semantics match
-    `models/t5.py::_attend(q, k, v, bias, mask)` with a key-padding mask.
+    `models/t5.py::_attend(q, k, v, bias, mask)` with a key-padding mask;
+    differentiable w.r.t. q, k, v and bias (custom flash VJP).
 
     GQA: k/v may carry fewer heads than q (H % Hkv == 0); query head h reads
     kv head h // (H // Hkv) straight from HBM — no jnp.repeat inflation."""
@@ -154,13 +568,12 @@ def flash_attention(
     assert H % Hkv == 0, f"query heads {H} not a multiple of kv heads {Hkv}"
     rep = H // Hkv
     bk = min(block_k, Tk)
+
     # the group fold makes the q/o blocks, score tiles, and scratch rep*bq
     # rows tall; shrink bq until the estimated VMEM footprint (double-buffered
     # blocks + f32 score/prob tiles + scratch) fits the ~16 MB budget —
     # without this, rep=8/dh=256 shapes (gemma rerankers) fail Mosaic
     # allocation by a few hundred KB
-    bq = min(block_q, Tq)
-
     def _vmem(bq_):
         R_ = rep * bq_
         blocks = 2 * 2 * R_ * dh * q.dtype.itemsize  # q + o, double-buffered
@@ -170,15 +583,11 @@ def flash_attention(
         bias_b = 2 * R_ * bk * (bias.dtype.itemsize if bias is not None else 0)
         return blocks + kv + tiles + scratch + bias_b
 
-    while bq > 16 and _vmem(bq) > 14 * 2**20:
-        bq //= 2
-    # keep block rows sublane-aligned for any caller-supplied Tq (a 300-row
-    # block halves to 150/75 — Mosaic would reject the tiling on real TPU);
-    # 16 covers the bf16 (16, 128) min tile, and f32's (8, 128) divides it
-    bq = max(16, bq - bq % 16)
+    bq = _pick_block_q(block_q, Tq, _vmem)
 
-    # pad sequence dims to block multiples (padded keys are masked off;
-    # padded query rows are sliced away)
+    # pad sequence dims to block multiples (padded keys are masked off; padded
+    # query rows are sliced away — and their cotangents arrive as zeros, so
+    # dO = 0 and D = 0 null their dK/dV/dbias contributions in the backward)
     pq = (-Tq) % bq
     pk = (-Tk) % bk
     if key_mask is None:
@@ -198,69 +607,12 @@ def flash_attention(
     qT = jnp.transpose(q, (0, 2, 1, 3)).reshape(B, Hkv, rep, Tq_p, dh)
     kT = jnp.transpose(k, (0, 2, 1, 3))
     vT = jnp.transpose(v, (0, 2, 1, 3))
+    bias5 = bias.reshape(bias.shape[0], Hkv, rep, Tq_p, Tk_p) if bias is not None else None
 
-    nq, nk = Tq_p // bq, Tk_p // bk
-    if causal:
-        # blocks above the diagonal re-point at the previous (already live)
-        # K/V tile: no DMA, and the kernel's `live` guard skips their compute
-        kv_j = lambda i, j: jnp.minimum(j, (i * bq + bq - 1) // bk)
-    else:
-        kv_j = lambda i, j: j
-
-    grid = (B, Hkv, nq, nk)
-    in_specs = [
-        pl.BlockSpec((1, 1, rep, bq, dh), lambda b, g, i, j: (b, g, 0, i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, bk, dh), lambda b, g, i, j: (b, g, kv_j(i, j), 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, bk, dh), lambda b, g, i, j: (b, g, kv_j(i, j), 0), memory_space=pltpu.VMEM),
-        # (B, 1, Tk) layout keeps the block's trailing dims Mosaic-tileable
-        pl.BlockSpec((1, 1, bk), lambda b, g, i, j: (b, 0, j), memory_space=pltpu.VMEM),
-    ]
-    args = [qT, kT, vT, key_mask[:, None, :]]
-    if bias is not None:
-        bb = bias.shape[0]  # 1 = batch-shared (T5 rel-pos), B = per-sample
-        bias5 = bias.reshape(bb, Hkv, rep, Tq_p, Tk_p)
-        in_specs.append(
-            pl.BlockSpec(
-                (1, 1, rep, bq, bk),
-                (lambda b, g, i, j: (0, g, 0, i, j)) if bb == 1 else (lambda b, g, i, j: (b, g, 0, i, j)),
-                memory_space=pltpu.VMEM,
-            )
-        )
-        args.append(bias5)
-
-    kernel = functools.partial(
-        _flash_kernel if bias is not None else _flash_kernel_nobias,
-        scale=scale, causal=causal, block_q=bq, block_k=bk, rep=rep,
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (1, 1, rep, bq, dh), lambda b, g, i, j: (b, g, 0, i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, Hkv, rep, Tq_p, dh), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2, rep * bq, 128), jnp.float32),
-            pltpu.VMEM((rep * bq, dh), jnp.float32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=4 * B * H * Tq_p * Tk_p * dh,
-            bytes_accessed=(
-                B * (H * Tq_p + 2 * Hkv * Tk_p) * dh * q.dtype.itemsize
-                + (H * Tq_p * Tk_p * bias.dtype.itemsize if bias is not None else 0)
-                + B * H * Tq_p * dh * q.dtype.itemsize
-            ),
-            transcendentals=B * H * Tq_p * Tk_p,
-        ),
-        interpret=interpret,
-    )(*args)
+    out = _flash_core(qT, kT, vT, key_mask[:, None, :], bias5,
+                      scale, causal, bq, bk, rep, interpret)
     out = jnp.transpose(out.reshape(B, H, Tq_p, dh), (0, 2, 1, 3))
     return out[:, :Tq] if pq else out
-
-
-def _flash_kernel_nobias(q_ref, k_ref, v_ref, mask_ref, o_ref, ml_ref, acc_ref, **kw):
-    _flash_kernel(q_ref, k_ref, v_ref, mask_ref, None, o_ref, ml_ref, acc_ref, **kw)
 
 
 def attention_reference(q, k, v, key_mask=None, bias=None, scale=1.0, causal=False):

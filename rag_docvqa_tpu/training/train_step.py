@@ -90,6 +90,7 @@ def make_train_step(
     nac_pos_weight: float = 1.0,
     nac_decode_len: int = 16,
     remat: bool = False,
+    bf16_compute: bool = False,
 ) -> Callable[..., Tuple[TrainState, Dict[str, jax.Array]]]:
     """Returns a jitted train_step(state, batch, labels[, nac_labels]) ->
     (state, metrics).
@@ -105,11 +106,21 @@ def make_train_step(
     step runs an on-device greedy decode (stop-gradient; only the NAC MLP
     receives this gradient), exactly like the reference's
     return_pred_answer=True training forward (src/RAGVT5.py:382-384).
+
+    bf16_compute: standard mixed precision — f32 master weights, forward/
+    backward matmuls in bf16 (params cast inside the loss; the cast's VJP
+    accumulates gradients back to f32). ~2x MXU rate + half the activation
+    HBM on TPU; losses/softmax still accumulate in f32 inside the models.
     """
     acfg = rag_cfg.assemble()
 
     def step_fn(state: TrainState, batch: ChunkedBatch, labels: jax.Array, nac_labels=None):
         def loss_fn(params):
+            if bf16_compute:
+                params = jax.tree.map(
+                    lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+                    params,
+                )
             ret = retrieve_device(
                 jax.lax.stop_gradient(params["t5"]["shared"]),
                 batch,

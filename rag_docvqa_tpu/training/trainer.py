@@ -62,6 +62,9 @@ class TrainLoopConfig:
     nac_threshold: float = 0.5
     # rematerialize the forward in backward (activation memory <-> ~1/3 FLOPs)
     remat: bool = False
+    # mixed precision: f32 master weights, bf16 forward/backward (~2x MXU
+    # rate on TPU). None = auto (on for TPU backends, off elsewhere)
+    bf16_compute: Optional[bool] = None
 
 
 class Trainer:
@@ -76,6 +79,19 @@ class Trainer:
         logger=None,
         hivt5_cfg=None,  # set to train Hi-VT5 (LM + ret CE, make_hivt5_train_step)
     ):
+        # fused flash encoder attention in the train step too — the kernel
+        # has a custom VJP incl. the rel-pos bias gradient (2.15x per encoder
+        # layer fwd at T=512 on v5e; the backward streams K/V the same way)
+        from rag_docvqa_tpu.ops.flash_attention import flash_wanted
+
+        if (
+            vt5_cfg is not None
+            and not vt5_cfg.t5.flash_encoder
+            and flash_wanted(256, rag_cfg.max_source_length)
+        ):
+            from dataclasses import replace as _replace
+
+            vt5_cfg = _replace(vt5_cfg, t5=_replace(vt5_cfg.t5, flash_encoder=True))
         self.vt5_cfg = vt5_cfg
         self.rag_cfg = rag_cfg
         self.hivt5_cfg = hivt5_cfg
@@ -127,12 +143,16 @@ class Trainer:
 
             self.step_fn = make_hivt5_train_step(self.hivt5_cfg, self.tx)
         else:
+            bf16 = self.cfg.bf16_compute
+            if bf16 is None:
+                bf16 = jax.default_backend() == "tpu"
             self.step_fn = make_train_step(
                 self.vt5_cfg, self.rag_cfg, self.tx,
                 use_nac=self.cfg.use_nac,
                 nac_loss_weight=self.cfg.nac_loss_weight,
                 nac_pos_weight=self.cfg.nac_pos_weight,
                 remat=self.cfg.remat,
+                bf16_compute=bf16,
             )
 
     # ------------------------------------------------------------------ #

@@ -168,3 +168,160 @@ def test_causal_lm_flash_prefill_parity():
     t_fl, c_fl = clm.generate(params, fcfg, ids, mask, max_new_tokens=4)
     np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_fl))
     np.testing.assert_allclose(np.asarray(c_ref), np.asarray(c_fl), atol=1e-3, rtol=1e-3)
+
+
+# --------------------------------------------------------------------------- #
+# backward (custom VJP) vs jax.grad through the oracle
+# --------------------------------------------------------------------------- #
+def _grad_parity(q, k, v, key_mask=None, bias=None, scale=1.0, causal=False,
+                 block=(16, 16), atol=3e-4, rtol=3e-3):
+    """Compare grads of a scalar loss through flash vs the XLA oracle."""
+    cot = jnp.asarray(np.random.RandomState(99).randn(*q.shape[:2], q.shape[2], q.shape[3]).astype(np.float32))
+
+    def loss_flash(q, k, v, bias):
+        out = flash_attention(q, k, v, key_mask=key_mask, bias=bias, scale=scale,
+                              causal=causal, block_q=block[0], block_k=block[1],
+                              interpret=True)
+        return jnp.sum(out.astype(jnp.float32) * cot)
+
+    def loss_ref(q, k, v, bias):
+        out = attention_reference(q, k, v, key_mask=key_mask, bias=bias,
+                                  scale=scale, causal=causal)
+        return jnp.sum(out.astype(jnp.float32) * cot)
+
+    argnums = (0, 1, 2) if bias is None else (0, 1, 2, 3)
+    g_fl = jax.grad(loss_flash, argnums)(q, k, v, bias)
+    g_rf = jax.grad(loss_ref, argnums)(q, k, v, bias)
+    names = ("dq", "dk", "dv", "dbias")
+    for name, a, b in zip(names, g_fl, g_rf):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            atol=atol, rtol=rtol, err_msg=name,
+        )
+
+
+def test_flash_grad_basic():
+    rng = np.random.RandomState(20)
+    q, k, v = _mk(rng, B=2, Tq=32, Tk=48)
+    _grad_parity(q, k, v)
+
+
+def test_flash_grad_mask_and_scale():
+    rng = np.random.RandomState(21)
+    q, k, v = _mk(rng, B=3, Tq=32, Tk=48)
+    mask = jnp.arange(48)[None, :] < jnp.asarray([48, 17, 5])[:, None]
+    _grad_parity(q, k, v, key_mask=mask, scale=16**-0.5)
+
+
+def test_flash_grad_batch_shared_bias():
+    """T5 mode: the rel-pos bias gradient reduces over the batch axis."""
+    rng = np.random.RandomState(22)
+    q, k, v = _mk(rng, B=3, Tq=32, Tk=48)
+    bias = _rand(rng, 1, 3, 32, 48)
+    mask = jnp.arange(48)[None, :] < jnp.asarray([48, 29, 12])[:, None]
+    _grad_parity(q, k, v, key_mask=mask, bias=bias)
+
+
+def test_flash_grad_per_sample_bias():
+    rng = np.random.RandomState(23)
+    q, k, v = _mk(rng, B=2, Tq=32, Tk=32)
+    bias = _rand(rng, 2, 3, 32, 32)
+    _grad_parity(q, k, v, bias=bias)
+
+
+def test_flash_grad_causal():
+    rng = np.random.RandomState(24)
+    q, k, v = _mk(rng, B=2, Tq=48, Tk=48)
+    mask = jnp.arange(48)[None, :] < jnp.asarray([48, 31])[:, None]
+    _grad_parity(q, k, v, key_mask=mask, causal=True)
+
+
+def test_flash_grad_causal_bias():
+    """Causal + batch-shared bias (T5 decoder self-attention shape)."""
+    rng = np.random.RandomState(25)
+    q, k, v = _mk(rng, B=2, Tq=32, Tk=32)
+    bias = _rand(rng, 1, 3, 32, 32)
+    _grad_parity(q, k, v, bias=bias, causal=True)
+
+
+def test_flash_grad_gqa():
+    rng = np.random.RandomState(26)
+    B, Tq, Tk, H, Hkv, dh = 2, 32, 48, 8, 2, 16
+    q = _rand(rng, B, Tq, H, dh)
+    k = _rand(rng, B, Tk, Hkv, dh)
+    v = _rand(rng, B, Tk, Hkv, dh)
+    mask = jnp.arange(Tk)[None, :] < jnp.asarray([48, 21])[:, None]
+    _grad_parity(q, k, v, key_mask=mask, causal=True, scale=dh**-0.5)
+
+
+def test_flash_grad_unaligned_pad():
+    """Odd Tq/Tk exercise the pad-outside-VJP path: padded query rows carry
+    zero cotangents, so they must not leak into dK/dV/dbias."""
+    rng = np.random.RandomState(27)
+    q, k, v = _mk(rng, B=2, Tq=37, Tk=53)
+    bias = _rand(rng, 1, 3, 37, 53)
+    mask = jnp.arange(53)[None, :] < jnp.asarray([53, 11])[:, None]
+    _grad_parity(q, k, v, key_mask=mask, bias=bias)
+
+
+def test_flash_grad_t5_encoder_train_step():
+    """End-to-end: grads of a t5.encode loss agree between flash and XLA
+    paths at train-realistic tolerance (bf16 bias streaming)."""
+    import dataclasses
+    from rag_docvqa_tpu.models import t5 as t5m
+
+    cfg = t5m.T5Config(vocab_size=256, d_model=32, d_kv=8, num_heads=4, d_ff=64,
+                       num_encoder_layers=2, num_decoder_layers=2, dropout_rate=0.0)
+    fcfg = dataclasses.replace(cfg, flash_encoder=True)
+    params = t5m.init_t5_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(28)
+    x = jnp.asarray(rng.randn(2, 40, 32).astype(np.float32))
+    mask = jnp.arange(40)[None, :] < jnp.asarray([40, 23])[:, None]
+
+    def loss(params, cfg):
+        h = t5m.encode(params, cfg, x, mask)
+        return jnp.mean(jnp.where(mask[..., None], h, 0.0) ** 2)
+
+    g_ref = jax.grad(loss)(params, cfg)
+    g_fl = jax.grad(loss)(params, fcfg)
+    flat_ref = jax.tree.leaves(g_ref["encoder"])
+    flat_fl = jax.tree.leaves(g_fl["encoder"])
+    for a, b in zip(flat_fl, flat_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3, rtol=3e-2)
+
+
+def test_flash_shard_map_batch_sharded():
+    """The kernel runs per-shard inside shard_map on the 8-device mesh with
+    bitwise-equal results to the single-device call (values and grads)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rag_docvqa_tpu.parallel import create_mesh
+
+    rng = np.random.RandomState(30)
+    q, k, v = _mk(rng, B=8, Tq=32, Tk=32)
+    bias = _rand(rng, 1, 3, 32, 32)
+    mask = jnp.arange(32)[None, :] < jnp.asarray([32, 17, 5, 32, 9, 32, 21, 3])[:, None]
+    mesh = create_mesh((8,), ("data",))
+
+    def fa(q, k, v, mask, bias):
+        return flash_attention(q, k, v, key_mask=mask, bias=bias,
+                               block_q=16, block_k=16, interpret=True)
+
+    single = fa(q, k, v, mask, bias)
+    sharded_fn = jax.shard_map(
+        fa, mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data"), P("data"), P()),
+        out_specs=P("data"),
+        check_vma=False,  # pallas outputs carry no vma (same as parallel/index.py)
+    )
+    sharded = sharded_fn(q, k, v, mask, bias)
+    np.testing.assert_array_equal(np.asarray(single), np.asarray(sharded))
+
+    # grads: per-shard dbias is reduced by the caller's psum (here: the
+    # autodiff of the replicated in_spec), matching the single-device grad
+    def loss(fn, *args):
+        return jnp.sum(fn(*args) ** 2)
+
+    g_single = jax.grad(lambda b: loss(fa, q, k, v, mask, b))(bias)
+    g_sharded = jax.grad(lambda b: loss(sharded_fn, q, k, v, mask, b))(bias)
+    np.testing.assert_allclose(np.asarray(g_single), np.asarray(g_sharded), atol=1e-5, rtol=1e-5)

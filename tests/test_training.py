@@ -227,3 +227,33 @@ def test_remat_step_matches_plain():
         np.asarray(s1.params["t5"]["shared"]), np.asarray(s2.params["t5"]["shared"]),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_bf16_compute_step():
+    """Mixed precision: bf16 compute over f32 masters — params/opt state stay
+    f32, the loss tracks the f32 step within bf16 tolerance, and it learns."""
+    ing = make_ingestor()
+    docs = make_corpus(4, n_pages=2, words_per_page=30, seed=9)
+    batch, aux = ing.ingest(docs)
+    labels = jnp.asarray(ing.answer_labels(aux["answers"], max_len=6, seed=0))
+    params = vt5m.init_vt5_params(jax.random.PRNGKey(0), CFG)
+    tx = build_optimizer(lr=3e-3, warmup_steps=2, total_steps=200,
+                         mask=trainable_mask(params, ("t5", "spatial")))
+
+    s32 = TrainState.create(params, tx)
+    s16 = TrainState.create(jax.tree.map(jnp.array, params), tx)
+    step32 = make_train_step(CFG, RAG, tx)
+    step16 = make_train_step(CFG, RAG, tx, bf16_compute=True)
+    first = last = None
+    for i in range(20):
+        s32, m32 = step32(s32, batch, labels)
+        s16, m16 = step16(s16, batch, labels)
+        if first is None:
+            first = float(m16["loss"])
+            np.testing.assert_allclose(float(m16["loss"]), float(m32["loss"]), rtol=0.05)
+        last = float(m16["loss"])
+    assert last < first * 0.6, f"bf16 loss did not drop: {first} -> {last}"
+    # master weights and optimizer state remain f32
+    assert s16.params["t5"]["shared"].dtype == jnp.float32
+    for leaf in jax.tree.leaves(s16.opt_state):
+        assert leaf.dtype != jnp.bfloat16
