@@ -210,6 +210,8 @@ def build_reranker(c: Dict[str, Any], tokenizer, seed: int = 0):
         max_chunk_num=c.get("rerank_max_chunk_num", 5),
         min_chunk_num=c.get("rerank_min_chunk_num", 1),
         pair_len=c.get("rerank_pair_len", 192),
+        rerank_on_surroundings=bool(c.get("rerank_on_surroundings", False)),
+        include_surroundings=_scalar(c.get("include_surroundings", 0)),
     )
     weights = str(c.get("reranker_weights", "") or "")
     key = _jax.random.PRNGKey(seed)

@@ -6,10 +6,12 @@ pairs, vs the reference's per-sample loop src/_modules.py:1597-1610) ->
 sort descending -> threshold filter clamped to [min_chunk_num, max_chunk_num]
 (src/_modules.py:1584-1590) -> permuted top-k indices + validity.
 
-Divergence note: the reference reranks the compacted top-k text *including
-surrounding words*; we rerank the chunk's own text (surroundings are a
-generator-input concern). With include_surroundings=0 (the common config)
-they are identical.
+Pair-text modes: by default pairs carry the chunk's own embed-token text;
+`rerank_on_surroundings=True` is the strict-parity mode — pairs carry the
+compacted retrieval text *including surrounding words* (first-cover dedup in
+retrieval rank order), which is exactly what the reference reranks
+(src/RAGVT5.py:153-316 reranks the post-expansion `text` lists). The two
+modes are identical at include_surroundings=0 (the common config).
 """
 
 from __future__ import annotations
@@ -34,6 +36,10 @@ class RerankerConfig:
     sep_id: int = 2
     pair_len: int = 192
     question_len: int = 32
+    # strict reference parity: pair texts include surrounding words
+    # (src/RAGVT5.py:153-316); include_surroundings must match the engine's
+    rerank_on_surroundings: bool = False
+    include_surroundings: int = 0
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -87,6 +93,66 @@ def build_pair_tokens(
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def build_pair_tokens_surround(
+    batch: ChunkedBatch,
+    top_k_idx: jax.Array,  # (B, K)
+    top_k_valid: jax.Array,  # (B, K)
+    cfg: RerankerConfig,
+) -> Tuple[jax.Array, jax.Array]:
+    """Strict-parity pair builder: the chunk segment is the rank's compacted
+    retrieval text INCLUDING surroundings (first-cover dedup in retrieval
+    rank order, src/_modules.py:2022-2091) — what the reference's
+    Reranker.batch_rerank actually scores. Reuses the ownership + gather
+    flatten machinery: each rank's owned slots flatten into one row laid out
+    [CLS] q [SEP] slot-words [SEP] (the final SEP rides the flattener's
+    keep-EOS slot)."""
+    from rag_docvqa_tpu.ops.gather import AssembleConfig, _flatten_tokens, compute_ownership
+
+    B, K = top_k_idx.shape
+    W = batch.slot_mask.shape[1]
+    TW = batch.slot_tokens.shape[2]
+    LQ = batch.q_tokens.shape[1]
+    owner = compute_ownership(batch, top_k_idx, top_k_valid, cfg.include_surroundings)
+
+    # pair "prompt" = [CLS] q[0:ql] [SEP], per sample
+    ql = jnp.minimum(jnp.sum(batch.q_mask, axis=1), cfg.question_len)  # (B,)
+    LP = min(cfg.question_len, LQ) + 2
+    pos = jnp.arange(LP)[None, :]
+    q_idx = jnp.clip(pos - 1, 0, LQ - 1)
+    prompt = jnp.where(
+        pos == 0,
+        cfg.cls_id,
+        jnp.where(
+            pos < 1 + ql[:, None],
+            jnp.take_along_axis(batch.q_tokens, q_idx, axis=1),
+            jnp.where(pos == 1 + ql[:, None], cfg.sep_id, 0),
+        ),
+    ).astype(jnp.int32)
+    prompt_len = ql + 2
+
+    # per-rank slot token streams: rows = (B*K) pseudo-samples sharing the
+    # sample's slot arrays, with ntok zeroed outside the rank's slots
+    rank = jnp.arange(K)[None, :, None]  # (1, K, 1)
+    ntok = jnp.where(owner[:, None, :] == rank, batch.slot_ntok[:, None, :], 0)  # (B,K,W)
+    tile = lambda x, nd: jnp.broadcast_to(
+        x[:, None], (B, K) + x.shape[1:]
+    ).reshape((B * K,) + x.shape[1:])
+    fcfg = AssembleConfig(
+        max_source_length=cfg.pair_len, eos_token_id=cfg.sep_id, pad_token_id=0
+    )
+    gen = _flatten_tokens(
+        tile(batch.slot_tokens, 3),
+        ntok.reshape(B * K, W),
+        tile((batch.slot_box * 1000).astype(jnp.int32), 3),
+        tile(batch.slot_label, 2),
+        tile(prompt, 2),
+        jnp.broadcast_to(prompt_len[:, None], (B, K)).reshape(B * K),
+        fcfg,
+    )
+    return gen.input_ids, gen.attention_mask
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def rerank_select(
     scores: jax.Array,  # (B, K) cross-encoder scores in [0, 1]
     top_k_valid: jax.Array,  # (B, K)
@@ -133,7 +199,12 @@ class Reranker:
 
     def __call__(self, batch: ChunkedBatch, ret: RetrievalResult) -> RetrievalResult:
         B, K = ret.top_k_idx.shape
-        ids, mask = build_pair_tokens(batch, ret.top_k_idx, self.cfg)
+        if self.cfg.rerank_on_surroundings:
+            ids, mask = build_pair_tokens_surround(
+                batch, ret.top_k_idx, ret.top_k_valid, self.cfg
+            )
+        else:
+            ids, mask = build_pair_tokens(batch, ret.top_k_idx, self.cfg)
         scores = cross_encoder_score(self.params, self.bert_cfg, ids, mask).reshape(B, K)
         perm, new_valid, sorted_scores = rerank_select(scores, ret.top_k_valid, self.cfg)
         return apply_rerank(ret, perm, new_valid, sorted_scores)

@@ -311,13 +311,22 @@ def decode_step(
     cfg: CausalLMConfig,
     cache: LMCache,
     token: jax.Array,  # (B,)
-    step: jax.Array,  # () absolute position of `token`
+    step: jax.Array,  # () cache slot this token's K/V is written to
     attn_len_mask: jax.Array,  # (B, Tmax) valid cache positions incl. this one
+    rope_pos: Optional[jax.Array] = None,  # (B,) per-sample rotary positions
 ) -> Tuple[jax.Array, LMCache]:
+    """One cached decode step. With right-padded ragged prompts the cache
+    SLOT (Tp + t, fixed across the batch) and the token's rotary POSITION
+    (prompt_len + t, per sample) differ — rope_pos carries the latter so
+    relative distances match an unpadded (reference left-padded) decode
+    exactly. Defaults to `step` when prompts are equal-length."""
     B = token.shape[0]
     hd = cfg.head_dim
     x = _embed_tokens(params, cfg, token)
-    cos, sin = rope_frequencies(cfg, step[None])
+    if rope_pos is None:
+        cos, sin = rope_frequencies(cfg, step[None])
+    else:
+        cos, sin = rope_frequencies(cfg, rope_pos[:, None])  # (B, 1, hd/2)
     mask = attn_len_mask[:, None, None, :]  # (B, 1, 1, Tmax)
 
     def block(x, layer_cache):
@@ -364,12 +373,15 @@ def generate(
 
     def step(carry, t):
         token, cache, done, conf = carry
-        # assumes equal prompt lengths per batch row (pad answers right);
-        # cache position for generated token i is Tp + i
-        pos = jnp.int32(Tp) + t
+        # cache slot for generated token i is Tp + i (fixed layout); its
+        # rotary position is prompt_len + i per sample, so ragged right-padded
+        # prompts decode with exactly the contiguous-position semantics of the
+        # reference's left-padded batch generate (QwenVLInstruct.py:234-264)
+        slot = jnp.int32(Tp) + t
         k_pos = jnp.arange(max_len)[None, :]
-        mask = (k_pos < prompt_len[:, None]) | ((k_pos >= Tp) & (k_pos <= pos))
-        logits, cache = decode_step(params, cfg, cache, token, pos, mask)
+        mask = (k_pos < prompt_len[:, None]) | ((k_pos >= Tp) & (k_pos <= slot))
+        logits, cache = decode_step(params, cfg, cache, token, slot, mask,
+                                    rope_pos=prompt_len + t)
         next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         max_prob = jnp.max(jax.nn.softmax(logits.astype(jnp.float32), -1), -1)
         emitted = jnp.where(done, cfg.pad_id, next_tok)

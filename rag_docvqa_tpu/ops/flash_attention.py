@@ -61,7 +61,7 @@ def _flash_kernel(
     mask_ref,  # (1, 1, bk) bool key-padding mask
     bias_ref,  # (1, 1, rep, bq, bk) or None
     o_ref,  # (1, 1, rep, bq, dh)
-    lse_ref,  # (1, 1, rep, bq) f32 per-row logsumexp (backward residual)
+    lse_ref,  # (1, 1, rep, bq, 1) f32 per-row logsumexp (backward residual)
     ml_ref,  # scratch (2, rep*bq, 128) f32: [0]=running max, [1]=denominator
     acc_ref,  # scratch (rep*bq, dh) f32 running numerator
     *,
@@ -133,7 +133,10 @@ def _flash_kernel(
         o_ref[0, 0] = out.reshape(rep, block_q, o_ref.shape[-1])
         alive = m > NEG_INF / 2
         lse = jnp.where(alive, m + jnp.log(denom), NEG_INF)
-        lse_ref[0, 0] = lse[:, 0].reshape(rep, block_q)
+        # (R, 1) -> (rep, bq, 1): sublane-only split (a trailing singleton
+        # lane everywhere — lane-collapsing reshapes are unsupported Mosaic
+        # shape casts for rep > 1)
+        lse_ref[0, 0] = lse.reshape(rep, block_q, 1)
 
 
 def _flash_kernel_nobias(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, ml_ref, acc_ref, **kw):
@@ -197,11 +200,11 @@ def _fwd_call(qT, kT, vT, maskB, bias5, *, scale, causal, bq, bk, rep, interpret
         in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, 1, rep, bq, dh), lambda b, g, i, j: (b, g, 0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, rep, bq), lambda b, g, i, j: (b, g, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rep, bq, 1), lambda b, g, i, j: (b, g, 0, i, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, Hkv, rep, Tq_p, dh), qT.dtype),
-            jax.ShapeDtypeStruct((B, Hkv, rep, Tq_p), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hkv, rep, Tq_p, 1), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, rep * bq, 128), jnp.float32),
@@ -232,6 +235,7 @@ def _recompute_p_gs(q_ref, do_ref, lse_ref, dd_ref, k_ref, v_ref, mask_ref,
     dh = q_ref.shape[-1]
     q = q_ref[0, 0].reshape(R, dh)
     do = do_ref[0, 0].reshape(R, dh)
+    # (rep, bq, 1) -> (R, 1): sublane-only merges (lane stays singleton)
     lse = lse_ref[0, 0].reshape(R, 1)
     dd = dd_ref[0, 0].reshape(R, 1)
     k = k_ref[0, 0]
@@ -375,8 +379,9 @@ def _bwd_call(res, g, *, scale, causal, rep, interpret, block_q=256, block_k=512
         bk //= 2
     nq, nk = Tq_p // bq, Tk_p // bk
 
-    # D = rowsum(dO * O), the only residual beyond (O, lse)
-    dd = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # (B,Hkv,rep,Tq)
+    # D = rowsum(dO * O), the only residual beyond (O, lse); trailing
+    # singleton keeps every in-kernel reshape sublane-only
+    dd = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True)
     do = g.astype(qT.dtype)
 
     cost = pl.CostEstimate(
@@ -393,8 +398,8 @@ def _bwd_call(res, g, *, scale, causal, rep, interpret, block_q=256, block_k=512
     in_specs = [
         pl.BlockSpec((1, 1, rep, bq, dh), lambda b, g_, j, i: (b, g_, 0, q_i(j, i), 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, rep, bq, dh), lambda b, g_, j, i: (b, g_, 0, q_i(j, i), 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, rep, bq), lambda b, g_, j, i: (b, g_, 0, q_i(j, i)), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, rep, bq), lambda b, g_, j, i: (b, g_, 0, q_i(j, i)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, rep, bq, 1), lambda b, g_, j, i: (b, g_, 0, q_i(j, i), 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, rep, bq, 1), lambda b, g_, j, i: (b, g_, 0, q_i(j, i), 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, bk, dh), lambda b, g_, j, i: (b, g_, j, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, bk, dh), lambda b, g_, j, i: (b, g_, j, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, bk), lambda b, g_, j, i: (b, 0, j), memory_space=pltpu.VMEM),
@@ -443,8 +448,8 @@ def _bwd_call(res, g, *, scale, causal, rep, interpret, block_q=256, block_k=512
     in_specs = [
         pl.BlockSpec((1, 1, rep, bq, dh), lambda g_, i, b, j: (b, g_, 0, i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, rep, bq, dh), lambda g_, i, b, j: (b, g_, 0, i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, rep, bq), lambda g_, i, b, j: (b, g_, 0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, rep, bq), lambda g_, i, b, j: (b, g_, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, rep, bq, 1), lambda g_, i, b, j: (b, g_, 0, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, rep, bq, 1), lambda g_, i, b, j: (b, g_, 0, i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, bk, dh), lambda g_, i, b, j: (b, g_, kv_j(i, j), 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, bk, dh), lambda g_, i, b, j: (b, g_, kv_j(i, j), 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, bk), lambda g_, i, b, j: (b, 0, j), memory_space=pltpu.VMEM),

@@ -188,3 +188,46 @@ def test_gemma_llm_reranker_wiring():
     ret1 = rr(batch, ret0)
     v = np.asarray(ret1.top_k_valid)
     assert int(v.sum(axis=1).max()) <= 3
+
+
+def test_hf_qwen2_ragged_prompt_generate_parity():
+    """Right-padded ragged prompts decode with contiguous rotary positions:
+    batch generate must match per-sample unpadded HF greedy decode exactly
+    (the reference left-pads to get this, QwenVLInstruct.py:234-264)."""
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    hf_cfg = Qwen2Config(
+        vocab_size=160, hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=64,
+        rope_theta=1_000_000.0, tie_word_embeddings=True, attention_dropout=0.0,
+    )
+    torch.manual_seed(0)
+    hf = Qwen2ForCausalLM(hf_cfg).eval()
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    params = jax.tree.map(jnp.asarray, clm.convert_qwen2_state_dict(sd, TINY))
+
+    rng = np.random.RandomState(5)
+    lens = [11, 7, 4]
+    T = 12
+    ids = np.zeros((3, T), np.int64)
+    mask = np.zeros((3, T), bool)
+    for b, ln in enumerate(lens):
+        ids[b, :ln] = rng.randint(2, 160, ln)
+        mask[b, :ln] = True
+
+    NEW = 6
+    got, _ = clm.generate(params, TINY, jnp.asarray(ids, jnp.int32), jnp.asarray(mask),
+                          max_new_tokens=NEW)
+    got = np.asarray(got)
+    with torch.no_grad():
+        for b, ln in enumerate(lens):
+            row = torch.from_numpy(ids[b:b + 1, :ln])
+            out = hf.generate(row, max_new_tokens=NEW, do_sample=False, num_beams=1)
+            want = out[0, ln:].numpy()
+            # compare up to our EOS/pad padding convention
+            for t in range(NEW):
+                if got[b, t] == TINY.eos_id:
+                    assert want[t] == TINY.eos_id
+                    break
+                assert got[b, t] == want[t], (b, t, got[b], want)

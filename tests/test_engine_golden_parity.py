@@ -122,9 +122,10 @@ def table_embed(shared, ids):
     return shared[np.asarray(ids)].mean(axis=0)
 
 
-def oracle_retrieve(doc, shared, with_sims=False):
+def oracle_retrieve(doc, shared, with_sims=False, rag=None):
     """Cosine top-k (src/_modules.py:1978-2016). Returns (chunks, topk_idx
     [, topk_sims])."""
+    rag = rag or RAG
     chunks = oracle_chunks(doc)
     embs = []
     for p, widx in chunks:
@@ -133,14 +134,14 @@ def oracle_retrieve(doc, shared, with_sims=False):
     q_emb = table_embed(shared, TOK.encode(doc.question)[: CAPS.question_tokens])
     embs = np.stack(embs)
     sims = embs @ q_emb / (np.linalg.norm(embs, axis=1) * np.linalg.norm(q_emb) + 1e-8)
-    k = min(RAG.chunk_num, len(chunks))
+    k = min(rag.chunk_num, len(chunks))
     top = torch.topk(torch.from_numpy(sims), k)
     if with_sims:
         return chunks, top.indices.numpy(), top.values.numpy()
     return chunks, top.indices.numpy()
 
 
-def oracle_assemble(doc, chunks, topk):
+def oracle_assemble(doc, chunks, topk, rag=None):
     """Surrounding expansion + first-cover dedup + concat flatten
     (src/_modules.py:2022-2091, src/RAGVT5.py:365-370, src/VT5.py:131-226).
 
@@ -148,7 +149,8 @@ def oracle_assemble(doc, chunks, topk):
     chunk word lists (src/_modules.py:2040-2050) — overlap-duplicated words
     appear once per chunk, and surroundings/dedup act on positions in that
     concatenated list. Returns (input_ids, boxes_int, n_valid)."""
-    s = RAG.include_surroundings
+    rag = rag or RAG
+    s = rag.include_surroundings
     # per-page concatenated (word, box) lists + chunk position ranges therein
     page_words = {}  # page -> [(word, box), ...]
     chunk_pos = {}  # chunk idx -> (page, start, end)
@@ -169,7 +171,7 @@ def oracle_assemble(doc, chunks, topk):
         included[p].update(new)
         ordered.extend(page_words[p][i] for i in new)
 
-    S = RAG.max_source_length
+    S = rag.max_source_length
     ids, boxes = [], []
     prompt = TOK.encode(f"question: {doc.question}  context:")[: CAPS.prompt_tokens]
     for t in prompt:
