@@ -404,6 +404,14 @@ def generate(
 def convert_qwen2_state_dict(sd: Dict[str, Any], cfg: CausalLMConfig) -> Dict[str, Any]:
     import numpy as np
 
+    # accept both the on-disk hub naming (model.layers.*) and the refactored
+    # transformers>=4.54 module naming (model.language_model.layers.*) that
+    # VLM wrappers re-save with
+    if any(k.startswith("model.language_model.") for k in sd):
+        sd = {
+            ("model." + k[len("model.language_model."):] if k.startswith("model.language_model.") else k): v
+            for k, v in sd.items()
+        }
     L = cfg.num_layers
     p = "model.layers.{}."
 

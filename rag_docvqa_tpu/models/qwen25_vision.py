@@ -243,8 +243,12 @@ def encode_image(params: Dict[str, Any], cfg: Qwen25VisionConfig, pixels: jax.Ar
 # HF conversion (Qwen2_5_VisionTransformerPretrainedModel, prefix "visual.")
 # --------------------------------------------------------------------------- #
 def convert_qwen25_vision_state_dict(sd: Dict[str, np.ndarray], cfg: Qwen25VisionConfig) -> Dict[str, Any]:
-    if any(k.startswith("visual.") for k in sd):
-        sd = {k[len("visual."):]: v for k, v in sd.items() if k.startswith("visual.")}
+    # hub checkpoints use "visual.*"; transformers>=4.54 re-saves as
+    # "model.visual.*" — accept both
+    for prefix in ("visual.", "model.visual."):
+        if any(k.startswith(prefix) for k in sd):
+            sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+            break
     L = cfg.depth
 
     def t(name):
