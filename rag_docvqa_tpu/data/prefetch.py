@@ -1,0 +1,63 @@
+"""Asynchronous input pipeline: overlap host ingest with device compute.
+
+Host ingest (tokenize + pack to fixed shapes, data/ingest.py) runs ~300x
+slower than device retrieval and used to run synchronously inside the
+eval/train loops. `prefetch` runs the producer generator on a background
+thread with a bounded queue, so batch N+1 is ingested (and `device_put`)
+while the device computes batch N — the role DataLoader workers play in the
+reference (eval.py:557), double-buffered instead of multi-process because
+ingest is numpy-bound and the payoff is overlap, not parallel decode.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterable, Iterator, TypeVar
+
+T = TypeVar("T")
+
+_SENTINEL = object()
+
+
+def prefetch(items: Iterable[T], depth: int = 2) -> Iterator[T]:
+    """Yield from `items`, producing up to `depth` elements ahead on a
+    background thread. Exceptions in the producer re-raise at the consumer.
+    depth <= 0 disables prefetching (plain iteration)."""
+    if depth <= 0:
+        yield from items
+        return
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+
+    def _worker():
+        try:
+            for item in items:
+                q.put((False, item))
+        except BaseException as e:  # noqa: BLE001 — relayed to the consumer
+            q.put((True, e))
+        finally:
+            q.put((False, _SENTINEL))
+
+    t = threading.Thread(target=_worker, daemon=True, name="ingest-prefetch")
+    t.start()
+    try:
+        while True:
+            is_err, item = q.get()
+            if is_err:
+                raise item
+            if item is _SENTINEL:
+                break
+            yield item
+    finally:
+        # unblock the producer if the consumer stops early
+        while t.is_alive():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+
+
+def map_prefetch(fn: Callable[[T], object], items: Iterable[T], depth: int = 2) -> Iterator[object]:
+    """prefetch(map(fn, items)) — fn runs on the background thread."""
+    return prefetch((fn(x) for x in items), depth=depth)

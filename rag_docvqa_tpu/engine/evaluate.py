@@ -30,6 +30,7 @@ def evaluate(
     save_continuously: bool = False,
     compute_stats: bool = False,
     mesh=None,  # jax.sharding.Mesh with a "data" axis: shard eval batches
+    prefetch_depth: int = 2,  # background-ingest batches ahead (0 = sync)
 ) -> Dict[str, Any]:
     evaluator = evaluator or Evaluator()
     stats = None
@@ -49,7 +50,7 @@ def evaluate(
     load_time = retrieval_time = generation_time = 0.0
     all_answers: List[Any] = []
 
-    for start in range(0, len(docs), batch_size):
+    def _ingest_one(start: int):
         chunk = list(docs[start : start + batch_size])
         n_real = len(chunk)
         t0 = time.time()
@@ -69,7 +70,16 @@ def evaluate(
             from jax.sharding import NamedSharding, PartitionSpec as _P
 
             batch = _jax.device_put(batch, NamedSharding(mesh, _P("data")))
-        load_time += time.time() - t0
+        return chunk, n_real, batch, aux, time.time() - t0
+
+    # async input pipeline: batch N+1 ingests (and lands on device) on a
+    # background thread while the engine computes batch N; load_time records
+    # the producer-side ingest wall (overlapped, not on the critical path)
+    from rag_docvqa_tpu.data.prefetch import map_prefetch
+
+    batches = map_prefetch(_ingest_one, range(0, len(docs), batch_size), depth=prefetch_depth)
+    for chunk, n_real, batch, aux, ingest_t in batches:
+        load_time += ingest_t
         if stats is not None:
             # chunk distributions, merged across batches (eval.py:359-378)
             from rag_docvqa_tpu.utils_stats import collect_ingest_stats

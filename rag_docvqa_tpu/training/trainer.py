@@ -65,6 +65,8 @@ class TrainLoopConfig:
     # mixed precision: f32 master weights, bf16 forward/backward (~2x MXU
     # rate on TPU). None = auto (on for TPU backends, off elsewhere)
     bf16_compute: Optional[bool] = None
+    # background-ingest batches ahead (0 = synchronous ingest)
+    prefetch_depth: int = 2
 
 
 class Trainer:
@@ -194,16 +196,27 @@ class Trainer:
             rng.shuffle(order)
             t0 = time.time()
             losses = []
-            for start in range(0, len(order), cfg.batch_size):
+            def _ingest_one(start):
                 idx = order[start : start + cfg.batch_size]
                 if len(idx) < cfg.batch_size:
-                    continue  # fixed shapes: drop ragged tail batch
+                    return None  # fixed shapes: drop ragged tail batch
                 docs = [train_docs[i] for i in idx]
                 batch, aux = self.ingestor.ingest(docs)
                 labels = self.ingestor.answer_labels(
                     aux["answers"], max_len=cfg.answer_max_len, seed=rng.randrange(1 << 30)
                 )
-                step_args = [self.state, batch, jax.numpy.asarray(labels)]
+                return docs, jax.device_put(batch), jax.device_put(jax.numpy.asarray(labels)), aux
+
+            # async input pipeline: the next batch ingests + lands in HBM on a
+            # background thread while the device runs the current train step
+            from rag_docvqa_tpu.data.prefetch import map_prefetch
+
+            for item in map_prefetch(_ingest_one, range(0, len(order), cfg.batch_size),
+                                     depth=self.cfg.prefetch_depth):
+                if item is None:
+                    continue
+                docs, batch, labels, aux = item
+                step_args = [self.state, batch, labels]
                 if cfg.use_nac and self.hivt5_cfg is None:
                     # DUDE not-answerable ground truth (reference train.py:56-58)
                     nac_gt = np.asarray(

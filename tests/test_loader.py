@@ -177,3 +177,50 @@ def test_orbax_manager_dir(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(restored["t5"]["shared"]), np.asarray(state2.params["t5"]["shared"])
     )
+
+
+def test_prefetch_overlap_and_errors():
+    """data/prefetch.py: order-preserving, bounded-depth, background-thread
+    mapping; producer exceptions re-raise at the consumer."""
+    import threading
+    import time as _time
+
+    import pytest as _pytest
+
+    from rag_docvqa_tpu.data.prefetch import map_prefetch, prefetch
+
+    main = threading.get_ident()
+    seen_threads = []
+
+    def work(i):
+        seen_threads.append(threading.get_ident())
+        _time.sleep(0.005)
+        return i * i
+
+    out = list(map_prefetch(work, range(10), depth=2))
+    assert out == [i * i for i in range(10)]
+    assert all(t != main for t in seen_threads)  # producer ran off-thread
+
+    # overlap: consumer work and producer work should share wall time
+    t0 = _time.perf_counter()
+    for _ in map_prefetch(work, range(8), depth=2):
+        _time.sleep(0.005)  # "device compute"
+    overlapped = _time.perf_counter() - t0
+    t0 = _time.perf_counter()
+    for _ in map_prefetch(work, range(8), depth=0):  # sync mode
+        _time.sleep(0.005)
+    sync = _time.perf_counter() - t0
+    assert overlapped < sync * 0.85, (overlapped, sync)
+
+    def boom(i):
+        if i == 3:
+            raise RuntimeError("producer failed")
+        return i
+
+    with _pytest.raises(RuntimeError, match="producer failed"):
+        list(map_prefetch(boom, range(10), depth=2))
+
+    # early consumer exit doesn't deadlock
+    gen = prefetch(iter(range(100)), depth=2)
+    assert next(gen) == 0
+    gen.close()
