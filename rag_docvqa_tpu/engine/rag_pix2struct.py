@@ -40,7 +40,12 @@ from rag_docvqa_tpu.ops.topk import masked_topk
 class P2SRAGConfig:
     chunk_num: int = 10  # k retrieved patches
     include_surroundings: Union[int, Tuple[int, int]] = 0
-    chunk_mode: str = "horizontal"  # square | horizontal | page
+    # square | horizontal | page grid modes, or "layout": crop layout regions
+    # first — text regions subdivide at image_patch_size, figures/tables stay
+    # whole (src/_modules.py:1246-1305,1379-1394); pages without layout info
+    # fall back to the grid mode below
+    chunk_mode: str = "horizontal"
+    layout_fallback_mode: str = "horizontal"
     image_patch_size: int = 256  # pixels per image chunk strip
     chunk_overlap: bool = True  # half-patch overlap (src/_modules.py:1139)
     patches_per_chunk: int = 128  # Pix2Struct patches per image chunk
@@ -85,26 +90,55 @@ class RAGPix2StructEngine:
         self.tokenizer = tokenizer
 
     # ------------------------------------------------------------------ #
-    def _chunk_pages(self, images: Sequence[np.ndarray]):
-        """Host: pages -> image chunks + (page, row, col) coords + pixel boxes
-        + per-page matrix shapes."""
+    def _chunk_pages(self, images: Sequence[np.ndarray], layouts=None):
+        """Host: pages -> image chunks + (page, grid, row, col) coords +
+        page-frame pixel boxes + per-grid matrix shapes.
+
+        A "grid" is one patch matrix: the whole page in the grid modes, one
+        layout region in layout mode (the reference's patch_count groups,
+        src/_modules.py:1317-1399). Surrounding-pattern expansion happens
+        within a grid."""
+        cfg = self.cfg
         chunks, coords, xyxy, shapes = [], [], [], []
-        for page_idx, img in enumerate(images):
-            patches, (rows, cols), boxes = divide_image_into_patches(
-                np.asarray(img), self.cfg.image_patch_size, self.cfg.chunk_overlap, self.cfg.chunk_mode
-            )
-            shapes.append((rows, cols))
+
+        def add_grid(page_idx, patches, shape, boxes):
+            gid = len(shapes)
+            shapes.append(shape)
+            cols = shape[1]
             for i, (patch, box) in enumerate(zip(patches, boxes)):
                 chunks.append(patch)
-                coords.append((page_idx, i // cols, i % cols))
+                coords.append((page_idx, gid, i // cols, i % cols))
                 xyxy.append(box)
+
+        for page_idx, img in enumerate(images):
+            img = np.asarray(img)
+            lay = layouts[page_idx] if layouts is not None and page_idx < len(layouts) else None
+            if cfg.chunk_mode == "layout" and lay and len(lay.get("boxes", [])):
+                from rag_docvqa_tpu.ops.patches import divide_image_into_layout_patches
+
+                groups = divide_image_into_layout_patches(
+                    img, lay["boxes"], lay["labels"], lay.get("clusters"),
+                    patch_size=cfg.image_patch_size, overlap=cfg.chunk_overlap,
+                    mode=cfg.layout_fallback_mode,
+                )
+                for patches, shape, boxes in groups:
+                    add_grid(page_idx, patches, shape, boxes)
+                if groups:
+                    continue
+            mode = cfg.chunk_mode if cfg.chunk_mode != "layout" else cfg.layout_fallback_mode
+            patches, shape, boxes = divide_image_into_patches(
+                img, cfg.image_patch_size, cfg.chunk_overlap, mode
+            )
+            add_grid(page_idx, patches, shape, boxes)
         return chunks, coords, xyxy, shapes
 
     # ------------------------------------------------------------------ #
-    def retrieve(self, question: str, images: Sequence[np.ndarray]):
+    def retrieve(self, question: str, images: Sequence[np.ndarray], layouts=None):
         """Single-doc retrieval with step info (demo / return_steps path).
         Returns (merged crops, page indices, scores, steps dict)."""
-        crops, pages, vals, steps = self._retrieve_batch([question], [images], return_steps=True)
+        crops, pages, vals, steps = self._retrieve_batch(
+            [question], [images], return_steps=True, layouts_list=[layouts]
+        )
         return crops[0], pages[0], vals[0], steps[0]
 
     def _retrieve_batch(
@@ -112,6 +146,7 @@ class RAGPix2StructEngine:
         questions: Sequence[str],
         images_list: Sequence[Sequence[np.ndarray]],
         return_steps: bool = False,
+        layouts_list=None,  # per doc: per page {boxes, labels[, clusters]}
     ):
         """Batched retrieval: ONE vision-encode dispatch for all docs' image
         chunks + questions and ONE batched MaxSim+top-k (the reference loops
@@ -122,7 +157,10 @@ class RAGPix2StructEngine:
         T = cfg.patches_per_chunk
         F = 2 + self.p2s_cfg.vision.patch_dim
 
-        per_doc = [self._chunk_pages(imgs) for imgs in images_list]
+        per_doc = [
+            self._chunk_pages(imgs, layouts_list[b] if layouts_list else None)
+            for b, imgs in enumerate(images_list)
+        ]
 
         feats = np.zeros((B, cfg.max_chunks, T, F), np.float32)
         chunk_valid = np.zeros((B, cfg.max_chunks), bool)
@@ -154,17 +192,18 @@ class RAGPix2StructEngine:
 
         all_crops, all_pages, all_steps = [], [], []
         for b, (chunks, coords, xyxy, shapes) in enumerate(per_doc):
-            # surrounding-pattern expansion (host; src/_modules.py:2207-2282)
+            # surrounding-pattern expansion within each patch grid
+            # (host; src/_modules.py:2207-2282)
             surround: set = set()
             for r in range(cfg.chunk_num):
                 if not valid[b, r] or idx[b, r] >= len(coords):
                     continue
-                page_idx, row, col = coords[idx[b, r]]
-                rows, cols = shapes[page_idx]
+                page_idx, gid, row, col = coords[idx[b, r]]
+                rows, cols = shapes[gid]
                 for rc in _surrounding_coords((row, col), (rows, cols), cfg.include_surroundings):
-                    surround.add((page_idx, *rc))
-            all_crops.append(_merge_overlapping(sorted(surround), shapes, xyxy, coords, images_list[b]))
-            all_pages.append(sorted({p for p, _, _ in surround}))
+                    surround.add((page_idx, gid, *rc))
+            all_crops.append(_merge_overlapping(sorted(surround), xyxy, coords, images_list[b]))
+            all_pages.append(sorted({p for p, _, _, _ in surround}))
             if return_steps:
                 all_steps.append({"n_chunks": len(chunks), "coords": coords, "xyxy": xyxy})
         return all_crops, all_pages, vals, all_steps
@@ -178,9 +217,10 @@ class RAGPix2StructEngine:
         come from aux (this is an OCR-free engine; the token batch is
         unused)."""
         if aux is not None:
+            layouts_aux = aux.get("layouts", [None] * len(aux["questions"]))
             docs = [
-                RawDocument(question=q, words=[[]], boxes=[[]], images=imgs)
-                for q, imgs in zip(aux["questions"], aux["images"])
+                RawDocument(question=q, words=[[]], boxes=[[]], images=imgs, layout=lay)
+                for q, imgs, lay in zip(aux["questions"], aux["images"], layouts_aux)
             ]
         cfg = self.cfg
         images_list = []
@@ -190,7 +230,8 @@ class RAGPix2StructEngine:
 
         if cfg.use_rag:
             all_crops, pred_pages, _, _ = self._retrieve_batch(
-                [d.question for d in docs], images_list
+                [d.question for d in docs], images_list,
+                layouts_list=[d.layout for d in docs],
             )
             for b, images in enumerate(images_list):
                 if not all_crops[b]:
@@ -287,13 +328,15 @@ def _rect_overlap(a, b) -> bool:
     return a[0] < b[2] and a[2] > b[0] and a[1] < b[3] and a[3] > b[1]
 
 
-def _merge_overlapping(surround, shapes, xyxy, coords, images) -> List[np.ndarray]:
+def _merge_overlapping(surround, xyxy, coords, images) -> List[np.ndarray]:
     """Connected components of overlapping retrieved patches -> one bbox-union
-    crop each (src/_modules.py:2284-2384)."""
+    crop each (src/_modules.py:2284-2384). Boxes are page-frame pixels, so
+    patches from different layout grids on the same page merge when they
+    overlap."""
     coord_to_flat = {c: i for i, c in enumerate(coords)}
     by_page: Dict[int, List[List[int]]] = {}
-    for page_idx, row, col in surround:
-        flat = coord_to_flat.get((page_idx, row, col))
+    for page_idx, gid, row, col in surround:
+        flat = coord_to_flat.get((page_idx, gid, row, col))
         if flat is not None:
             by_page.setdefault(page_idx, []).append(xyxy[flat])
 

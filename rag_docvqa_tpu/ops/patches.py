@@ -74,6 +74,82 @@ def divide_image_into_patches(
     return patches, (n_actual, 1), xyxy
 
 
+def layout_region_crops(
+    image: np.ndarray,  # (H, W, 3)
+    boxes: Sequence[Sequence[float]],  # normalized xyxy layout boxes
+    labels: Sequence[int],
+    clusters: Optional[Sequence[int]] = None,
+) -> Tuple[List[np.ndarray], List[int], List[List[int]]]:
+    """Layout regions -> pixel crops (ImageChunker.crop_boxes,
+    src/_modules.py:1246-1305): regions sorted left-right/top-bottom by
+    (x0, y0); with clusters, same-cluster boxes union into one bbox whose
+    label is the area-majority label (cluster -1 = unclustered singleton).
+    Returns (crops, labels, region pixel boxes)."""
+    H, W = image.shape[:2]
+    entries = list(zip(boxes, labels, clusters if clusters is not None else [-1] * len(boxes)))
+    entries.sort(key=lambda e: (e[0][0], e[0][1]))
+
+    merged: List[Tuple[List[float], int]] = []
+    groups: Dict[int, List[Tuple[Sequence[float], int]]] = {}
+    for box, label, cl in entries:
+        if clusters is None or cl == -1:
+            merged.append((list(box), int(label)))
+        else:
+            groups.setdefault(int(cl), []).append((box, int(label)))
+    for cl in groups:
+        bs = [b for b, _ in groups[cl]]
+        union = [min(b[0] for b in bs), min(b[1] for b in bs),
+                 max(b[2] for b in bs), max(b[3] for b in bs)]
+        areas: Dict[int, float] = {}
+        for b, lab in groups[cl]:
+            areas[lab] = areas.get(lab, 0.0) + (b[2] - b[0]) * (b[3] - b[1])
+        merged.append((union, max(areas.items(), key=lambda kv: kv[1])[0]))
+
+    crops, out_labels, out_boxes = [], [], []
+    for box, label in merged:
+        px = [int(box[0] * W), int(box[1] * H), int(box[2] * W), int(box[3] * H)]
+        crop = image[px[1]: px[3], px[0]: px[2]]
+        crops.append(crop)
+        out_labels.append(label)
+        out_boxes.append(px)
+    return crops, out_labels, out_boxes
+
+
+def divide_image_into_layout_patches(
+    image: np.ndarray,  # (H, W, 3) page pixels
+    boxes: Sequence[Sequence[float]],  # normalized layout boxes
+    labels: Sequence[int],
+    clusters: Optional[Sequence[int]] = None,
+    patch_size: int = 256,
+    overlap: bool = False,
+    mode: str = "horizontal",
+) -> List[Tuple[List[np.ndarray], Tuple[int, int], List[List[int]]]]:
+    """Layout-guided ImageChunker (src/_modules.py:1379-1394): crop layout
+    regions first; TEXT regions (label 1, ops/chunking.LAYOUT_LABEL_MAP)
+    subdivide at patch_size, title/figure/table regions stay whole. Returns
+    one (patches, (rows, cols), xyxy) group per region — xyxy in PAGE pixel
+    coordinates (the reference reports region-local coords because it crops
+    first; page-frame coords are equivalent content and what the retrieval
+    crop-merge consumes)."""
+    crops, c_labels, c_boxes = layout_region_crops(image, boxes, labels, clusters)
+    groups = []
+    for crop, label, region in zip(crops, c_labels, c_boxes):
+        if crop.size == 0:
+            continue
+        if label == 1:  # text: subdivide
+            patches, shape, xyxy = divide_image_into_patches(crop, patch_size, overlap, mode)
+            if not patches:
+                continue
+            xyxy = [[x0 + region[0], y0 + region[1], x1 + region[0], y1 + region[1]]
+                    for x0, y0, x1, y1 in xyxy]
+        else:  # title / figure / table: keep whole
+            patches = [crop]
+            shape = (1, 1)
+            xyxy = [list(region)]
+        groups.append((patches, shape, xyxy))
+    return groups
+
+
 # --------------------------------------------------------------------------- #
 # Pix2Struct patch extraction
 # --------------------------------------------------------------------------- #

@@ -163,3 +163,84 @@ def test_rag_pix2struct_engine_end_to_end(p2s_params):
     # no-RAG max-confidence fallback
     ans, conf = eng.no_rag_max_conf(docs[0])
     assert isinstance(ans, str) and 0 <= conf <= 1 + 1e-6
+
+
+# ---------------------------------------------------------------------- #
+# layout-region ImageChunker mode (src/_modules.py:1246-1305,1379-1394)
+# ---------------------------------------------------------------------- #
+def test_layout_region_crops_cluster_union_and_label_vote():
+    from rag_docvqa_tpu.ops.patches import layout_region_crops
+
+    img = np.arange(100 * 200 * 3, dtype=np.uint8).reshape(100, 200, 3)
+    # two clustered text/figure boxes + one unclustered table (cluster -1)
+    boxes = [[0.5, 0.1, 0.9, 0.3], [0.1, 0.1, 0.4, 0.5], [0.2, 0.6, 0.6, 0.9]]
+    labels = [1, 2, 3]
+    clusters = [0, 0, -1]
+    crops, out_labels, out_boxes = layout_region_crops(img, boxes, labels, clusters)
+    # sorted by (x0, y0): the unclustered table (x0=0.2) precedes the cluster
+    # union only if its x0 is smaller than... sorting happens pre-clustering;
+    # the union inherits the order of insertion (singletons first, then
+    # clusters — matching the reference's clustered_boxes assembly)
+    assert len(crops) == 2
+    assert out_labels[0] == 3  # the singleton table
+    # cluster union: bbox of both boxes, label = larger-area member (figure:
+    # 0.3*0.4=0.12 > text: 0.4*0.2=0.08)
+    assert out_labels[1] == 2
+    assert out_boxes[1] == [int(0.1 * 200), int(0.1 * 100), int(0.9 * 200), int(0.5 * 100)]
+    np.testing.assert_array_equal(crops[0], img[60:90, 40:120])
+
+
+def test_divide_image_into_layout_patches_text_vs_figure():
+    from rag_docvqa_tpu.ops.patches import divide_image_into_layout_patches
+
+    img = np.random.RandomState(0).randint(0, 255, (400, 300, 3), np.uint8)
+    boxes = [[0.0, 0.0, 1.0, 0.6], [0.1, 0.7, 0.9, 1.0]]
+    labels = [1, 2]  # text region + figure region
+    groups = divide_image_into_layout_patches(
+        img, boxes, labels, patch_size=96, overlap=False, mode="horizontal"
+    )
+    assert len(groups) == 2
+    text_patches, text_shape, text_xyxy = groups[0]
+    fig_patches, fig_shape, fig_xyxy = groups[1]
+    # text region (240px tall) subdivides into horizontal strips
+    assert text_shape[0] > 1 and len(text_patches) == text_shape[0]
+    # strip boxes are page-frame coords inside the region
+    for x0, y0, x1, y1 in text_xyxy:
+        assert 0 <= y0 < y1 <= 240 and x0 == 0 and x1 == 300
+    # figure stays whole, page-frame box
+    assert fig_shape == (1, 1) and len(fig_patches) == 1
+    assert fig_xyxy[0] == [int(0.1 * 300), int(0.7 * 400), int(0.9 * 300), 400]
+    np.testing.assert_array_equal(fig_patches[0], img[280:400, 30:270])
+
+
+def test_rag_pix2struct_layout_mode_end_to_end(p2s_params):
+    from rag_docvqa_tpu.data import HashTokenizer
+    from rag_docvqa_tpu.data.contract import RawDocument
+    from rag_docvqa_tpu.engine.rag_pix2struct import P2SRAGConfig, RAGPix2StructEngine
+
+    rng = np.random.RandomState(1)
+    layout = [
+        {"boxes": [[0.0, 0.0, 1.0, 0.5], [0.2, 0.6, 0.8, 0.95]], "labels": [1, 3]},
+        {"boxes": [], "labels": []},  # second page: grid fallback
+    ]
+    docs = [
+        RawDocument(
+            question="what is in the table?",
+            words=[[]], boxes=[[]],
+            answers=["x"],
+            images=[rng.randint(0, 255, (200, 160, 3), np.uint8) for _ in range(2)],
+            layout=layout,
+        )
+    ]
+    cfg = P2SRAGConfig(chunk_num=3, include_surroundings=1, chunk_mode="layout",
+                       layout_fallback_mode="horizontal", image_patch_size=64,
+                       patches_per_chunk=24, max_chunks=16, max_total_patches=64,
+                       max_new_tokens=3)
+    eng = RAGPix2StructEngine(cfg, TINY_P2S, p2s_params, HashTokenizer(vocab_size=300))
+    crops, pages, vals, steps = eng.retrieve(docs[0].question, docs[0].images, layouts=layout)
+    assert steps["n_chunks"] > 0
+    # layout grids exist: page 0 contributes a text grid + a whole-table grid
+    gids_page0 = {g for (p, g, r, c) in steps["coords"] if p == 0}
+    assert len(gids_page0) == 2
+    out = eng.inference(docs)
+    assert len(out["pred_answers"]) == 1
