@@ -24,6 +24,10 @@ def main(argv=None):
     parser.add_argument("--doc", type=int, default=0, help="document index to query")
     parser.add_argument("--platform", choices=("default", "cpu", "tpu"), default="default")
     parser.add_argument("-q", "--question", default=None, help="one-shot question (else REPL)")
+    parser.add_argument("--save-viz", default=None, metavar="DIR",
+                        help="write per-page step-overlay PNGs (layout boxes green, "
+                             "chunk boxes blue, retrieved regions red — the reference "
+                             "demo's visualization, demo.py:68-178)")
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
 
@@ -71,6 +75,7 @@ def main(argv=None):
         doc = RawDocument(
             question=question, words=base_doc.words, boxes=base_doc.boxes,
             answers=base_doc.answers, answer_page_idx=base_doc.answer_page_idx,
+            images=base_doc.images, layout=base_doc.layout,
         )
         batch, aux = ingestor.ingest([doc])
         out = engine.inference(batch, aux)
@@ -80,6 +85,11 @@ def main(argv=None):
             snippet = text if len(text) < 100 else text[:97] + "..."
             print(f"  [chunk {r}] page {page}: {snippet}")
         print(f"A: {out['pred_answers'][0]!r}  (conf {out['confidences'][0]:.4f})")
+        if args.save_viz:
+            from rag_docvqa_tpu.utils_viz import save_step_overlays
+
+            paths = save_step_overlays(doc, batch, out, args.save_viz)
+            print(f"step overlays: {', '.join(paths)}")
 
     if args.question:
         ask(args.question)
