@@ -672,3 +672,110 @@ def test_build_pair_tokens_surround_matches_reference():
             want = want[: cfg.pair_len - 1] + [2]
             row = ids[b * K + r][mask[b * K + r]]
             np.testing.assert_array_equal(row, np.asarray(want, np.int32))
+
+
+# ---------------------------------------------------------------------------
+# real-shape golden case: t5-base dims through the concat pipeline
+# ---------------------------------------------------------------------------
+@pytest.mark.slow
+def test_concat_engine_t5_base_dims():
+    """The tiny-config golden tests leave accumulation order and the flash
+    path untested at real shapes; this one runs the concat pipeline at
+    t5-base dims (d_model=768, 12+12 layers, S=512) against the same HF
+    re-assembly oracle — flash encoder attention explicitly ON (interpret
+    kernel off-TPU), so the fused path itself is golden-checked at the
+    production shape."""
+    from transformers import T5Config as HFT5Config
+    from transformers import T5ForConditionalGeneration
+
+    from rag_docvqa_tpu.engine.rag_vt5 import RAGConfig, RAGVT5Engine, retrieve_device
+    from rag_docvqa_tpu.models import t5 as t5m_mod
+    from rag_docvqa_tpu.models import vt5 as vt5m_mod
+    from rag_docvqa_tpu.models.convert import convert_t5_state_dict, torch_state_dict_to_numpy
+    from rag_docvqa_tpu.models.embeddings import SpatialConfig, init_spatial_params
+    from rag_docvqa_tpu.ops.chunking import ChunkSpec
+    from rag_docvqa_tpu.ops.gather import assemble_concat
+    from test_engine_golden_parity import oracle_generate
+
+    base = t5m_mod.T5Config(vocab_size=TOK.vocab_size, dropout_rate=0.0, flash_encoder=True)
+    vt5_cfg = vt5m_mod.VT5Config(
+        t5=base, spatial=SpatialConfig(hidden_size=768, dropout_rate=0.0), use_visual=False
+    )
+    hf_cfg = HFT5Config(
+        vocab_size=TOK.vocab_size, d_model=768, d_kv=64, num_heads=12, d_ff=3072,
+        num_layers=12, num_decoder_layers=12, dropout_rate=0.0,
+        feed_forward_proj="relu", tie_word_embeddings=True, decoder_start_token_id=0,
+    )
+    torch.manual_seed(0)
+    hf = T5ForConditionalGeneration(hf_cfg).eval()
+    t5_params = convert_t5_state_dict(torch_state_dict_to_numpy(hf), base)
+    spatial = jax.tree.map(np.asarray, init_spatial_params(jax.random.PRNGKey(3),
+                                                           vt5_cfg.spatial))
+    params = jax.tree.map(jnp.asarray, {"t5": t5_params, "spatial": spatial})
+
+    rag = dataclasses.replace(RAG, max_source_length=512, max_new_tokens=4)
+    docs = make_corpus(2, n_pages=3, words_per_page=30, seed=0)
+    ing = DocVQAIngestor(TOK, SPEC, CAPS)
+    batch, aux = ing.ingest(docs)
+
+    eng = RAGVT5Engine(rag, vt5_cfg, params, TOK)
+    assert eng.vt5_cfg.t5.flash_encoder
+    out = eng.inference(batch, aux)
+
+    shared = np.asarray(params["t5"]["shared"])
+    ret = retrieve_device(params["t5"]["shared"], batch, k=rag.chunk_num)
+    gen, _ = assemble_concat(batch, ret.top_k_idx, ret.top_k_valid, rag.assemble())
+    gen_ids = np.asarray(gen.input_ids)
+    gen_boxes = np.asarray(gen.input_boxes)
+
+    import test_engine_golden_parity as g1
+
+    for b, doc in enumerate(docs):
+        chunks, o_topk = g1.oracle_retrieve(doc, shared, rag=rag)
+        k = len(o_topk)
+        np.testing.assert_array_equal(np.asarray(ret.top_k_idx)[b, :k], o_topk)
+        o_ids, o_boxes, _ = g1.oracle_assemble(doc, chunks, o_topk, rag=rag)
+        np.testing.assert_array_equal(gen_ids[b], o_ids)
+        np.testing.assert_array_equal(gen_boxes[b], o_boxes)
+
+    lens = [int(np.asarray(gen.attention_mask)[b].sum()) for b in range(len(docs))]
+    o_seqs, o_conf = oracle_generate(hf, spatial, gen_ids, gen_boxes, lens)
+    # oracle_generate decodes RAG.max_new_tokens (8); compare the engine's 4
+    for b in range(len(docs)):
+        o_ids = _truncate(o_seqs[b][: rag.max_new_tokens], TOK.eos_id, TOK.pad_id)
+        assert out["pred_answers"][b] == TOK.decode(o_ids)
+    # f32 accumulation order differs at 768 dims (flash online softmax vs
+    # torch): confidence tolerance is looser than the tiny-config cases
+    np.testing.assert_allclose(
+        np.asarray(out["confidences"]),
+        [float(c) for c in _conf_prefix(hf, spatial, gen_ids, gen_boxes, lens, rag.max_new_tokens)],
+        rtol=2e-2, atol=2e-3,
+    )
+
+
+def _conf_prefix(hf, spatial, ids, boxes, lens, max_new):
+    """HF greedy confidence at an explicit horizon (prod of max softmax over
+    the first max_new steps, dropping the final one)."""
+    import test_engine_golden_parity as g1
+
+    shared_t = hf.get_input_embeddings().weight
+    x_emb = torch.from_numpy(np.asarray(spatial["x_emb"]))
+    y_emb = torch.from_numpy(np.asarray(spatial["y_emb"]))
+    ln_w = torch.from_numpy(np.asarray(spatial["ln_w"]))
+    ln_b = torch.from_numpy(np.asarray(spatial["ln_b"]))
+    mk = torch.from_numpy(np.asarray(spatial["matcher"]["kernel"]))
+    mb = torch.from_numpy(np.asarray(spatial["matcher"]["bias"]))
+    ids_t = torch.from_numpy(ids).long()
+    box_t = torch.from_numpy(np.clip(boxes, 0, 1023)).long()
+    sem = shared_t[ids_t]
+    sp = x_emb[box_t[..., 0]] + y_emb[box_t[..., 1]] + x_emb[box_t[..., 2]] + y_emb[box_t[..., 3]]
+    sp = torch.nn.functional.layer_norm(sp, sp.shape[-1:], ln_w, ln_b, eps=1e-12)
+    embeds = sem + sp @ mk + mb
+    mask = (torch.arange(ids.shape[1])[None, :] < torch.as_tensor(lens)[:, None]).long()
+    with torch.no_grad():
+        outg = hf.generate(
+            inputs_embeds=embeds, attention_mask=mask, max_new_tokens=max_new,
+            do_sample=False, num_beams=1, output_scores=True, return_dict_in_generate=True,
+        )
+    scores = torch.stack(outg.scores, dim=1)[:, : max_new - 1, :]
+    return torch.amax(scores.softmax(-1), 2).prod(1).numpy()
