@@ -374,6 +374,12 @@ def main():
                     "e2e_retrieve_generate_pages_per_sec": round(e2e_pages_per_sec, 1),
                     "e2e_ms_per_batch": round(e2e_time * 1e3, 2),
                     "e2e_mfu": round(e2e_mfu, 3),
+                    "e2e_assemble_ms": round(e2e_assemble_ms, 2),
+                    "e2e_encode_ms": round(e2e_encode_ms, 2),
+                    "e2e_decode_ms": round(e2e_decode_ms, 2),
+                    "train_step_ms": round(train_time * 1e3, 2),
+                    "train_tokens_per_sec": round(train_tokens_per_sec, 1),
+                    "train_step_mfu": round(train_mfu, 3),
                     "baseline_def": "reference-structure per-doc dispatch loop on same chip, no host syncs",
                 },
             }
