@@ -59,6 +59,11 @@ class T5Config:
     # Channel-wise (per L,B,H,dk) scales fold into the query / the output —
     # no extra bandwidth. Small quality drift (opt-in; see test_t5 tolerance).
     decode_kv_int8: bool = False
+    # fused Pallas single-query cross-attention (ops/decode_attention.py).
+    # EXPERIMENTAL, off by default: the band-matmul form measured SLOWER than
+    # the XLA int8 path on the v5e (10.0 vs 7.75 ms/step at t5-base B=128
+    # Te=512) — kept for correctness-tested iteration on the kernel layout.
+    fused_decode_attn: bool = False
 
     @property
     def inner_dim(self) -> int:
@@ -444,6 +449,16 @@ def decode_step(
     }
 
     int8_kv = cfg.decode_kv_int8
+    # fused decode attention holds one batch row's full (H*Te, dk) KV pair
+    # (double-buffered) plus the (H, H*Te) f32 score/prob tiles in VMEM;
+    # guard the budget so extreme Te falls back to the XLA path
+    Te = cache.cross_k.shape[3]
+    H, dk = cfg.num_heads, cfg.d_kv
+    _fused_vmem = (
+        4 * H * Te * dk * cache.cross_k.dtype.itemsize  # k+v, double-buffered
+        + 2 * H * H * Te * 4  # scores + probs f32
+    )
+    use_fused_decode = cfg.fused_decode_attn and _fused_vmem < 12 * 2**20
 
     def block(x, layer_and_cache):
         if int8_kv:
@@ -459,7 +474,15 @@ def decode_step(
         x = x + dense(_attend_one(q, sk, sv, self_bias, self_mask), layer["self_attn"]["o"])
         h = rms_norm(x, layer["ln1"], cfg.layer_norm_eps)
         q = split_q(h, layer["cross_attn"]["q"])
-        if int8_kv:
+        if use_fused_decode:
+            from rag_docvqa_tpu.ops.decode_attention import fused_cross_attention
+
+            a = fused_cross_attention(
+                q, ck, cv, encoder_mask,
+                k_scale=ks[:, :, 0, :] if int8_kv else None,
+                v_scale=vs[:, :, 0, :] if int8_kv else None,
+            ).astype(q.dtype)
+        elif int8_kv:
             # channel scales fold into the query (scores) and the output (PV):
             # only int8 bytes stream from HBM
             qs = q.astype(jnp.float32) * ks[:, :, 0, :]  # (B, H, dk)

@@ -10,7 +10,11 @@ Device side:
                 dedup ownership, token flattening)
   * decode    — cached greedy decode loop with confidence product
   * flash_attention — fused online-softmax encoder/causal attention
-                (in-kernel key masking, streamed T5 rel-pos bias, GQA)
+                (in-kernel key masking, streamed T5 rel-pos bias, GQA,
+                custom recompute-based VJP incl. the bias gradient)
+  * decode_attention — fused single-query cross-attention for greedy
+                decode (streams the int8/bf16 KV cache once per step,
+                VMEM-local dequant)
   * late_interaction — ColBERT MaxSim scoring (jnp + fused Pallas)
   * quant     — int8 row-quantized index + bit-exact int8 top-k kernels
   * s2chunker — spectral layout-region clustering (numpy)

@@ -196,3 +196,53 @@ def test_decode_kv_int8_close_to_fp(tiny_params):
     toks_q, conf_q = greedy_decode(tiny_params, qcfg, h, mask, max_new_tokens=6)
     np.testing.assert_array_equal(np.asarray(toks_fp), np.asarray(toks_q))
     np.testing.assert_allclose(np.asarray(conf_fp), np.asarray(conf_q), rtol=0.02, atol=0.02)
+
+
+def test_fused_decode_attention_matches_xla():
+    """ops/decode_attention.py (interpret) == _attend_one semantics, and the
+    full greedy decode is identical with fused_decode_attn on/off for both
+    bf16 and int8 caches."""
+    import dataclasses
+
+    from rag_docvqa_tpu.ops.decode_attention import fused_cross_attention
+
+    rng = np.random.RandomState(0)
+    B, H, Te, dk = 3, 4, 24, 8
+    q = jnp.asarray(rng.randn(B, H, dk).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, H, Te, dk).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, H, Te, dk).astype(np.float32))
+    mask = jnp.arange(Te)[None, :] < jnp.asarray([24, 11, 5])[:, None]
+
+    got = fused_cross_attention(q, k, v, mask, interpret=True)
+    want = t5m._attend_one(q, k, v, None, mask[:, None, :])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want, np.float32),
+                               rtol=2e-5, atol=2e-5)
+
+    # channel scales fold outside: matches explicit dequant
+    ks = jnp.asarray(rng.rand(B, H, dk).astype(np.float32) + 0.5)
+    vs = jnp.asarray(rng.rand(B, H, dk).astype(np.float32) + 0.5)
+    ki = jnp.clip(jnp.round(k / ks[:, :, None, :]), -127, 127).astype(jnp.int8)
+    vi = jnp.clip(jnp.round(v / vs[:, :, None, :]), -127, 127).astype(jnp.int8)
+    got8 = fused_cross_attention(q, ki, vi, mask, k_scale=ks, v_scale=vs, interpret=True)
+    want8 = t5m._attend_one(
+        q, ki.astype(jnp.float32) * ks[:, :, None, :],
+        vi.astype(jnp.float32) * vs[:, :, None, :], None, mask[:, None, :],
+    )
+    np.testing.assert_allclose(np.asarray(got8), np.asarray(want8, np.float32),
+                               rtol=2e-4, atol=2e-4)
+
+    # end-to-end greedy decode parity (tiny config, both cache dtypes)
+    cfg = t5m.T5Config(vocab_size=128, d_model=32, d_kv=8, num_heads=4, d_ff=64,
+                       num_encoder_layers=2, num_decoder_layers=2, dropout_rate=0.0)
+    params = t5m.init_t5_params(jax.random.PRNGKey(0), cfg)
+    enc = jnp.asarray(rng.randn(2, 20, 32).astype(np.float32))
+    emask = jnp.arange(20)[None, :] < jnp.asarray([20, 13])[:, None]
+    from rag_docvqa_tpu.ops.decode import greedy_decode
+
+    for int8 in (False, True):
+        base = dataclasses.replace(cfg, decode_kv_int8=int8)
+        fused = dataclasses.replace(base, fused_decode_attn=True)
+        t_ref, c_ref = greedy_decode(params, base, enc, emask, max_new_tokens=6)
+        t_fus, c_fus = greedy_decode(params, fused, enc, emask, max_new_tokens=6)
+        np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_fus))
+        np.testing.assert_allclose(np.asarray(c_ref), np.asarray(c_fus), rtol=2e-5, atol=2e-5)
