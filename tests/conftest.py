@@ -18,3 +18,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent XLA compilation cache: the quick tier spends ~2/3 of its wall
+# clock compiling (the 15 slowest tests are all first-compile dominated —
+# 25 min cold vs minutes warm). Cache survives across runs in the repo's
+# .pytest_cache; delete it to force cold compiles.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), ".xla_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
