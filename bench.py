@@ -127,11 +127,23 @@ def main():
     )
     acfg = rag.assemble()
 
+    # split dispatch (ops/decode.py::greedy_decode_split): encoder program,
+    # then cache build + decode loop as separate programs — the decode loop
+    # runs ~2.5x faster when the cross-KV cache arrives as a program input
+    # (measured 7.8 -> 3.1 ms/step; in-program XLA relayout-copies the cache
+    # and reads it slower inside the while loop)
+    from rag_docvqa_tpu.ops.decode import greedy_decode_split
+
     @jax.jit
-    def e2e(params, batch):
+    def e2e_enc_part(params, batch):
         ret = retrieve_device(params["t5"]["shared"], batch, k=TOP_K)
         gen, _ = assemble_concat(batch, ret.top_k_idx, ret.top_k_valid, acfg)
-        tokens_out, conf = vt5m.generate(params, vt5_cfg, gen, max_new_tokens=E2E_NEW)
+        embeds, mask = vt5m.input_embeds(params, vt5_cfg, gen)
+        return t5m.encode(params["t5"], t5_cfg, embeds, mask), mask
+
+    def e2e(params, batch):
+        enc, mask = e2e_enc_part(params, batch)
+        _, conf = greedy_decode_split(params["t5"], t5_cfg, enc, mask, E2E_NEW)
         return conf
 
     _sync(e2e(vt5_params, batch))

@@ -61,11 +61,20 @@ def _encode_patch_sets(params, cfg: p2s.Pix2StructConfig, patches: jax.Array, ma
     return p2s.vision_encode(params, cfg, patches, mask)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens"))
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _vision_encode_device(params, cfg, patches, masks):
+    return p2s.vision_encode(params, cfg, patches, masks)
+
+
 def _generate_device(params, cfg, patches, masks, max_new_tokens):
-    """Jitted Pix2Struct generate (vision encode + cached greedy decode as
-    one program — avoids eager op-by-op dispatch)."""
-    return p2s.generate(params, cfg, patches, masks, max_new_tokens)
+    """Split-dispatch Pix2Struct generate: vision encode and the greedy
+    decode loop as separate XLA programs (ops/decode.py::greedy_decode_split
+    — the loop runs ~2.5x faster on TPU when the decode cache arrives as a
+    program input). Same results as one-program p2s.generate."""
+    from rag_docvqa_tpu.ops.decode import greedy_decode_split
+
+    enc = _vision_encode_device(params, cfg, patches, masks)
+    return greedy_decode_split(params["text"], cfg.text, enc, masks.astype(bool), max_new_tokens)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

@@ -342,7 +342,12 @@ def decode_step(
         x = x + _proj(_act(_proj(h, layer["gate"]), cfg) * _proj(h, layer["up"]), layer["down"])
         return x, (kc, vc)
 
-    x, (kc, vc) = jax.lax.scan(block, x, (params["blocks"], (cache.k, cache.v)))
+    # FULLY unroll the layer loop: a rolled lax.scan nested inside the decode
+    # loop materializes each layer's KV-cache dynamic-slice instead of fusing
+    # it into the attention dots (measured 2.7x on the T5 decoder, see
+    # models/t5.py::decode_step). Same nested-scan structure here.
+    x, (kc, vc) = jax.lax.scan(block, x, (params["blocks"], (cache.k, cache.v)),
+                               unroll=cfg.num_layers)
     x = _ln(x, params["final_ln"], cfg)
     logits = (
         x @ params["embed"].T.astype(x.dtype)

@@ -59,10 +59,15 @@ class T5Config:
     # Channel-wise (per L,B,H,dk) scales fold into the query / the output —
     # no extra bandwidth. Small quality drift (opt-in; see test_t5 tolerance).
     decode_kv_int8: bool = False
-    # fused Pallas single-query cross-attention (ops/decode_attention.py).
-    # EXPERIMENTAL, off by default: the band-matmul form measured SLOWER than
-    # the XLA int8 path on the v5e (10.0 vs 7.75 ms/step at t5-base B=128
-    # Te=512) — kept for correctness-tested iteration on the kernel layout.
+    # fused Pallas single-query cross-attention (ops/decode_attention.py):
+    # streams the KV cache HBM->VMEM once per step in its stored dtype
+    # (int8/bf16) via tile-aligned packed layouts and dequantizes on chip.
+    # EXPERIMENTAL, off by default: with the layer loop unrolled and the
+    # decode loop dispatched as its own program (ops/decode.py), the plain
+    # XLA int8 path measured FASTER than the kernel (0.227 vs 0.304
+    # ms/layer-step isolated at t5-base B=128 Te=512 on v5e) — the kernel's
+    # per-grid-step overhead outweighs its single-stream advantage. Kept
+    # correctness-tested for iteration on future shapes.
     fused_decode_attn: bool = False
 
     @property
@@ -334,11 +339,28 @@ class DecodeCache:
     # the unavoidable KV HBM read per decode step
     self_k: jax.Array  # (L, B, H, Tmax, dk)
     self_v: jax.Array  # (L, B, H, Tmax, dk)
-    cross_k: jax.Array  # (L, B, H, Te, dk) bf16/f32, or int8 (decode_kv_int8)
-    cross_v: jax.Array  # (L, B, H, Te, dk)
+    # Natural layout (L, B, H, Te, dk) bf16/f32/int8 — OR, when the fused
+    # decode kernel is active, the pack_decode_kv layouts
+    # cross_k (L, B, H*dk, Te) / cross_v (L, B, Te, H*dk). The ndim (4 vs 5)
+    # is the single source of truth for which path decode_step takes, so the
+    # cache-build decision and the step can never disagree.
+    cross_k: jax.Array
+    cross_v: jax.Array
     # channel-wise dequant scales, present only with decode_kv_int8
     cross_k_scale: Optional[jax.Array] = None  # (L, B, H, 1, dk) f32
     cross_v_scale: Optional[jax.Array] = None
+
+
+def _fused_decode_ok(cfg: T5Config, seq_len: int, itemsize: int) -> bool:
+    """Whether the fused decode cross-attention kernel applies: opted in,
+    tile-aligned dims, and the per-row blocks fit the VMEM budget."""
+    if not cfg.fused_decode_attn:
+        return False
+    if seq_len % 128 != 0 or (cfg.num_heads * cfg.d_kv) % 128 != 0:
+        return False
+    from rag_docvqa_tpu.ops.decode_attention import fused_decode_vmem_bytes
+
+    return fused_decode_vmem_bytes(cfg.num_heads, seq_len, cfg.d_kv, itemsize) < 12 * 2**20
 
 
 def _quantize_kv(x: jax.Array):
@@ -359,6 +381,7 @@ def init_decode_cache(
     dec = params["decoder"]
     B, Te, _ = encoder_hidden.shape
     L = cfg.num_decoder_layers
+    fused = _fused_decode_ok(cfg, Te, 1 if cfg.decode_kv_int8 else encoder_hidden.dtype.itemsize)
 
     def per_layer(_, layer):
         k = _split_heads(dense(encoder_hidden, layer["k"]), cfg.num_heads)
@@ -367,9 +390,14 @@ def init_decode_cache(
         k = jnp.transpose(k, (0, 2, 1, 3))
         v = jnp.transpose(v, (0, 2, 1, 3))
         if cfg.decode_kv_int8:
-            kq, ks = _quantize_kv(k)
-            vq, vs = _quantize_kv(v)
-            return None, (kq, vq, ks, vs)
+            k, ks = _quantize_kv(k)
+            v, vs = _quantize_kv(v)
+        if fused:
+            from rag_docvqa_tpu.ops.decode_attention import pack_decode_kv
+
+            k, v = pack_decode_kv(k, v)
+        if cfg.decode_kv_int8:
+            return None, (k, v, ks, vs)
         return None, (k, v)
 
     shape = (L, B, cfg.num_heads, max_decode_len, cfg.d_kv)
@@ -449,16 +477,9 @@ def decode_step(
     }
 
     int8_kv = cfg.decode_kv_int8
-    # fused decode attention holds one batch row's full (H*Te, dk) KV pair
-    # (double-buffered) plus the (H, H*Te) f32 score/prob tiles in VMEM;
-    # guard the budget so extreme Te falls back to the XLA path
-    Te = cache.cross_k.shape[3]
-    H, dk = cfg.num_heads, cfg.d_kv
-    _fused_vmem = (
-        4 * H * Te * dk * cache.cross_k.dtype.itemsize  # k+v, double-buffered
-        + 2 * H * H * Te * 4  # scores + probs f32
-    )
-    use_fused_decode = cfg.fused_decode_attn and _fused_vmem < 12 * 2**20
+    # the cache layout (4-D packed vs 5-D natural per layer) IS the decision:
+    # init_decode_cache packed it iff the fused kernel applies
+    use_fused_decode = cache.cross_k.ndim == 4
 
     def block(x, layer_and_cache):
         if int8_kv:
@@ -477,6 +498,7 @@ def decode_step(
         if use_fused_decode:
             from rag_docvqa_tpu.ops.decode_attention import fused_cross_attention
 
+            # ck (B, H*dk, Te) / cv (B, Te, H*dk) — pack_decode_kv layout
             a = fused_cross_attention(
                 q, ck, cv, encoder_mask,
                 k_scale=ks[:, :, 0, :] if int8_kv else None,
@@ -511,7 +533,12 @@ def decode_step(
                         cache.cross_v_scale, cache.self_k, cache.self_v))
     else:
         xs = (stacked, (cache.cross_k, cache.cross_v, cache.self_k, cache.self_v))
-    x, (new_sk, new_sv) = jax.lax.scan(block, x, xs)
+    # FULLY unroll the layer loop: a rolled lax.scan nested inside the decode
+    # loop materializes each layer's ~100 MB KV dynamic-slice instead of
+    # fusing it into the attention dots — measured 6.15 -> 2.25 ms/step at
+    # t5-base B=128 Te=512 int8 on v5e (2.7x; 1.5x off the HBM floor).
+    # Partial unroll keeps the loop and is WORSE (13.7 ms/step at unroll=4).
+    x, (new_sk, new_sv) = jax.lax.scan(block, x, xs, unroll=cfg.num_decoder_layers)
     x = rms_norm(x, dec["final_ln"], cfg.layer_norm_eps)
     logits = lm_logits(params, cfg, x[:, None, :])[:, 0, :]
     return logits, cache.replace(self_k=new_sk, self_v=new_sv)
