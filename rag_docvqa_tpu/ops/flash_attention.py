@@ -143,6 +143,65 @@ def _flash_kernel_nobias(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, ml_ref, 
     _flash_kernel(q_ref, k_ref, v_ref, mask_ref, None, o_ref, lse_ref, acc_ref=acc_ref, ml_ref=ml_ref, **kw)
 
 
+def _flash_kernel_single(
+    q_ref, k_ref, v_ref, mask_ref, bias_ref, o_ref, lse_ref,
+    *, scale: float, causal: bool, block_q: int, block_k: int, rep: int,
+    rows: int = 1,
+):
+    """Single-K-block fast path (nk == 1: the whole key axis fits one block —
+    the common encoder case at T <= block_k). One plain softmax pass, no
+    running-max/denominator scratch, no revisit bookkeeping.
+
+    Grid is (Hkv, nq, B/rows) with BATCH INNERMOST: the batch-shared T5
+    rel-pos bias block's index is then constant across consecutive grid
+    steps, so Mosaic skips its re-fetch — at B=128 H=12 T=512 that cuts bias
+    DMA from ~786 MB to ~6 MB per layer (the bias tile was half of every
+    step's streamed bytes). `rows` batch rows per step (unrolled loop)
+    amortize the fixed per-grid-step overhead."""
+    qi = pl.program_id(1)
+    R = rep * block_q
+    bias = None
+    if bias_ref is not None:
+        bias = bias_ref[0, 0].reshape(R, block_k)
+        if bias.dtype != jnp.float32:
+            bias = bias.astype(jnp.float32)
+    for i in range(rows):
+        q = q_ref[i, 0].reshape(R, q_ref.shape[-1])
+        k = k_ref[i, 0]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (R, bk) f32
+        if scale != 1.0:
+            s = s * scale
+        if bias is not None:
+            s = s + bias
+        valid = jnp.broadcast_to(mask_ref[i], (R, block_k))
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, (R, block_k), 0)
+            q_pos = qi * block_q + row % block_q
+            k_pos = jax.lax.broadcasted_iota(jnp.int32, (R, block_k), 1)
+            valid = valid & (k_pos <= q_pos)
+        s = jnp.where(valid, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)  # (R, 1)
+        alive = m > NEG_INF / 2  # fully-masked rows emit zeros (oracle contract)
+        p = jnp.where(alive, jnp.exp(s - m), 0.0)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[i, 0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (R, dh)
+        out = (pv / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        o_ref[i, 0] = out.reshape(rep, block_q, o_ref.shape[-1])
+        lse = jnp.where(alive, m + jnp.log(jnp.maximum(l, 1e-30)), NEG_INF)
+        lse_ref[i, 0] = lse.reshape(rep, block_q, 1)
+
+
+def _flash_kernel_single_nobias(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, **kw):
+    _flash_kernel_single(q_ref, k_ref, v_ref, mask_ref, None, o_ref, lse_ref, **kw)
+
+
 def _pick_block_q(block_q, Tq, vmem_fn, budget=14 * 2**20):
     """Shrink the query-block rows until the estimated VMEM footprint fits,
     then round to a sublane-aligned multiple of 16 (a 300-row block halves to
@@ -151,6 +210,78 @@ def _pick_block_q(block_q, Tq, vmem_fn, budget=14 * 2**20):
     while bq > 16 and vmem_fn(bq) > budget:
         bq //= 2
     return max(16, bq - bq % 16)
+
+
+def _fwd_call_single(qT, kT, vT, maskB, bias5, *, scale, causal, bq, bk, rep, interpret):
+    """Forward dispatch for nk == 1 (whole key axis in one block): the
+    no-scratch single-pass kernel on a (Hkv, nq, B) grid — batch innermost so
+    the batch-shared bias block is fetched once per (head, q-block), not once
+    per batch row (see _flash_kernel_single)."""
+    B, Hkv, _, Tq_p, dh = qT.shape
+    Tk_p = kT.shape[2]
+    H = Hkv * rep
+    nq = Tq_p // bq
+
+    # batch rows per grid step: amortize fixed per-step overhead while the
+    # in-flight f32 score/prob tiles (~rep*bq*bk*8 bytes per row) fit VMEM.
+    # Per-sample bias (bb == B) keeps rows=1 — its block is indexed per row.
+    rows = 1
+    tile_bytes = rep * bq * bk * 8 + 4 * bq * dh * qT.dtype.itemsize
+    if bias5 is None or bias5.shape[0] == 1:
+        for r in (4, 2):
+            if B % r == 0 and r * tile_bytes < 8 * 2**20:
+                rows = r
+                break
+
+    grid = (Hkv, nq, B // rows)
+    in_specs = [
+        pl.BlockSpec((rows, 1, rep, bq, dh), lambda g, i, b: (b, g, 0, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows, 1, bk, dh), lambda g, i, b: (b, g, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows, 1, bk, dh), lambda g, i, b: (b, g, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows, 1, bk), lambda g, i, b: (b, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [qT, kT, vT, maskB]
+    if bias5 is not None:
+        bb = bias5.shape[0]
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, rep, bq, bk),
+                # bb == 1 (batch-shared): index constant in b -> one DMA per
+                # (head, q-block); bb == B (per-sample): streams per row
+                (lambda g, i, b: (0, g, 0, i, 0)) if bb == 1 else (lambda g, i, b: (b, g, 0, i, 0)),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        args.append(bias5)
+
+    kernel = functools.partial(
+        _flash_kernel_single if bias5 is not None else _flash_kernel_single_nobias,
+        scale=scale, causal=causal, block_q=bq, block_k=bk, rep=rep, rows=rows,
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((rows, 1, rep, bq, dh), lambda g, i, b: (b, g, 0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 1, rep, bq, 1), lambda g, i, b: (b, g, 0, i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Hkv, rep, Tq_p, dh), qT.dtype),
+            jax.ShapeDtypeStruct((B, Hkv, rep, Tq_p, 1), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * Tq_p * Tk_p * dh,
+            bytes_accessed=(
+                B * (H * Tq_p + 2 * Hkv * Tk_p) * dh * qT.dtype.itemsize
+                + (Hkv * rep * Tq_p * Tk_p * bias5.dtype.itemsize if bias5 is not None else 0)
+                + B * H * Tq_p * dh * qT.dtype.itemsize
+            ),
+            transcendentals=B * H * Tq_p * Tk_p,
+        ),
+        interpret=interpret,
+    )(*args)
+    return out, lse
 
 
 def _fwd_call(qT, kT, vT, maskB, bias5, *, scale, causal, bq, bk, rep, interpret):
@@ -163,6 +294,10 @@ def _fwd_call(qT, kT, vT, maskB, bias5, *, scale, causal, bq, bk, rep, interpret
     Tk_p = kT.shape[2]
     H = Hkv * rep
     nq, nk = Tq_p // bq, Tk_p // bk
+    if nk == 1:
+        return _fwd_call_single(qT, kT, vT, maskB, bias5,
+                                scale=scale, causal=causal, bq=bq, bk=bk,
+                                rep=rep, interpret=interpret)
     if causal:
         # blocks above the diagonal re-point at the previous (already live)
         # K/V tile: no DMA, and the kernel's `live` guard skips their compute
