@@ -70,3 +70,32 @@ def test_ingest_truncation_respects_caps():
     # chunk slot spans stay in bounds
     ends = batch.chunk_slot_start[0] + batch.chunk_slot_len[0]
     assert (ends <= 6).all()
+
+
+def test_chunk_embed_fast_path_matches_reencode():
+    """The gathered-from-word-rows chunk embed ids (fast path, taken when the
+    tokenizer's encode() is concat-of-encode_word) must equal re-encoding the
+    joined chunk text; dirty words (whitespace, truncation) force the exact
+    fallback on that page."""
+    from rag_docvqa_tpu.data.tokenizer import BaseTokenizer, HashTokenizer
+
+    tok = HashTokenizer(vocab_size=2048)
+    assert type(tok).encode is BaseTokenizer.encode  # fast path eligible
+    caps = Caps(max_pages=4, max_chunks=16, max_slots=64, tokens_per_word=4, embed_tokens=24)
+    ing = DocVQAIngestor(tok, ChunkSpec(chunk_size=5, overlap=1), caps)
+    batch, aux = ing.ingest([make_doc(), make_doc(n_pages=1, words_per_page=3)])
+    for b, texts in enumerate(aux["chunk_texts"]):
+        for ci, text in enumerate(texts):
+            want = tok.encode(text)[: caps.embed_tokens]
+            got = batch.chunk_emb_tokens[b, ci][batch.chunk_emb_mask[b, ci]].tolist()
+            assert got == want, (b, ci, text)
+
+    # a whitespace-containing word triggers the page-level fallback and the
+    # batch still matches the joined-text re-encode (split() semantics)
+    doc = make_doc(n_pages=1, words_per_page=4)
+    doc.words[0][1] = "two words"
+    batch2, aux2 = ing.ingest([doc])
+    for ci, text in enumerate(aux2["chunk_texts"][0]):
+        want = tok.encode(text)[: caps.embed_tokens]
+        got = batch2.chunk_emb_tokens[0, ci][batch2.chunk_emb_mask[0, ci]].tolist()
+        assert got == want
