@@ -436,6 +436,35 @@ def _flash_bwd_dkv_kernel(
         dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
 
 
+def _flash_bwd_dkv_kernel_single(
+    q_ref, do_ref, lse_ref, dd_ref, k_ref, v_ref, mask_ref, bias_ref,
+    dk_ref, dv_ref,
+    *, scale, causal, bq, bk, rep,
+):
+    """nq == 1 dK/dV: the whole query axis is one block, so each K/V tile's
+    gradient completes in a single grid step — no scratch accumulators. Grid
+    (Hkv, nk, B), batch innermost (bias-block reuse, see _bwd_call)."""
+    kj = pl.program_id(1)
+    q, do, p, gs = _recompute_p_gs(
+        q_ref, do_ref, lse_ref, dd_ref, k_ref, v_ref, mask_ref, bias_ref,
+        scale=scale, causal=causal, bq=bq, bk=bk, rep=rep, qi=0, kj=kj,
+    )
+    dv_ref[0, 0] = jax.lax.dot_general(
+        p.astype(do.dtype), do, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dv_ref.dtype)
+    dk_ref[0, 0] = (jax.lax.dot_general(
+        gs.astype(q.dtype), q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale).astype(dk_ref.dtype)
+
+
+def _dkv_single_nobias(q_ref, do_ref, lse_ref, dd_ref, k_ref, v_ref, mask_ref,
+                       dk_ref, dv_ref, **kw):
+    _flash_bwd_dkv_kernel_single(q_ref, do_ref, lse_ref, dd_ref, k_ref, v_ref,
+                                 mask_ref, None, dk_ref, dv_ref, **kw)
+
+
 def _flash_bwd_dq_kernel(
     q_ref, do_ref, lse_ref, dd_ref, k_ref, v_ref, mask_ref, bias_ref,
     dq_ref, dbias_ref, dq_acc,
@@ -483,10 +512,12 @@ def _flash_bwd_dq_kernel(
         dq_ref[0, 0] = (dq_acc[:] * scale).reshape(rep, bq, dq_ref.shape[-1]).astype(dq_ref.dtype)
 
 
-def _bwd_call(res, g, *, scale, causal, rep, interpret, block_q=256, block_k=512):
+def _bwd_call(res, g, *, scale, causal, rep, interpret, block_q=512, block_k=512):
     """Dispatch the two backward kernels; returns (dq, dk, dv, dbias?) on the
-    grouped layouts. Chooses its own block sizes (the backward holds more
-    live VMEM than the forward)."""
+    grouped layouts. Chooses its own block sizes — the _vmem estimator
+    shrinks block_q when the backward's larger live set would not fit (e.g.
+    rep-folded GQA shapes); at T5-encoder shapes bq=512 holds, which enables
+    the single-query-block dK/dV pass below."""
     qT, kT, vT, maskB, bias5, out, lse = res
     B, Hkv, _, Tq_p, dh = qT.shape
     Tk_p = kT.shape[2]
@@ -525,7 +556,55 @@ def _bwd_call(res, g, *, scale, causal, rep, interpret, block_q=256, block_k=512
         transcendentals=2 * B * H * Tq_p * Tk_p,
     )
 
-    # ---- pass 1: dK/dV, grid (B, Hkv, nk, nq) -----------------------------
+    # ---- pass 1: dK/dV ----------------------------------------------------
+    if nq == 1:
+        # single query block: no accumulation over query tiles, so the grid
+        # reorders to (Hkv, nk, B) with batch innermost — the batch-shared
+        # bias block index is then constant across consecutive steps and
+        # Mosaic fetches it once per (head, key-block) instead of once per
+        # batch row (same trick as the forward _fwd_call_single)
+        dkv_in_specs = [
+            pl.BlockSpec((1, 1, rep, bq, dh), lambda g_, j, b: (b, g_, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rep, bq, dh), lambda g_, j, b: (b, g_, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rep, bq, 1), lambda g_, j, b: (b, g_, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rep, bq, 1), lambda g_, j, b: (b, g_, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, dh), lambda g_, j, b: (b, g_, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, dh), lambda g_, j, b: (b, g_, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk), lambda g_, j, b: (b, 0, j), memory_space=pltpu.VMEM),
+        ]
+        dkv_args = [qT, do, lse, dd, kT, vT, maskB]
+        if bias5 is not None:
+            dkv_in_specs.append(
+                pl.BlockSpec(
+                    (1, 1, rep, bq, bk),
+                    (lambda g_, j, b: (0, g_, 0, 0, j)) if bb == 1
+                    else (lambda g_, j, b: (b, g_, 0, 0, j)),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+            dkv_args.append(bias5)
+        dkv_kernel_s = functools.partial(
+            _flash_bwd_dkv_kernel_single if bias5 is not None else _dkv_single_nobias,
+            scale=scale, causal=causal, bq=bq, bk=bk, rep=rep,
+        )
+        dk, dv = pl.pallas_call(
+            dkv_kernel_s,
+            grid=(Hkv, nk, B),
+            in_specs=dkv_in_specs,
+            out_specs=(
+                pl.BlockSpec((1, 1, bk, dh), lambda g_, j, b: (b, g_, j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, bk, dh), lambda g_, j, b: (b, g_, j, 0), memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct(kT.shape, kT.dtype),
+                jax.ShapeDtypeStruct(vT.shape, vT.dtype),
+            ),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(*dkv_args)
+        return _dq_pass(res, do, lse, dd, dk, dv, scale=scale, causal=causal,
+                        rep=rep, interpret=interpret, bq=bq, bk=bk, nq=nq, nk=nk, cost=cost)
+
     if causal:
         q_i = lambda j, i: jnp.maximum(i, (j * bk) // bq)  # skip dead DMA
     else:
@@ -575,7 +654,18 @@ def _bwd_call(res, g, *, scale, causal, rep, interpret, block_q=256, block_k=512
         interpret=interpret,
     )(*args)
 
-    # ---- pass 2: dQ (+ dbias), grid (Hkv, nq, B, nk) ----------------------
+    return _dq_pass(res, do, lse, dd, dk, dv, scale=scale, causal=causal,
+                    rep=rep, interpret=interpret, bq=bq, bk=bk, nq=nq, nk=nk, cost=cost)
+
+
+def _dq_pass(res, do, lse, dd, dk, dv, *, scale, causal, rep, interpret, bq, bk, nq, nk, cost):
+    """Pass 2: dQ (+ dbias), grid (Hkv, nq, B, nk). The batch-shared bias
+    gradient's output block index depends only on (g, i), so its (batch,
+    key-block) revisits are consecutive and accumulate in place."""
+    qT, kT, vT, maskB, bias5, out, lse_res = res
+    B, Hkv, _, Tq_p, dh = qT.shape
+    Tk_p = kT.shape[2]
+    bb = bias5.shape[0] if bias5 is not None else 0
     if causal:
         kv_j = lambda i, j: jnp.minimum(j, (i * bq + bq - 1) // bk)
     else:
