@@ -176,16 +176,21 @@ def _flash_kernel_single(
             s = s * scale
         if bias is not None:
             s = s + bias
-        valid = jnp.broadcast_to(mask_ref[i], (R, block_k))
         if causal:
+            valid = jnp.broadcast_to(mask_ref[i], (R, block_k))
             row = jax.lax.broadcasted_iota(jnp.int32, (R, block_k), 0)
             q_pos = qi * block_q + row % block_q
             k_pos = jax.lax.broadcasted_iota(jnp.int32, (R, block_k), 1)
-            valid = valid & (k_pos <= q_pos)
-        s = jnp.where(valid, s, NEG_INF)
-        m = jnp.max(s, axis=-1, keepdims=True)  # (R, 1)
-        alive = m > NEG_INF / 2  # fully-masked rows emit zeros (oracle contract)
-        p = jnp.where(alive, jnp.exp(s - m), 0.0)
+            s = jnp.where(valid & (k_pos <= q_pos), s, NEG_INF)
+        else:
+            # key-pad mask as a (1, bk) additive vector: one cheap select on
+            # 1 row + a broadcast add, instead of a (R, bk) broadcast+select
+            s = s + jnp.where(mask_ref[i], 0.0, NEG_INF)
+        # clamping the row max keeps exp(s - m) underflowing to exactly 0 for
+        # fully-masked rows (s = -1e30, m = -5e29 -> exp(-5e29) = 0), so the
+        # zeros-for-masked-rows contract holds with no (R, bk) `alive` select
+        m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), NEG_INF * 0.5)  # (R, 1)
+        p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
         pv = jax.lax.dot_general(
             p.astype(v_ref.dtype), v_ref[i, 0],
@@ -194,7 +199,9 @@ def _flash_kernel_single(
         )  # (R, dh)
         out = (pv / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
         o_ref[i, 0] = out.reshape(rep, block_q, o_ref.shape[-1])
-        lse = jnp.where(alive, m + jnp.log(jnp.maximum(l, 1e-30)), NEG_INF)
+        # fully-masked rows: m is the -5e29 clamp and l = 0, so lse lands
+        # below NEG_INF/2 — the backward's `alive` guard still rejects them
+        lse = m + jnp.log(jnp.maximum(l, 1e-30))
         lse_ref[i, 0] = lse.reshape(rep, block_q, 1)
 
 
