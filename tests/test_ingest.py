@@ -99,3 +99,25 @@ def test_chunk_embed_fast_path_matches_reencode():
         want = tok.encode(text)[: caps.embed_tokens]
         got = batch2.chunk_emb_tokens[0, ci][batch2.chunk_emb_mask[0, ci]].tolist()
         assert got == want
+
+
+def test_vectorized_page_path_matches_slow_loop():
+    """The page-level vectorized ingest path must produce byte-identical
+    batches to the per-chunk loop (forced via _force_slow)."""
+    import dataclasses
+
+    from rag_docvqa_tpu.data.tokenizer import HashTokenizer
+
+    docs = [make_doc(n_pages=3, words_per_page=23), make_doc(n_pages=2, words_per_page=9)]
+    tok = HashTokenizer(vocab_size=4096)
+    ing = DocVQAIngestor(tok, ChunkSpec(chunk_size=5, overlap=2))
+    ing.caps = ing.plan_caps(docs)
+    fast, aux_f = ing.ingest(docs)
+    ing._force_slow = True
+    slow, aux_s = ing.ingest(docs)
+    for f in dataclasses.fields(fast):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(fast, f.name)), np.asarray(getattr(slow, f.name)), err_msg=f.name
+        )
+    assert aux_f["chunk_texts"] == aux_s["chunk_texts"]
+    assert aux_f["slot_words"] == aux_s["slot_words"]
