@@ -400,4 +400,23 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # The tunneled chip occasionally drops mid-run (UNAVAILABLE: TPU backend
+    # setup/compile error). A fresh PROCESS is required after that — the jax
+    # client in this one is poisoned — so retry via re-exec, bounded to two
+    # restarts. Measurements are unaffected: each attempt starts clean.
+    import os
+    import sys
+    import time as _time
+
+    attempt = int(os.environ.get("_BENCH_ATTEMPT", "0"))
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 — classify, maybe re-exec
+        transient = "UNAVAILABLE" in str(e) or "Unavailable" in str(e)
+        if transient and attempt < 2:
+            print(f"transient TPU error (attempt {attempt + 1}/3), retrying in 3 min: {e}",
+                  file=sys.stderr, flush=True)
+            _time.sleep(180)
+            env = dict(os.environ, _BENCH_ATTEMPT=str(attempt + 1))
+            os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)], env)
+        raise
