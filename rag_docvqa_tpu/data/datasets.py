@@ -572,6 +572,11 @@ def proportional_sampling_by_pages(
 # registry (reference build_dataset, build_utils.py:37-72)
 # --------------------------------------------------------------------------- #
 def build_dataset(config: Dict[str, Any], split: str) -> BaseDataset:
+    if "dataset_name" not in config:
+        raise SystemExit(
+            "no dataset configured — pass a dataset config (-d configs/<name>.yml, "
+            "e.g. -d configs/Synthetic.yml) or set dataset_name in the merged config"
+        )
     name = config["dataset_name"]
     noise = name.endswith("-Noise")
     base_name = name[: -len("-Noise")] if noise else name
