@@ -72,6 +72,8 @@ class DocVQAIngestor:
             with open(cache_path + ".aux.json") as f:
                 aux = json.load(f)
             aux["images"] = [None] * len(aux["questions"])  # images not cached
+            # layouts may hold numpy boxes (not JSON-cacheable); restore live
+            aux["layouts"] = [d.layout for d in docs]
             return ChunkedBatch(**arrays), aux
 
         import dataclasses
@@ -79,7 +81,7 @@ class DocVQAIngestor:
         batch, aux = self.ingest(docs)
         arrays = {f.name: np.asarray(getattr(batch, f.name)) for f in dataclasses.fields(batch)}
         np.savez_compressed(cache_path, **arrays)
-        aux_slim = {k: v for k, v in aux.items() if k != "images"}
+        aux_slim = {k: v for k, v in aux.items() if k not in ("images", "layouts")}
         with open(cache_path + ".aux.json", "w") as f:
             json.dump(aux_slim, f)
         return batch, aux
@@ -166,6 +168,7 @@ class DocVQAIngestor:
             "answer_types": [],
             "question_ids": [],
             "images": [],
+            "layouts": [],  # per doc: per page {boxes, labels[, clusters]} or None
             "chunk_texts": [],  # (B, n_chunks) compacted text, for eval_retrieval
             "slot_words": [],  # (B, n_slots) word strings in slot order
         }
@@ -184,6 +187,11 @@ class DocVQAIngestor:
             aux["answer_types"].append(doc.answer_type)
             aux["question_ids"].append(doc.question_id)
             aux["images"].append(doc.images)
+            # layout regions ride along so engines with a layout-guided
+            # visual path (RAGPix2Struct chunk_mode="layout") see them from
+            # the standard evaluate()/eval.py ingest, not only from direct
+            # inference(docs) calls
+            aux["layouts"].append(doc.layout)
 
             # question + prompt tokens
             q_ids = tk.encode(doc.question)[: c.question_tokens]

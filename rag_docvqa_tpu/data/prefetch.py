@@ -29,15 +29,29 @@ def prefetch(items: Iterable[T], depth: int = 2) -> Iterator[T]:
         return
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+
+    def _put(entry) -> bool:
+        # bounded put that aborts when the consumer has gone away — a plain
+        # q.put could block forever if the consumer exits mid-ingest (one
+        # drain pass can hit Empty while the producer is still ingesting)
+        while not stop.is_set():
+            try:
+                q.put(entry, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def _worker():
         try:
             for item in items:
-                q.put((False, item))
+                if not _put((False, item)):
+                    return
         except BaseException as e:  # noqa: BLE001 — relayed to the consumer
-            q.put((True, e))
+            _put((True, e))
         finally:
-            q.put((False, _SENTINEL))
+            _put((False, _SENTINEL))
 
     t = threading.Thread(target=_worker, daemon=True, name="ingest-prefetch")
     t.start()
@@ -50,12 +64,14 @@ def prefetch(items: Iterable[T], depth: int = 2) -> Iterator[T]:
                 break
             yield item
     finally:
-        # unblock the producer if the consumer stops early
+        # consumer stopped (normally or early): tell the producer, then drain
+        # until it exits so no ingested batch stays pinned on device
+        stop.set()
         while t.is_alive():
             try:
                 q.get_nowait()
             except queue.Empty:
-                break
+                t.join(timeout=0.05)
 
 
 def map_prefetch(fn: Callable[[T], object], items: Iterable[T], depth: int = 2) -> Iterator[object]:

@@ -81,10 +81,18 @@ def evaluate(
     for chunk, n_real, batch, aux, ingest_t in batches:
         load_time += ingest_t
         if stats is not None:
-            # chunk distributions, merged across batches (eval.py:359-378)
+            # chunk distributions, merged across batches (eval.py:359-378);
+            # computed on the real samples only — mesh-padding duplicates
+            # must not inflate the distributions
             from rag_docvqa_tpu.utils_stats import collect_ingest_stats
 
-            stats.merge(collect_ingest_stats(batch, aux))
+            sb, sa = batch, aux
+            if len(chunk) > n_real:
+                import jax as _jax
+
+                sb = _jax.tree_util.tree_map(lambda x: x[:n_real], batch)
+                sa = {k: v[:n_real] if isinstance(v, list) else v for k, v in aux.items()}
+            stats.merge(collect_ingest_stats(sb, sa))
 
         t0 = time.time()
         out = engine.inference(batch, aux)

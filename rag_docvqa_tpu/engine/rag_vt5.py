@@ -130,12 +130,11 @@ def retrieve_device(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "vt5_cfg"))
+@functools.partial(jax.jit, static_argnames=("vt5_cfg",))
 def encode_device(
     params: Dict[str, Any],
     vt5_cfg: vt5m.VT5Config,
     gen: GeneratorInputs,
-    cfg: AssembleConfig,
     visual: Optional[jax.Array] = None,
 ):
     """Assembled-inputs -> encoder hidden states + mask (one program)."""
@@ -149,7 +148,6 @@ def generate_device(
     params: Dict[str, Any],
     vt5_cfg: vt5m.VT5Config,
     gen: GeneratorInputs,
-    cfg: AssembleConfig,
     max_new_tokens: int,
     visual: Optional[jax.Array] = None,
 ):
@@ -160,7 +158,7 @@ def generate_device(
     single-program `vt5m.generate` jit."""
     from rag_docvqa_tpu.ops.decode import greedy_decode_split
 
-    enc, mask = encode_device(params, vt5_cfg, gen, cfg, visual)
+    enc, mask = encode_device(params, vt5_cfg, gen, visual)
     return greedy_decode_split(params["t5"], vt5_cfg.t5, enc, mask, max_new_tokens)
 
 
@@ -254,7 +252,7 @@ class RAGVT5Engine:
             # every page's words into one input (RAGVT5.py:342-354); we build
             # one row spanning all raw slots.
             gen = _assemble_full_doc(batch, acfg)
-            tokens, conf = generate_device(self.params, self.vt5_cfg, gen, acfg, cfg.max_new_tokens)
+            tokens, conf = generate_device(self.params, self.vt5_cfg, gen, cfg.max_new_tokens)
             answers = self._decode(tokens)
             return self._result(
                 answers=answers,
@@ -279,7 +277,7 @@ class RAGVT5Engine:
             gen, owner = assemble_concat(batch, ret.top_k_idx, ret.top_k_valid, acfg)
             visual = self._visual(batch, aux, owner, ret, rows="grid")
             tokens, conf = generate_device(
-                self.params, self.vt5_cfg, gen, acfg, cfg.max_new_tokens, visual=visual
+                self.params, self.vt5_cfg, gen, cfg.max_new_tokens, visual=visual
             )
             answers = self._decode(tokens)
             confs = np.asarray(conf).tolist()
@@ -291,14 +289,14 @@ class RAGVT5Engine:
                 batch, ret.top_k_idx, ret.top_k_valid, acfg, seq_len=cfg.per_chunk_seq_len
             )
             row_cfg = AssembleConfig(max_source_length=cfg.per_chunk_seq_len)
-            tokens, conf = generate_device(self.params, self.vt5_cfg, gen, row_cfg, cfg.max_new_tokens)
+            tokens, conf = generate_device(self.params, self.vt5_cfg, gen, cfg.max_new_tokens)
             answers, confs = self._select_rows(tokens, conf, row_valid, B, K, strategy.startswith("any"))
 
         elif strategy in ("maxconfpage", "anyconfpage"):
             row_cfg = AssembleConfig(max_source_length=cfg.max_source_length)
             gen = assemble_page_rows(batch, ret.top_k_page, ret.top_k_valid, row_cfg)
             owner = compute_ownership(batch, ret.top_k_idx, ret.top_k_valid, cfg.include_surroundings)
-            tokens, conf = generate_device(self.params, self.vt5_cfg, gen, row_cfg, cfg.max_new_tokens)
+            tokens, conf = generate_device(self.params, self.vt5_cfg, gen, cfg.max_new_tokens)
             answers, confs = self._select_rows(tokens, conf, np.asarray(ret.top_k_valid), B, K, strategy.startswith("any"))
 
         elif strategy in ("majorpage", "weightmajorpage"):
@@ -310,7 +308,7 @@ class RAGVT5Engine:
             row_cfg = AssembleConfig(max_source_length=cfg.max_source_length)
             gen = assemble_page_rows(batch, major[:, None], jnp.ones((B, 1), bool), row_cfg)
             owner = compute_ownership(batch, ret.top_k_idx, ret.top_k_valid, cfg.include_surroundings)
-            tokens, conf = generate_device(self.params, self.vt5_cfg, gen, row_cfg, cfg.max_new_tokens)
+            tokens, conf = generate_device(self.params, self.vt5_cfg, gen, cfg.max_new_tokens)
             answers = self._decode(tokens)
             confs = np.asarray(conf).tolist()
         else:

@@ -120,7 +120,9 @@ def chunk_page(
         out.labels.append(spec.default_label)
         return out
 
-    if not layout_boxes:
+    # len-based: detector outputs arrive as numpy arrays, whose truthiness
+    # is ambiguous for >1 box
+    if layout_boxes is None or len(layout_boxes) == 0:
         if n > 0:
             chunks = make_chunk_indices(range(n), spec.chunk_size, spec.overlap, spec.chunk_size_tol)
         else:

@@ -25,10 +25,17 @@ never materializes the (B, H, T, T) probability tensor either. Numerics:
 scores and the softmax recurrence accumulate in f32 (same as the XLA path);
 outputs cast back to the query dtype.
 
-Multi-device: the kernel is shard_map-compatible — inside shard_map each
-device runs it on its local batch/head shard with no cross-device traffic
-(the only cross-shard reduction, the batch-summed bias gradient, is produced
-per shard and reduced by the caller's ordinary gradient psum).
+Multi-device: two paths.
+  * shard_map — inside shard_map each device runs the kernel on its local
+    batch/head shard with no cross-device traffic (the only cross-shard
+    reduction, the batch-summed bias gradient, is produced per shard and
+    reduced by the caller's ordinary gradient psum).
+  * plain jit over GSPMD-sharded operands (how the engines and the Trainer
+    run) — Mosaic kernels are opaque to the auto-partitioner, which would
+    otherwise all-gather the operands and replicate the full kernel per
+    device. custom_partitioning wrappers (below) declare the call
+    partitionable over the batch and KV-head dims, so each device runs its
+    local shard; the batch-summed bias gradient gets one psum.
 
 Replaces the hot loop of reference VT5 generation (src/VT5.py:278-287 runs
 HF T5Attention, which materializes scores the same way torch-side).
@@ -50,7 +57,9 @@ NEG_INF = -1e30
 def flash_wanted(min_len: int = 0, seq_len: int = 1 << 30) -> bool:
     """Shared engine gate: fused attention pays on TPU at sequence lengths
     past the measured crossover. Multi-device runs keep it too — the kernel
-    is shard_map-compatible and differentiable (custom VJP below)."""
+    is differentiable (custom VJP below) and GSPMD-partitionable over batch
+    and KV-head dims (custom_partitioning below), so sharded jit programs
+    run it per-shard instead of replicating it."""
     return jax.default_backend() == "tpu" and seq_len >= min_len
 
 
@@ -291,7 +300,7 @@ def _fwd_call_single(qT, kT, vT, maskB, bias5, *, scale, causal, bq, bk, rep, in
     return out, lse
 
 
-def _fwd_call(qT, kT, vT, maskB, bias5, *, scale, causal, bq, bk, rep, interpret):
+def _fwd_call_impl(qT, kT, vT, maskB, bias5, *, scale, causal, bq, bk, rep, interpret):
     """Forward pallas dispatch on grouped tensors.
 
     qT (B, Hkv, rep, Tq, dh) / kT, vT (B, Hkv, Tk, dh) / maskB (B, 1, Tk) /
@@ -497,6 +506,15 @@ def _flash_bwd_dq_kernel(
 
     live = (kj * bk <= qi * bq + bq - 1) if causal else True
 
+    if dbias_ref is not None and bias_batched and causal:
+        # per-sample bias blocks map 1:1 to grid steps; steps above the
+        # causal diagonal skip _compute, so their output blocks must be
+        # zeroed explicitly — on real TPU an unwritten HBM block is garbage
+        # (interpret mode zero-fills, which hid this)
+        @pl.when(jnp.logical_not(live))
+        def _zero_dead_dbias():
+            dbias_ref[0, 0] = jnp.zeros(dbias_ref.shape[2:], dbias_ref.dtype)
+
     @pl.when(live)
     def _compute():
         q, do, p, gs = _recompute_p_gs(
@@ -519,7 +537,7 @@ def _flash_bwd_dq_kernel(
         dq_ref[0, 0] = (dq_acc[:] * scale).reshape(rep, bq, dq_ref.shape[-1]).astype(dq_ref.dtype)
 
 
-def _bwd_call(res, g, *, scale, causal, rep, interpret, block_q=512, block_k=512):
+def _bwd_call_impl(res, g, *, scale, causal, rep, interpret, block_q=512, block_k=512):
     """Dispatch the two backward kernels; returns (dq, dk, dv, dbias?) on the
     grouped layouts. Chooses its own block sizes — the _vmem estimator
     shrinks block_q when the backward's larger live set would not fit (e.g.
@@ -746,6 +764,182 @@ def _dq_nobias(q_ref, do_ref, lse_ref, dd_ref, k_ref, v_ref, mask_ref,
                dq_ref, dq_acc, **kw):
     _flash_bwd_dq_kernel(q_ref, do_ref, lse_ref, dd_ref, k_ref, v_ref, mask_ref,
                          None, dq_ref, None, dq_acc, **kw)
+
+
+# --------------------------------------------------------------------------- #
+# GSPMD partitioning: Mosaic kernels are opaque to the auto-sharding
+# partitioner — under plain jit with mesh-sharded operands XLA would insert
+# all-gathers and run the FULL kernel replicated on every device. The
+# custom_partitioning wrappers below declare the kernel partitionable over
+# the batch (dim 0) and KV-head (dim 1) axes: each device runs the pallas
+# call on its local (B/n, Hkv/m) shard, with the single cross-shard
+# reduction (the batch-summed rel-pos bias gradient) done with one psum.
+# Inside shard_map the kernel is already manually sharded, so the wrapper
+# steps aside (manual_axes is non-empty there).
+# --------------------------------------------------------------------------- #
+def _auto_partition_wanted() -> bool:
+    if jax.device_count() == 1:
+        return False
+    m = jax.sharding.get_abstract_mesh()
+    return not getattr(m, "manual_axes", ())
+
+
+def _axis_size(mesh, entry) -> int:
+    names = entry if isinstance(entry, tuple) else (entry,)
+    n = 1
+    for a in names:
+        n *= mesh.shape[a]
+    return n
+
+
+def _bg_of(mesh, q_info):
+    """Usable (batch, kv-head) mesh axes from q's propagated sharding
+    (qT: (B, Hkv, rep, Tq, dh)); an axis is kept only when it divides the
+    corresponding dim (otherwise that dim reshards to replicated)."""
+    from jax.sharding import NamedSharding
+
+    sh = q_info.sharding
+    if not isinstance(sh, NamedSharding):
+        return None, None
+    spec = sh.spec
+    B, Hkv = q_info.shape[0], q_info.shape[1]
+    b = spec[0] if len(spec) > 0 else None
+    g = spec[1] if len(spec) > 1 else None
+    if b is not None and B % _axis_size(mesh, b):
+        b = None
+    if g is not None and Hkv % _axis_size(mesh, g):
+        g = None
+    return b, g
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fwd_cp(has_bias, bias_batched, scale, causal, bq, bk, rep, interpret):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    kw = dict(scale=scale, causal=causal, bq=bq, bk=bk, rep=rep, interpret=interpret)
+
+    if has_bias:
+        fn = custom_partitioning(lambda q, k, v, m, b: _fwd_call_impl(q, k, v, m, b, **kw))
+        zb = "b" if bias_batched else "z"
+        rule = f"b g r q d, b g t d, b g t d, b u t, {zb} g r q t -> b g r q d, b g r q i"
+    else:
+        fn = custom_partitioning(lambda q, k, v, m: _fwd_call_impl(q, k, v, m, None, **kw))
+        rule = "b g r q d, b g t d, b g t d, b u t -> b g r q d, b g r q i"
+
+    def _shardings(mesh, arg_infos):
+        b, g = _bg_of(mesh, arg_infos[0])
+        qs = NamedSharding(mesh, P(b, g, None, None, None))
+        kvs = NamedSharding(mesh, P(b, g, None, None))
+        ms = NamedSharding(mesh, P(b, None, None))
+        args = [qs, kvs, kvs, ms]
+        if has_bias:
+            args.append(NamedSharding(mesh, P(b if bias_batched else None, g, None, None, None)))
+        return tuple(args), (qs, qs)
+
+    def infer(mesh, arg_infos, result_infos):
+        return _shardings(mesh, arg_infos)[1]
+
+    def part(mesh, arg_infos, result_infos):
+        arg_sh, out_sh = _shardings(mesh, arg_infos)
+
+        def lower(*args):
+            a = args if has_bias else (*args, None)
+            return _fwd_call_impl(*a, **kw)
+
+        return mesh, lower, out_sh, arg_sh
+
+    fn.def_partition(infer_sharding_from_operands=infer, partition=part,
+                     sharding_rule=rule)
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _make_bwd_cp(has_bias, bias_batched, scale, causal, rep, interpret):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    kw = dict(scale=scale, causal=causal, rep=rep, interpret=interpret)
+
+    def _impl(qT, kT, vT, maskB, bias5, out, lse, do):
+        res = (qT, kT, vT, maskB, bias5, out, lse)
+        dq, dk, dv, dbias = _bwd_call_impl(res, do, **kw)
+        return (dq, dk, dv, dbias) if has_bias else (dq, dk, dv)
+
+    if has_bias:
+        fn = custom_partitioning(lambda q, k, v, m, b, o, l, g: _impl(q, k, v, m, b, o, l, g))
+        zb = "b" if bias_batched else "z"
+        rule = (f"b g r q d, b g t d, b g t d, b u t, {zb} g r q t, b g r q d, "
+                f"b g r q i, b g r q d -> b g r q d, b g t d, b g t d, {zb} g r q t")
+    else:
+        fn = custom_partitioning(lambda q, k, v, m, o, l, g: _impl(q, k, v, m, None, o, l, g))
+        rule = ("b g r q d, b g t d, b g t d, b u t, b g r q d, b g r q i, "
+                "b g r q d -> b g r q d, b g t d, b g t d")
+
+    def _shardings(mesh, arg_infos):
+        b, g = _bg_of(mesh, arg_infos[0])
+        qs = NamedSharding(mesh, P(b, g, None, None, None))
+        kvs = NamedSharding(mesh, P(b, g, None, None))
+        ms = NamedSharding(mesh, P(b, None, None))
+        args = [qs, kvs, kvs, ms]
+        outs = [qs, kvs, kvs]
+        if has_bias:
+            bs = NamedSharding(mesh, P(b if bias_batched else None, g, None, None, None))
+            args.append(bs)
+            outs.append(bs)
+        args += [qs, qs, qs]  # out, lse, do
+        return b, tuple(args), tuple(outs)
+
+    def infer(mesh, arg_infos, result_infos):
+        return _shardings(mesh, arg_infos)[2]
+
+    def part(mesh, arg_infos, result_infos):
+        b, arg_sh, out_sh = _shardings(mesh, arg_infos)
+
+        def lower(*args):
+            if has_bias:
+                outs = _impl(*args)
+                if b is not None and not bias_batched:
+                    # batch-shared bias: each shard reduced over its LOCAL
+                    # batch only — one psum completes the sum (then every
+                    # shard holds the full dbias, matching its replicated-
+                    # over-b output sharding)
+                    dq, dk, dv, dbias = outs
+                    outs = (dq, dk, dv, jax.lax.psum(dbias, b))
+                return outs
+            return _impl(args[0], args[1], args[2], args[3], args[4], args[5], args[6])
+
+        return mesh, lower, out_sh, arg_sh
+
+    fn.def_partition(infer_sharding_from_operands=infer, partition=part,
+                     sharding_rule=rule)
+    return fn
+
+
+def _fwd_call(qT, kT, vT, maskB, bias5, *, scale, causal, bq, bk, rep, interpret):
+    if _auto_partition_wanted():
+        cp = _make_fwd_cp(bias5 is not None,
+                          bias5 is not None and bias5.shape[0] > 1,
+                          scale, causal, bq, bk, rep, interpret)
+        args = (qT, kT, vT, maskB) + ((bias5,) if bias5 is not None else ())
+        return cp(*args)
+    return _fwd_call_impl(qT, kT, vT, maskB, bias5, scale=scale, causal=causal,
+                          bq=bq, bk=bk, rep=rep, interpret=interpret)
+
+
+def _bwd_call(res, g, *, scale, causal, rep, interpret):
+    if _auto_partition_wanted():
+        qT, kT, vT, maskB, bias5, out, lse = res
+        has_bias = bias5 is not None
+        cp = _make_bwd_cp(has_bias, has_bias and bias5.shape[0] > 1,
+                          scale, causal, rep, interpret)
+        if has_bias:
+            dq, dk, dv, dbias = cp(qT, kT, vT, maskB, bias5, out, lse, g)
+        else:
+            (dq, dk, dv), dbias = cp(qT, kT, vT, maskB, out, lse, g), None
+        return dq, dk, dv, dbias
+    return _bwd_call_impl(res, g, scale=scale, causal=causal, rep=rep,
+                          interpret=interpret)
 
 
 # --------------------------------------------------------------------------- #

@@ -133,13 +133,17 @@ def test_data_parallel_eval_matches_single_device():
     eng = RAGVT5Engine(RAGConfig(page_retrieval="concat", chunk_num=3,
                                  max_source_length=128, max_new_tokens=4),
                        VT5_CFG, params, TOK)
-    plain = evaluate(eng, docs, ing, Evaluator(), batch_size=8)
+    plain = evaluate(eng, docs, ing, Evaluator(), batch_size=8, compute_stats=True)
     mesh = create_mesh((8, 1), ("data", "model"))
-    sharded = evaluate(eng, docs, ing, Evaluator(), batch_size=8, mesh=mesh)
+    sharded = evaluate(eng, docs, ing, Evaluator(), batch_size=8, mesh=mesh,
+                       compute_stats=True)
     assert plain["n_samples"] == sharded["n_samples"] == 10
     for k in ("accuracy", "anls", "retrieval_precision", "chunk_score"):
         assert plain[k] == sharded[k], k
     assert plain["pred_answers"] == sharded["pred_answers"]
+    # ingest stats must not count the mesh-padding duplicates of the last
+    # partial batch (10 docs pad to 16: 6 copies of doc 10 would skew these)
+    assert plain["retrieval_stats"] == sharded["retrieval_stats"]
 
 
 def test_reading_order_reorder(params):

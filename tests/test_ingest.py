@@ -121,3 +121,25 @@ def test_vectorized_page_path_matches_slow_loop():
         )
     assert aux_f["chunk_texts"] == aux_s["chunk_texts"]
     assert aux_f["slot_words"] == aux_s["slot_words"]
+
+
+def test_ingest_carries_layouts_in_aux(tmp_path):
+    """aux["layouts"] rides along from RawDocument.layout so layout-guided
+    engines (RAGPix2Struct chunk_mode="layout") see regions from the
+    standard evaluate() ingest path, and the disk cache restores them live
+    (numpy boxes are not JSON-cacheable)."""
+    tok = ByteTokenizer()
+    ing = DocVQAIngestor(tok, ChunkSpec(chunk_size=5, overlap=1),
+                         Caps(max_pages=2, max_chunks=8, max_slots=32))
+    lay = [{"boxes": np.array([[0.0, 0.0, 1.0, 0.5]]), "labels": [1]}]
+    doc = make_doc(n_pages=1, words_per_page=3)
+    import dataclasses
+    doc_l = dataclasses.replace(doc, layout=lay)
+    _, aux = ing.ingest([doc, doc_l])
+    assert aux["layouts"][0] is None
+    assert aux["layouts"][1] is lay
+
+    cache = str(tmp_path / "b.npz")
+    ing.ingest_cached([doc, doc_l], cache)  # writes (layouts excluded from json)
+    _, aux2 = ing.ingest_cached([doc, doc_l], cache)  # cache-hit path
+    assert aux2["layouts"][1] is lay

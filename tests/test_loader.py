@@ -224,3 +224,24 @@ def test_prefetch_overlap_and_errors():
     gen = prefetch(iter(range(100)), depth=2)
     assert next(gen) == 0
     gen.close()
+
+    # ... and terminates the producer even when it is mid-ingest at close
+    # time (a single drain pass would hit Empty while the producer is still
+    # working, then the producer would block forever on the refilled queue)
+    before = {t.ident for t in threading.enumerate()}
+
+    def slow(i):
+        _time.sleep(0.05)
+        return i
+
+    gen = map_prefetch(slow, range(100), depth=2)
+    assert next(gen) == 0
+    gen.close()  # producer is asleep inside slow() right now
+    deadline = _time.time() + 5.0
+    while _time.time() < deadline:
+        leaked = [t for t in threading.enumerate()
+                  if t.ident not in before and t.name == "ingest-prefetch"]
+        if not leaked:
+            break
+        _time.sleep(0.02)
+    assert not leaked, f"prefetch producer thread leaked: {leaked}"
