@@ -13,6 +13,7 @@ token-type embeddings, optional classification head.
 
 from __future__ import annotations
 
+import functools as _functools
 from dataclasses import dataclass
 from typing import Any, Dict, Optional
 
@@ -89,6 +90,7 @@ def bert_encode(
     input_ids: jax.Array,  # (B, T) int32
     attention_mask: jax.Array,  # (B, T) bool
     token_type_ids: Optional[jax.Array] = None,
+    fused: Optional[bool] = None,  # None = auto (fused TPU layer kernel when eligible)
 ) -> jax.Array:
     B, T = input_ids.shape
     if cfg.use_alibi:
@@ -106,6 +108,17 @@ def bert_encode(
     x = x + params["type_emb"][token_type_ids]
     x = layer_norm(x, params["emb_ln_w"], params["emb_ln_b"], cfg.layer_norm_eps)
 
+    if fused is None:
+        from rag_docvqa_tpu.ops.fused_encoder import fused_encoder_wanted
+
+        fused = fused_encoder_wanted(cfg, B, T)
+    if fused:
+        return _fused_blocks(cfg)(params["blocks"], x, attention_mask)
+    return _xla_blocks(params["blocks"], cfg, x, attention_mask)
+
+
+def _xla_blocks(blocks, cfg: BertConfig, x: jax.Array, attention_mask: jax.Array) -> jax.Array:
+    B, T, _ = x.shape
     H, dh = cfg.num_heads, cfg.hidden_size // cfg.num_heads
     scale = dh**-0.5
     mask = attention_mask[:, None, None, :]
@@ -137,8 +150,41 @@ def bert_encode(
         )
         return x, None
 
-    x, _ = jax.lax.scan(block, x, params["blocks"])
+    x, _ = jax.lax.scan(block, x, blocks)
     return x
+
+
+@_functools.lru_cache(maxsize=None)
+def _fused_blocks(cfg: BertConfig):
+    """Layer stack through ops/fused_encoder.py's whole-layer TPU kernel.
+    custom_vjp: forward runs the kernel; backward recomputes through the XLA
+    blocks (the embedder's hot path is inference — contrastive fine-tunes pay
+    one recompute)."""
+    from rag_docvqa_tpu.ops.fused_encoder import fused_bert_layer
+
+    @jax.custom_vjp
+    def run(blocks, x, key_mask):
+        def body(x, layer):
+            return fused_bert_layer(
+                x, key_mask, layer, num_heads=cfg.num_heads, eps=cfg.layer_norm_eps
+            ), None
+        x, _ = jax.lax.scan(body, x, blocks)
+        return x
+
+    def fwd(blocks, x, key_mask):
+        return run(blocks, x, key_mask), (blocks, x, key_mask)
+
+    def bwd(res, g):
+        import numpy as np
+
+        blocks, x, key_mask = res
+        _, vjp = jax.vjp(lambda b, x_: _xla_blocks(b, cfg, x_, key_mask), blocks, x)
+        db, dx = vjp(g)
+        dmask = np.zeros(key_mask.shape, dtype=jax.dtypes.float0)
+        return db, dx, dmask
+
+    run.defvjp(fwd, bwd)
+    return run
 
 
 def _alibi_bias(n_heads: int, T: int) -> jax.Array:

@@ -1,0 +1,313 @@
+"""Fully-fused BERT encoder layer for the chunk embedder (TPU Pallas).
+
+The embedder workload (reference BiEncoder BGE backend,
+src/_modules.py:1438-1442) is a small-width transformer (d=384) over many
+SHORT sequences (chunk_tokens ~64). At that shape the XLA layer is
+bandwidth/overhead-bound, not FLOPs-bound: every dense/LN/softmax round-trips
+a (B*T, d) activation through HBM (~1 GB per layer at B=1024, T=64), and the
+(B, H, T, T) attention scores are materialized besides — measured 0.16 MFU on
+v5e with only ~15% of the time on the MXU.
+
+This kernel runs ONE ENTIRE encoder layer per grid step on a block of `rows`
+sequences resident in VMEM:
+
+    qkv = x @ Wqkv + b            (one (R, d) x (d, 3d) matmul, R = rows*T)
+    per head: s = q k^T; masked softmax (f32); p v   (batched over rows)
+    attn written back per-head into a (R, d) scratch (unaligned lane slices)
+    x = LN(x + attn @ Wo + bo)
+    x = LN(x + gelu(x @ W1 + b1) @ W2 + b2)
+
+so per layer the only HBM traffic is x in/out (2*B*T*d bf16) plus the layer's
+weights once (Mosaic keeps constant-index blocks resident across grid steps).
+Numerics match the XLA path: f32 scores/softmax/LayerNorm, exact (erf) GELU,
+bf16 matmul inputs.
+
+Differentiable via custom_vjp: the backward recomputes through the XLA
+reference layers (`bert.py::bert_encode` body) — the embedder trains rarely
+(contrastive fine-tune, train_cl.py) while inference throughput is the hot
+path, so the forward gets the kernel and the backward pays one recompute.
+
+Used by `models/bert.py::bert_encode` on TPU for the vanilla-BERT config
+(no ALiBi, no GLU — i.e. the BGE family); JINA variants keep the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+_ERF_ALPHA = (-2.72614225801306e-10, 2.77068142495902e-08, -2.10102402082508e-06,
+              -5.69250639462346e-05, -7.34990630326855e-04, -2.95459980854025e-03,
+              -1.60960333262415e-02)
+_ERF_BETA = (-1.45660718464996e-05, -2.13374055278905e-04, -1.68282697438203e-03,
+             -7.37332916720468e-03, -1.42647390514189e-02)
+
+
+def _erf32(x: jax.Array) -> jax.Array:
+    """float32 erf, Eigen's generic_fast_erf_float rational form (the same
+    polynomial XLA lowers jax.lax.erf to on CPU/TPU)."""
+    x = jnp.clip(x, -4.0, 4.0)
+    x2 = x * x
+    p = jnp.full_like(x, _ERF_ALPHA[0])
+    for a in _ERF_ALPHA[1:]:
+        p = p * x2 + a
+    p = p * x
+    q = jnp.full_like(x, _ERF_BETA[0])
+    for b in _ERF_BETA[1:]:
+        q = q * x2 + b
+    return p / q
+
+
+def _layer_kernel(
+    x_ref,      # (rows, T, d) bf16/f32 input activations
+    mask_ref,   # (rows, 1, T) bool key mask
+    wqkv_ref,   # (d, 3d)
+    bqkv_ref,   # (1, 3d)
+    wo_ref,     # (d, d)
+    bo_ref,     # (1, d)
+    ln1_ref,    # (2, d) [scale; bias]
+    w1_ref,     # (d, d_ff)
+    b1_ref,     # (1, d_ff)
+    w2_ref,     # (d_ff, d)
+    b2_ref,     # (1, d)
+    ln2_ref,    # (2, d)
+    o_ref,      # (rows, T, d)
+    qkv_ref,    # scratch (R, 3d) compute dtype
+    attn_ref,   # scratch (R, d) compute dtype
+    *,
+    rows: int,
+    T: int,
+    d: int,
+    H: int,
+    scale: float,
+    eps: float,
+):
+    R = rows * T
+    dh = d // H
+    cdt = x_ref.dtype
+    x = x_ref[...].reshape(R, d)
+
+    qkv_ref[...] = (
+        jax.lax.dot_general(x, wqkv_ref[...],
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        + bqkv_ref[...].astype(jnp.float32)
+    ).astype(cdt)
+
+    valid = jnp.broadcast_to(mask_ref[...][:, :, None, :], (rows, 1, T, T))
+    valid = jnp.broadcast_to(valid, (rows, 1, T, T)).reshape(rows, T, T)
+    # per-head attention, batched over the `rows` sequences in one
+    # dot_general (Mosaic: one batch dim); head slices are unaligned lane
+    # reads from the qkv scratch
+    for h in range(H):
+        q = qkv_ref[:, pl.ds(h * dh, dh)].reshape(rows, T, dh)
+        k = qkv_ref[:, pl.ds(d + h * dh, dh)].reshape(rows, T, dh)
+        v = qkv_ref[:, pl.ds(2 * d + h * dh, dh)].reshape(rows, T, dh)
+        s = jax.lax.dot_general(q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        if scale != 1.0:
+            s = s * scale
+        s = jnp.where(valid, s, -1e30)
+        mx = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - mx)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(p.astype(cdt), v,
+                                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        attn_ref[:, pl.ds(h * dh, dh)] = o.reshape(R, dh).astype(cdt)
+
+    def _ln(y32, ln_ref):
+        mean = jnp.mean(y32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(y32 - mean), axis=-1, keepdims=True)
+        n = (y32 - mean) * jax.lax.rsqrt(var + eps)
+        w = ln_ref[0, :].astype(jnp.float32)
+        b = ln_ref[1, :].astype(jnp.float32)
+        return n * w[None, :] + b[None, :]
+
+    ao = (
+        jax.lax.dot_general(attn_ref[...], wo_ref[...],
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        + bo_ref[...].astype(jnp.float32)
+    )
+    x1 = _ln(x.astype(jnp.float32) + ao, ln1_ref).astype(cdt)
+
+    h1 = (
+        jax.lax.dot_general(x1, w1_ref[...],
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        + b1_ref[...].astype(jnp.float32)
+    )
+    # exact GELU (erf), matching jax.nn.gelu(approximate=False); Mosaic has
+    # no erf primitive, so use the same float32 rational approximation
+    # XLA/Eigen lower erf to (agrees with jax.lax.erf to rounding)
+    h1 = 0.5 * h1 * (1.0 + _erf32(h1 * (2.0 ** -0.5)))
+    x2 = (
+        jax.lax.dot_general(h1.astype(cdt), w2_ref[...],
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        + b2_ref[...].astype(jnp.float32)
+    )
+    out = _ln(x1.astype(jnp.float32) + x2, ln2_ref)
+    o_ref[...] = out.reshape(rows, T, d).astype(o_ref.dtype)
+
+
+def _pick_rows(B: int, T: int, d: int, d_ff: int, budget: int = 26 * 2**20) -> int:
+    # budget tuned on v5e (64 MB scoped-vmem limit requested): rows=8 at the
+    # bge chunk shape measured 0.42 MFU vs 0.35 at rows=4 and 0.41 at rows=16
+    for rows in (16, 8, 4, 2, 1):
+        if B % rows:
+            continue
+        R = rows * T
+        Tl = max(T, 128)  # lane padding of the (rows, T, T) tiles
+        est = (
+            2 * 2 * rows * T * d * 2      # x in + out blocks, double-buffered
+            + R * 3 * d * 2 + R * d * 2   # qkv + attn scratch
+            + 3 * rows * T * Tl * 4       # s/p f32 tiles
+            + 2 * R * d_ff * 4            # h1 f32 (+ gelu temporary)
+            + 2 * R * d * 4               # LN f32 temporaries
+            + (3 * d * d + 2 * d * d_ff) * 2  # resident weights
+        )
+        if est <= budget:
+            return rows
+    return 0  # nothing fits — caller must use the XLA path
+
+
+def _layer_call(x, maskB, wqkv, bqkv, wo, bo, ln1, w1, b1, w2, b2, ln2,
+                *, num_heads, eps, interpret):
+    B, T, d = x.shape
+    d_ff = w1.shape[1]
+    rows = _pick_rows(B, T, d, d_ff)
+    assert rows, f"fused layer does not fit VMEM at (B={B}, T={T}, d={d}, d_ff={d_ff})"
+    dh = d // num_heads
+
+    full = lambda *shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(
+            _layer_kernel, rows=rows, T=T, d=d, H=num_heads,
+            scale=dh**-0.5, eps=eps,
+        ),
+        grid=(B // rows,),
+        in_specs=[
+            pl.BlockSpec((rows, T, d), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 1, T), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            full(d, 3 * d), full(1, 3 * d),
+            full(d, d), full(1, d), full(2, d),
+            full(d, d_ff), full(1, d_ff), full(d_ff, d), full(1, d), full(2, d),
+        ],
+        out_specs=pl.BlockSpec((rows, T, d), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T, d), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((rows * T, 3 * d), x.dtype),
+            pltpu.VMEM((rows * T, d), x.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * T * (4 * d * d + 2 * d * d_ff) + 4 * B * num_heads * T * T * dh,
+            bytes_accessed=2 * B * T * d * x.dtype.itemsize,
+            transcendentals=B * T * (num_heads * T + d_ff),
+        ),
+        interpret=interpret,
+    )(x, maskB, wqkv, bqkv, wo, bo, ln1, w1, b1, w2, b2, ln2)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_layer_cp(num_heads, eps, interpret):
+    """custom_partitioning wrapper: under plain jit with GSPMD-sharded
+    operands the Mosaic call is opaque and XLA would replicate it; declare it
+    partitionable over the batch dim (weights replicated). Same pattern as
+    ops/flash_attention.py."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    kw = dict(num_heads=num_heads, eps=eps, interpret=interpret)
+    fn = custom_partitioning(lambda *args: _layer_call(*args, **kw))
+    rule = ("b t d, b u t, c0 c1, c2 c3, c4 c5, c6 c7, c8 c9, d0 d1, d2 d3, "
+            "d4 d5, d6 d7, d8 d9 -> b t d")
+
+    def _b_axis(mesh, x_info):
+        sh = x_info.sharding
+        if not isinstance(sh, NamedSharding) or not len(sh.spec):
+            return None
+        b = sh.spec[0]
+        if b is not None:
+            names = b if isinstance(b, tuple) else (b,)
+            n = 1
+            for a in names:
+                n *= mesh.shape[a]
+            if x_info.shape[0] % n:
+                return None
+        return b
+
+    def _shardings(mesh, arg_infos):
+        b = _b_axis(mesh, arg_infos[0])
+        xs = NamedSharding(mesh, P(b, None, None))
+        ms = NamedSharding(mesh, P(b, None, None))
+        rep2 = NamedSharding(mesh, P(None, None))
+        return (xs, ms) + (rep2,) * 10, xs
+
+    def infer(mesh, arg_infos, result_infos):
+        return _shardings(mesh, arg_infos)[1]
+
+    def part(mesh, arg_infos, result_infos):
+        arg_sh, out_sh = _shardings(mesh, arg_infos)
+
+        def lower(*args):
+            return _layer_call(*args, **kw)
+
+        return mesh, lower, out_sh, arg_sh
+
+    fn.def_partition(infer_sharding_from_operands=infer, partition=part,
+                     sharding_rule=rule)
+    return fn
+
+
+def fused_bert_layer(
+    x: jax.Array,        # (B, T, d)
+    key_mask: jax.Array,  # (B, T) bool
+    layer: Dict[str, Any],  # one layer of bert params (un-stacked)
+    *,
+    num_heads: int,
+    eps: float,
+    interpret: bool | None = None,
+) -> jax.Array:
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    wqkv = jnp.concatenate(
+        [layer["q"]["kernel"], layer["k"]["kernel"], layer["v"]["kernel"]], axis=1
+    )
+    bqkv = jnp.concatenate(
+        [layer["q"]["bias"], layer["k"]["bias"], layer["v"]["bias"]]
+    )[None]
+    ln1 = jnp.stack([layer["attn_ln_w"], layer["attn_ln_b"]])
+    ln2 = jnp.stack([layer["out_ln_w"], layer["out_ln_b"]])
+    args = (x, key_mask[:, None, :], wqkv, bqkv,
+            layer["o"]["kernel"], layer["o"]["bias"][None], ln1,
+            layer["fc1"]["kernel"], layer["fc1"]["bias"][None],
+            layer["fc2"]["kernel"], layer["fc2"]["bias"][None], ln2)
+
+    from rag_docvqa_tpu.ops.flash_attention import _auto_partition_wanted
+
+    if _auto_partition_wanted():
+        return _make_layer_cp(num_heads, eps, interpret)(*args)
+    return _layer_call(*args, num_heads=num_heads, eps=eps, interpret=interpret)
+
+
+def fused_encoder_wanted(cfg, B: int, T: int) -> bool:
+    """The fused layer covers the vanilla-BERT block (BGE family): softmax
+    attention without ALiBi, plain-GELU MLP. JINA variants, and shapes whose
+    working set cannot fit VMEM, fall back to XLA."""
+    return (
+        jax.default_backend() == "tpu"
+        and not cfg.use_alibi
+        and not cfg.glu_mlp
+        and T % 8 == 0
+        and cfg.hidden_size % cfg.num_heads == 0
+        and _pick_rows(B, T, cfg.hidden_size, cfg.intermediate_size) > 0
+    )

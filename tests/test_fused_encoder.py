@@ -1,0 +1,109 @@
+"""Fused whole-layer BERT encoder kernel (ops/fused_encoder.py) vs the XLA
+block path — values, grads, gating, and GSPMD auto-partitioning."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rag_docvqa_tpu.models.bert import (
+    BertConfig,
+    bert_encode,
+    bert_sentence_embed,
+    init_bert_params,
+)
+
+CFG = BertConfig(vocab_size=500, hidden_size=64, num_layers=3, num_heads=4,
+                 intermediate_size=128)
+
+
+def _inputs(rng, B=8, T=16, vocab=500):
+    ids = jnp.asarray(rng.randint(3, vocab, size=(B, T)), jnp.int32)
+    mask = jnp.asarray(rng.rand(B, T) < 0.85).at[:, 0].set(True)
+    return ids, mask
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_bert_params(jax.random.PRNGKey(0), CFG)
+
+
+def test_fused_matches_xla(params):
+    rng = np.random.RandomState(0)
+    ids, mask = _inputs(rng)
+    ref = bert_encode(params, CFG, ids, mask, fused=False)
+    got = bert_encode(params, CFG, ids, mask, fused=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_fused_matches_xla_ragged_mask_and_t24(params):
+    # T=24 exercises lane padding of the (rows, T, T) score tiles
+    cfg = BertConfig(vocab_size=500, hidden_size=64, num_layers=2, num_heads=2,
+                     intermediate_size=96, max_position_embeddings=64)
+    p = init_bert_params(jax.random.PRNGKey(1), cfg)
+    rng = np.random.RandomState(1)
+    ids, _ = _inputs(rng, B=6, T=24)
+    lens = jnp.asarray([24, 17, 9, 3, 1, 24])
+    mask = jnp.arange(24)[None, :] < lens[:, None]
+    ref = bert_encode(p, cfg, ids, mask, fused=False)
+    got = bert_encode(p, cfg, ids, mask, fused=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_fused_sentence_embed_grad(params):
+    """custom_vjp: forward = kernel, backward = XLA recompute; grads match
+    the pure-XLA path."""
+    rng = np.random.RandomState(2)
+    ids, mask = _inputs(rng)
+
+    def loss(p, fused):
+        emb = bert_encode(p, CFG, ids, mask, fused=fused)
+        return jnp.sum(emb ** 2)
+
+    g_f = jax.grad(lambda p: loss(p, True))(params)
+    g_x = jax.grad(lambda p: loss(p, False))(params)
+    for a, b in zip(jax.tree.leaves(g_f), jax.tree.leaves(g_x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4)
+
+
+def test_fused_gating():
+    from rag_docvqa_tpu.ops.fused_encoder import _pick_rows, fused_encoder_wanted
+
+    # JINA options and odd T are excluded; huge widths fall back when the
+    # working set cannot fit VMEM
+    alibi = BertConfig(use_alibi=True)
+    glu = BertConfig(glu_mlp=True)
+    assert not fused_encoder_wanted(alibi, 8, 64)
+    assert not fused_encoder_wanted(glu, 8, 64)
+    assert not fused_encoder_wanted(BertConfig(), 8, 63)
+    assert _pick_rows(8, 4096, 4096, 16384) == 0  # cannot fit
+
+    # the bge-small bench shape picks a multi-row block
+    assert _pick_rows(1024, 64, 384, 1536) >= 4
+
+
+def test_fused_erf_matches_lax():
+    from rag_docvqa_tpu.ops.fused_encoder import _erf32
+
+    x = jnp.linspace(-6, 6, 2001, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(_erf32(x)), np.asarray(jax.lax.erf(x)),
+                               atol=1e-6, rtol=0)
+
+
+def test_fused_gspmd_auto_partitioned(params):
+    """Plain jit with the batch sharded over the 8-device mesh: the
+    custom_partitioning wrapper runs the kernel per-shard; results match the
+    unsharded run."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rag_docvqa_tpu.parallel import create_mesh
+
+    rng = np.random.RandomState(3)
+    ids, mask = _inputs(rng, B=8)
+    mesh = create_mesh((8,), ("data",))
+    ref = bert_encode(params, CFG, ids, mask, fused=True)
+
+    f = jax.jit(lambda p, i, m: bert_encode(p, CFG, i, m, fused=True))
+    sh = lambda x: jax.device_put(x, NamedSharding(mesh, P("data")))
+    got = f(params, sh(ids), sh(mask))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5)
