@@ -99,6 +99,7 @@ def encode_document(
     batch: ChunkedBatch,
     page_visual: jax.Array = None,  # (B, P, Tv, D) per-page visual tokens
     page_visual_valid: jax.Array = None,  # (B, P) bool: pages with a real image
+    fused: bool = None,  # passthrough to t5.encode (None = auto)
 ) -> Tuple[jax.Array, jax.Array]:
     """Hierarchical encode: returns (doc_emb (B, P*K, D), doc_mask (B, P*K)).
 
@@ -140,7 +141,7 @@ def encode_document(
         mask = jnp.concatenate([mask, jnp.broadcast_to(vis_valid, (B * P, Tv))], axis=1)
     mask = mask & page_valid.reshape(B * P)[:, None]
 
-    hidden = t5m.encode(params["t5"], cfg.t5, x, mask)  # one pass, pages in batch
+    hidden = t5m.encode(params["t5"], cfg.t5, x, mask, fused=fused)  # one pass, pages in batch
     compressed = hidden[:, :K, :]  # keep page summary tokens (HiVT5.py:489)
     doc_emb = compressed.reshape(B, P * K, -1)
     doc_mask = jnp.repeat(page_valid, K, axis=1)  # (B, P*K)
@@ -171,7 +172,8 @@ def forward_train(
 
     total = LM CE + retrieval_loss_weight * page CE (train.py:69,
     _modules.py:173)."""
-    doc_emb, doc_mask = encode_document(params, cfg, batch, page_visual, page_visual_valid)
+    # fused=False: training keeps the flash fwd+bwd pair
+    doc_emb, doc_mask = encode_document(params, cfg, batch, page_visual, page_visual_valid, fused=False)
     dec_in = t5m.shift_tokens_right(labels, cfg.t5.pad_id, cfg.t5.decoder_start_token_id)
     logits = t5m.decode_train(params["t5"], cfg.t5, dec_in, doc_emb, doc_mask)
     valid = labels != -100

@@ -19,6 +19,7 @@ compatibility requires matching that.
 
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass
 from typing import Any, Dict, Optional, Tuple
@@ -219,13 +220,36 @@ def encode(
     attention_mask: jax.Array,  # (B, T) bool
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
+    fused: Optional[bool] = None,  # None = auto (whole-layer TPU kernel when eligible)
 ) -> jax.Array:
     enc = params["encoder"]
-    T = inputs_embeds.shape[1]
+    B, T = inputs_embeds.shape[:2]
     pos = jnp.arange(T)
     bias = relative_bias(enc["rel_bias"], pos, pos, bidirectional=True, cfg=cfg)
-    mask = attention_mask[:, None, None, :]  # (B,1,1,T) — keys masked
     x = dropout(inputs_embeds, cfg.dropout_rate, rng, deterministic)
+    stacked = {
+        "ln0": enc["ln0"],
+        "ln1": enc["ln1"],
+        "attn": enc["attn"],
+        "ffn": enc["ffn"],
+    }
+
+    if fused is None:
+        from rag_docvqa_tpu.ops.fused_encoder import fused_t5_encoder_wanted
+
+        # the fused forward's custom_vjp backward recomputes through the
+        # flash path, so explicit training steps pass fused=False to keep
+        # the flash fwd+bwd pair (vt5.py::loss_fn)
+        fused = fused_t5_encoder_wanted(cfg, B, T)
+    if fused:
+        x = _fused_t5_stack(cfg)(stacked, x, attention_mask, bias[0].astype(jnp.bfloat16))
+    else:
+        x = _encode_blocks(stacked, cfg, x, attention_mask, bias)
+    return rms_norm(x, enc["final_ln"], cfg.layer_norm_eps)
+
+
+def _encode_blocks(stacked, cfg: T5Config, x, attention_mask, bias) -> jax.Array:
+    mask = attention_mask[:, None, None, :]  # (B,1,1,T) — keys masked
 
     # flash applies in training too (custom VJP): neither path implements
     # attention-prob dropout, so semantics agree deterministic or not
@@ -252,14 +276,45 @@ def encode(
         x = x + _ffn(layer["ffn"], cfg, h)
         return x, None
 
-    stacked = {
-        "ln0": enc["ln0"],
-        "ln1": enc["ln1"],
-        "attn": enc["attn"],
-        "ffn": enc["ffn"],
-    }
     x, _ = jax.lax.scan(lambda c, l: block(c, l), x, stacked)
-    return rms_norm(x, enc["final_ln"], cfg.layer_norm_eps)
+    return x
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_t5_stack(cfg: T5Config):
+    """Encoder layer stack through ops/fused_encoder.py's whole-layer T5
+    kernel (inference hot path). custom_vjp backward recomputes through the
+    flash/XLA blocks so the stack stays differentiable."""
+    from rag_docvqa_tpu.ops.fused_encoder import fused_t5_layer
+
+    @jax.custom_vjp
+    def run(stacked, x, key_mask, bias_bf16):
+        def body(x, layer):
+            return fused_t5_layer(
+                x, key_mask, bias_bf16, layer,
+                num_heads=cfg.num_heads, eps=cfg.layer_norm_eps,
+                gated=cfg.gated_ffn,
+            ), None
+        x, _ = jax.lax.scan(body, x, stacked)
+        return x
+
+    def fwd(stacked, x, key_mask, bias_bf16):
+        return run(stacked, x, key_mask, bias_bf16), (stacked, x, key_mask, bias_bf16)
+
+    def bwd(res, g):
+        import numpy as np
+
+        stacked, x, key_mask, bias_bf16 = res
+        _, vjp = jax.vjp(
+            lambda s, x_, b: _encode_blocks(s, cfg, x_, key_mask, b[None]),
+            stacked, x, bias_bf16,
+        )
+        ds, dx, dbias = vjp(g)
+        dmask = np.zeros(key_mask.shape, dtype=jax.dtypes.float0)
+        return ds, dx, dmask, dbias
+
+    run.defvjp(fwd, bwd)
+    return run
 
 
 # --------------------------------------------------------------------------- #

@@ -120,7 +120,9 @@ def forward_train(
     """
     deterministic = rng is None
     embeds, mask = input_embeds(params, cfg, gen, visual, visual_mask, deterministic, rng)
-    enc = t5m.encode(params["t5"], cfg.t5, embeds, mask, deterministic, rng)
+    # fused=False: the train step wants the flash fwd+bwd pair, not the
+    # fused-inference kernel whose VJP recomputes the whole forward
+    enc = t5m.encode(params["t5"], cfg.t5, embeds, mask, deterministic, rng, fused=False)
     dec_in = t5m.shift_tokens_right(labels, cfg.t5.pad_id, cfg.t5.decoder_start_token_id)
     logits = t5m.decode_train(params["t5"], cfg.t5, dec_in, enc, mask, deterministic, rng)
     valid = labels != -100

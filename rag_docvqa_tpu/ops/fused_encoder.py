@@ -299,6 +299,238 @@ def fused_bert_layer(
     return _layer_call(*args, num_heads=num_heads, eps=eps, interpret=interpret)
 
 
+# --------------------------------------------------------------------------- #
+# fused T5 encoder layer (pre-norm RMS, batch-shared rel-pos bias, no biases)
+# --------------------------------------------------------------------------- #
+def _t5_layer_kernel(
+    x_ref,      # (rows, T, d)
+    mask_ref,   # (rows, 1, T) bool
+    bias_ref,   # (H, T, T) bf16 batch-shared rel-pos bias (resident)
+    wqkv_ref,   # (d, 3*inner)
+    wo_ref,     # (inner, d)
+    ln0_ref,    # (1, d)
+    ln1_ref,    # (1, d)
+    *ffn_and_out,  # gated: wi0, wi1, wof | plain: wi, wof; then o_ref + scratch
+    rows: int,
+    T: int,
+    d: int,
+    H: int,
+    dk: int,
+    eps: float,
+    gated: bool,
+):
+    if gated:
+        wi0_ref, wi1_ref, wof_ref, o_ref, qkv_ref, attn_ref = ffn_and_out
+    else:
+        wi_ref, wof_ref, o_ref, qkv_ref, attn_ref = ffn_and_out
+    R = rows * T
+    inner = H * dk
+    cdt = x_ref.dtype
+    x = x_ref[...].reshape(R, d)
+
+    def _rms(y, ln_ref):
+        y32 = y.astype(jnp.float32)
+        var = jnp.mean(jnp.square(y32), axis=-1, keepdims=True)
+        n = y32 * jax.lax.rsqrt(var + eps)
+        return (n * ln_ref[...].astype(jnp.float32)).astype(cdt)
+
+    h = _rms(x, ln0_ref)
+    qkv_ref[...] = jax.lax.dot_general(
+        h, wqkv_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(cdt)
+
+    valid = jnp.broadcast_to(mask_ref[...][:, :, None, :], (rows, 1, T, T)).reshape(rows, T, T)
+    for hh in range(H):
+        q = qkv_ref[:, pl.ds(hh * dk, dk)].reshape(rows, T, dk)
+        k = qkv_ref[:, pl.ds(inner + hh * dk, dk)].reshape(rows, T, dk)
+        v = qkv_ref[:, pl.ds(2 * inner + hh * dk, dk)].reshape(rows, T, dk)
+        s = jax.lax.dot_general(q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        s = s + jnp.broadcast_to(bias_ref[hh][None].astype(jnp.float32), (rows, T, T))
+        s = jnp.where(valid, s, -1e9)
+        mx = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - mx)
+        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(cdt)
+        o = jax.lax.dot_general(p, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        attn_ref[:, pl.ds(hh * dk, dk)] = o.reshape(R, dk).astype(cdt)
+
+    ao = jax.lax.dot_general(attn_ref[...], wo_ref[...],
+                             dimension_numbers=(((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32).astype(cdt)
+    x = x + ao
+    h2 = _rms(x, ln1_ref)
+    if gated:
+        g = jax.lax.dot_general(h2, wi0_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32).astype(cdt)
+        u = jax.lax.dot_general(h2, wi1_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32).astype(cdt)
+        # gelu_new (tanh approximation), matching jax.nn.gelu(approximate=True)
+        g32 = g.astype(jnp.float32)
+        inner_t = (2.0 / jnp.pi) ** 0.5 * (g32 + 0.044715 * g32 * g32 * g32)
+        f = (0.5 * g32 * (1.0 + jnp.tanh(inner_t))).astype(cdt) * u
+    else:
+        f = jax.lax.dot_general(h2, wi_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        f = jnp.maximum(f, 0.0).astype(cdt)
+    fo = jax.lax.dot_general(f, wof_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32).astype(cdt)
+    o_ref[...] = (x + fo).reshape(rows, T, d)
+
+
+def _pick_rows_t5(B, T, d, inner, d_ff, H, gated, budget: int = 52 * 2**20) -> int:
+    for rows in (8, 4, 2, 1):
+        if B % rows:
+            continue
+        R = rows * T
+        Tl = max(T, 128)
+        n_wi = 2 if gated else 1
+        est = (
+            2 * 2 * rows * T * d * 2
+            + R * 3 * inner * 2 + R * inner * 2
+            + 3 * rows * T * Tl * 4
+            + (2 + n_wi) * R * d_ff * 4
+            + 2 * R * d * 4
+            + (3 * d * inner + inner * d + (n_wi + 1) * d * d_ff) * 2
+            + H * T * Tl * 2  # resident bias
+        )
+        if est <= budget:
+            return rows
+    return 0
+
+
+def _t5_layer_call(x, maskB, bias, wqkv, wo, ln0, ln1, *ffn_ws,
+                   num_heads, eps, gated, interpret):
+    B, T, d = x.shape
+    inner = wo.shape[0]
+    dk = inner // num_heads
+    d_ff = ffn_ws[0].shape[1]
+    rows = _pick_rows_t5(B, T, d, inner, d_ff, num_heads, gated)
+    assert rows, f"fused t5 layer does not fit VMEM at (B={B}, T={T}, d={d}, d_ff={d_ff})"
+
+    full = lambda *shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape), memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((rows, T, d), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows, 1, T), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        full(num_heads, T, T),
+        full(d, 3 * inner), full(inner, d), full(1, d), full(1, d),
+    ]
+    if gated:
+        in_specs += [full(d, d_ff), full(d, d_ff), full(d_ff, d)]
+    else:
+        in_specs += [full(d, d_ff), full(d_ff, d)]
+
+    return pl.pallas_call(
+        functools.partial(_t5_layer_kernel, rows=rows, T=T, d=d, H=num_heads,
+                          dk=dk, eps=eps, gated=gated),
+        grid=(B // rows,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((rows, T, d), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T, d), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((rows * T, 3 * inner), x.dtype),
+            pltpu.VMEM((rows * T, inner), x.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * T * (4 * d * inner + (3 if gated else 2) * d * d_ff)
+            + 4 * B * num_heads * T * T * dk,
+            bytes_accessed=2 * B * T * d * x.dtype.itemsize,
+            transcendentals=B * T * (num_heads * T + d_ff),
+        ),
+        interpret=interpret,
+    )(x, maskB, bias, wqkv, wo, ln0, ln1, *ffn_ws)
+
+
+def fused_t5_layer(
+    x: jax.Array,         # (B, T, d)
+    key_mask: jax.Array,  # (B, T) bool
+    bias: jax.Array,      # (H, T, T) bf16 batch-shared rel-pos bias
+    layer: Dict[str, Any],  # {"attn": {q,k,v,o}, "ffn": {...}, "ln0", "ln1"}
+    *,
+    num_heads: int,
+    eps: float,
+    gated: bool,
+    interpret: bool | None = None,
+) -> jax.Array:
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    attn = layer["attn"]
+    ffn = layer["ffn"]
+    wqkv = jnp.concatenate([attn["q"], attn["k"], attn["v"]], axis=1)
+    ffn_ws = (ffn["wi_0"], ffn["wi_1"], ffn["wo"]) if gated else (ffn["wi"], ffn["wo"])
+    args = (x, key_mask[:, None, :], bias, wqkv, attn["o"],
+            layer["ln0"][None], layer["ln1"][None]) + ffn_ws
+
+    from rag_docvqa_tpu.ops.flash_attention import _auto_partition_wanted
+
+    if _auto_partition_wanted():
+        return _make_t5_layer_cp(num_heads, eps, gated, interpret)(*args)
+    return _t5_layer_call(*args, num_heads=num_heads, eps=eps, gated=gated,
+                          interpret=interpret)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_t5_layer_cp(num_heads, eps, gated, interpret):
+    """GSPMD batch partitioning for the fused T5 layer (same pattern as
+    _make_layer_cp): x/mask shard over dim 0, bias and weights replicate."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_w = 7 if gated else 6  # wqkv, wo, ln0, ln1 + ffn weights
+    kw = dict(num_heads=num_heads, eps=eps, gated=gated, interpret=interpret)
+    fn = custom_partitioning(lambda *args: _t5_layer_call(*args, **kw))
+    w_rule = ", ".join(f"c{i} d{i}" for i in range(n_w))
+    rule = f"b t d, b u t, h t2 t3, {w_rule} -> b t d"
+
+    def _shardings(mesh, arg_infos):
+        sh = arg_infos[0].sharding
+        b = None
+        if isinstance(sh, NamedSharding) and len(sh.spec):
+            b = sh.spec[0]
+            if b is not None:
+                names = b if isinstance(b, tuple) else (b,)
+                n = 1
+                for a in names:
+                    n *= mesh.shape[a]
+                if arg_infos[0].shape[0] % n:
+                    b = None
+        xs = NamedSharding(mesh, P(b, None, None))
+        rep3 = NamedSharding(mesh, P(None, None, None))
+        rep2 = NamedSharding(mesh, P(None, None))
+        return (xs, xs, rep3) + (rep2,) * n_w, xs
+
+    def infer(mesh, arg_infos, result_infos):
+        return _shardings(mesh, arg_infos)[1]
+
+    def part(mesh, arg_infos, result_infos):
+        arg_sh, out_sh = _shardings(mesh, arg_infos)
+
+        def lower(*args):
+            return _t5_layer_call(*args, **kw)
+
+        return mesh, lower, out_sh, arg_sh
+
+    fn.def_partition(infer_sharding_from_operands=infer, partition=part,
+                     sharding_rule=rule)
+    return fn
+
+
+def fused_t5_encoder_wanted(cfg, B: int, T: int) -> bool:
+    """Whole-layer fused T5 encoder: eligible on TPU when the working set
+    fits VMEM. Inference path only — training keeps the flash fwd+bwd pair
+    (the custom_vjp backward here recomputes through the flash path, which
+    would make a train step strictly slower than flash alone)."""
+    inner = cfg.num_heads * cfg.d_kv
+    return (
+        jax.default_backend() == "tpu"
+        and T % 8 == 0
+        and _pick_rows_t5(B, T, cfg.d_model, inner, cfg.d_ff, cfg.num_heads,
+                          cfg.gated_ffn) > 0
+    )
+
+
 def fused_encoder_wanted(cfg, B: int, T: int) -> bool:
     """The fused layer covers the vanilla-BERT block (BGE family): softmax
     attention without ALiBi, plain-GELU MLP. JINA variants, and shapes whose
