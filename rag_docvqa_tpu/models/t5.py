@@ -224,8 +224,6 @@ def encode(
 ) -> jax.Array:
     enc = params["encoder"]
     B, T = inputs_embeds.shape[:2]
-    pos = jnp.arange(T)
-    bias = relative_bias(enc["rel_bias"], pos, pos, bidirectional=True, cfg=cfg)
     x = dropout(inputs_embeds, cfg.dropout_rate, rng, deterministic)
     stacked = {
         "ln0": enc["ln0"],
@@ -234,16 +232,31 @@ def encode(
         "ffn": enc["ffn"],
     }
 
+    Tp = -(-T // 8) * 8  # fused kernel wants sublane-aligned sequence length
     if fused is None:
         from rag_docvqa_tpu.ops.fused_encoder import fused_t5_encoder_wanted
 
         # the fused forward's custom_vjp backward recomputes through the
         # flash path, so explicit training steps pass fused=False to keep
         # the flash fwd+bwd pair (vt5.py::loss_fn)
-        fused = fused_t5_encoder_wanted(cfg, B, T)
+        fused = fused_t5_encoder_wanted(cfg, B, Tp)
     if fused:
-        x = _fused_t5_stack(cfg)(stacked, x, attention_mask, bias[0].astype(jnp.bfloat16))
+        pad = Tp - T
+        am = attention_mask
+        if pad:
+            # padded keys are masked off; padded query rows produce sliced-
+            # away uniform-softmax garbage (Hi-VT5's K+T+Tv lengths are
+            # rarely multiples of 8)
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+            am = jnp.pad(attention_mask, ((0, 0), (0, pad)))
+        pos = jnp.arange(Tp)
+        bias = relative_bias(enc["rel_bias"], pos, pos, bidirectional=True, cfg=cfg)
+        x = _fused_t5_stack(cfg)(stacked, x, am, bias[0].astype(jnp.bfloat16))
+        if pad:
+            x = x[:, :T]
     else:
+        pos = jnp.arange(T)
+        bias = relative_bias(enc["rel_bias"], pos, pos, bidirectional=True, cfg=cfg)
         x = _encode_blocks(stacked, cfg, x, attention_mask, bias)
     return rms_norm(x, enc["final_ln"], cfg.layer_norm_eps)
 

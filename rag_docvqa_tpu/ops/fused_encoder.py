@@ -160,7 +160,10 @@ def _layer_kernel(
 
 def _pick_rows(B: int, T: int, d: int, d_ff: int, budget: int = 26 * 2**20) -> int:
     # budget tuned on v5e (64 MB scoped-vmem limit requested): rows=8 at the
-    # bge chunk shape measured 0.42 MFU vs 0.35 at rows=4 and 0.41 at rows=16
+    # bge chunk shape measured 0.42 MFU vs 0.35 at rows=4 and 0.41 at rows=16.
+    # Wide-and-long shapes (XLM-R-base reranker: d=768, T=512) exceed it at
+    # every row count with this conservative bound, but fit comfortably at
+    # rows=1 under the 64 MB scoped limit — allow them explicitly.
     for rows in (16, 8, 4, 2, 1):
         if B % rows:
             continue
@@ -174,7 +177,7 @@ def _pick_rows(B: int, T: int, d: int, d_ff: int, budget: int = 26 * 2**20) -> i
             + 2 * R * d * 4               # LN f32 temporaries
             + (3 * d * d + 2 * d * d_ff) * 2  # resident weights
         )
-        if est <= budget:
+        if est <= budget or (rows == 1 and est <= 52 * 2**20):
             return rows
     return 0  # nothing fits — caller must use the XLA path
 

@@ -186,3 +186,25 @@ def test_fused_t5_gspmd_auto_partitioned():
     sh = lambda a: jax.device_put(a, NamedSharding(mesh, P("data")))
     got = f(params, sh(x), sh(mask))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_fused_t5_odd_length_pads():
+    """T not a multiple of 8 (Hi-VT5's K+T+Tv lengths): the fused path pads
+    keys/queries internally and slices back; parity with XLA holds."""
+    params = t5m.init_t5_params(jax.random.PRNGKey(4), T5_CFG)
+    rng = np.random.RandomState(4)
+    B, T = 3, 21
+    x = jnp.asarray(rng.randn(B, T, 32).astype(np.float32))
+    lens = jnp.asarray([21, 13, 2])
+    mask = jnp.arange(T)[None, :] < lens[:, None]
+    ref = t5m.encode(params, T5_CFG, x, mask, fused=False)
+    got = t5m.encode(params, T5_CFG, x, mask, fused=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-3, rtol=1e-3)
+
+
+def test_fused_rows_reranker_shape_eligible():
+    """XLM-R-base cross-encoder shape (d=768, d_ff=3072, T=512) fits at
+    rows=1 under the relaxed single-row budget."""
+    from rag_docvqa_tpu.ops.fused_encoder import _pick_rows
+
+    assert _pick_rows(16, 512, 768, 3072) == 1
