@@ -111,7 +111,7 @@ def bert_encode(
     if fused is None:
         from rag_docvqa_tpu.ops.fused_encoder import fused_encoder_wanted
 
-        fused = fused_encoder_wanted(cfg, B, T)
+        fused = fused_encoder_wanted(cfg, B, T, x.dtype.itemsize)
     if fused:
         return _fused_blocks(cfg)(params["blocks"], x, attention_mask)
     return _xla_blocks(params["blocks"], cfg, x, attention_mask)
@@ -160,15 +160,23 @@ def _fused_blocks(cfg: BertConfig):
     custom_vjp: forward runs the kernel; backward recomputes through the XLA
     blocks (the embedder's hot path is inference — contrastive fine-tunes pay
     one recompute)."""
-    from rag_docvqa_tpu.ops.fused_encoder import fused_bert_layer
+    from rag_docvqa_tpu.ops.fused_encoder import fuse_bert_blocks, fused_bert_layer_parts
+
+    if cfg.use_alibi or cfg.glu_mlp:
+        raise ValueError(
+            "fused=True is not available for ALiBi/GLU (JINA) configs — the "
+            "fused kernel implements the vanilla-BERT block only")
 
     @jax.custom_vjp
     def run(blocks, x, key_mask):
+        # pre-fuse the stacked weights ONCE, outside the layer scan
+        pre = fuse_bert_blocks(blocks)
+
         def body(x, layer):
-            return fused_bert_layer(
+            return fused_bert_layer_parts(
                 x, key_mask, layer, num_heads=cfg.num_heads, eps=cfg.layer_norm_eps
             ), None
-        x, _ = jax.lax.scan(body, x, blocks)
+        x, _ = jax.lax.scan(body, x, pre)
         return x
 
     def fwd(blocks, x, key_mask):

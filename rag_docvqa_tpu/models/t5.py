@@ -239,7 +239,7 @@ def encode(
         # the fused forward's custom_vjp backward recomputes through the
         # flash path, so explicit training steps pass fused=False to keep
         # the flash fwd+bwd pair (vt5.py::loss_fn)
-        fused = fused_t5_encoder_wanted(cfg, B, Tp)
+        fused = fused_t5_encoder_wanted(cfg, B, Tp, x.dtype.itemsize)
     if fused:
         pad = Tp - T
         am = attention_mask
@@ -298,17 +298,20 @@ def _fused_t5_stack(cfg: T5Config):
     """Encoder layer stack through ops/fused_encoder.py's whole-layer T5
     kernel (inference hot path). custom_vjp backward recomputes through the
     flash/XLA blocks so the stack stays differentiable."""
-    from rag_docvqa_tpu.ops.fused_encoder import fused_t5_layer
+    from rag_docvqa_tpu.ops.fused_encoder import fuse_t5_blocks, fused_t5_layer_parts
 
     @jax.custom_vjp
     def run(stacked, x, key_mask, bias_bf16):
+        # pre-fuse the stacked weights ONCE, outside the layer scan
+        pre = fuse_t5_blocks(stacked, cfg.gated_ffn)
+
         def body(x, layer):
-            return fused_t5_layer(
+            return fused_t5_layer_parts(
                 x, key_mask, bias_bf16, layer,
                 num_heads=cfg.num_heads, eps=cfg.layer_norm_eps,
                 gated=cfg.gated_ffn,
             ), None
-        x, _ = jax.lax.scan(body, x, stacked)
+        x, _ = jax.lax.scan(body, x, pre)
         return x
 
     def fwd(stacked, x, key_mask, bias_bf16):

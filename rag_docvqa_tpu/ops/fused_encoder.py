@@ -100,8 +100,7 @@ def _layer_kernel(
         + bqkv_ref[...].astype(jnp.float32)
     ).astype(cdt)
 
-    valid = jnp.broadcast_to(mask_ref[...][:, :, None, :], (rows, 1, T, T))
-    valid = jnp.broadcast_to(valid, (rows, 1, T, T)).reshape(rows, T, T)
+    valid = jnp.broadcast_to(mask_ref[...][:, :, None, :], (rows, 1, T, T)).reshape(rows, T, T)
     # per-head attention, batched over the `rows` sequences in one
     # dot_general (Mosaic: one batch dim); head slices are unaligned lane
     # reads from the qkv scratch
@@ -158,24 +157,27 @@ def _layer_kernel(
     o_ref[...] = out.reshape(rows, T, d).astype(o_ref.dtype)
 
 
-def _pick_rows(B: int, T: int, d: int, d_ff: int, budget: int = 26 * 2**20) -> int:
+def _pick_rows(B: int, T: int, d: int, d_ff: int, itemsize: int = 2,
+               budget: int = 26 * 2**20) -> int:
     # budget tuned on v5e (64 MB scoped-vmem limit requested): rows=8 at the
     # bge chunk shape measured 0.42 MFU vs 0.35 at rows=4 and 0.41 at rows=16.
     # Wide-and-long shapes (XLM-R-base reranker: d=768, T=512) exceed it at
     # every row count with this conservative bound, but fit comfortably at
     # rows=1 under the 64 MB scoped limit — allow them explicitly.
+    # itemsize: the caller's activation/weight dtype width — an f32 run needs
+    # ~2x the VMEM of the bf16 shapes the budget was tuned on.
     for rows in (16, 8, 4, 2, 1):
         if B % rows:
             continue
         R = rows * T
         Tl = max(T, 128)  # lane padding of the (rows, T, T) tiles
         est = (
-            2 * 2 * rows * T * d * 2      # x in + out blocks, double-buffered
-            + R * 3 * d * 2 + R * d * 2   # qkv + attn scratch
+            2 * 2 * rows * T * d * itemsize      # x in + out blocks, double-buffered
+            + R * 3 * d * itemsize + R * d * itemsize   # qkv + attn scratch
             + 3 * rows * T * Tl * 4       # s/p f32 tiles
             + 2 * R * d_ff * 4            # h1 f32 (+ gelu temporary)
             + 2 * R * d * 4               # LN f32 temporaries
-            + (3 * d * d + 2 * d * d_ff) * 2  # resident weights
+            + (3 * d * d + 2 * d * d_ff) * itemsize  # resident weights
         )
         if est <= budget or (rows == 1 and est <= 52 * 2**20):
             return rows
@@ -186,8 +188,11 @@ def _layer_call(x, maskB, wqkv, bqkv, wo, bo, ln1, w1, b1, w2, b2, ln2,
                 *, num_heads, eps, interpret):
     B, T, d = x.shape
     d_ff = w1.shape[1]
-    rows = _pick_rows(B, T, d, d_ff)
-    assert rows, f"fused layer does not fit VMEM at (B={B}, T={T}, d={d}, d_ff={d_ff})"
+    rows = _pick_rows(B, T, d, d_ff, x.dtype.itemsize)
+    if not rows:
+        raise ValueError(
+            f"fused layer does not fit VMEM at (B={B}, T={T}, d={d}, d_ff={d_ff}, "
+            f"dtype={x.dtype}) — call with fused=False")
     dh = d // num_heads
 
     full = lambda *shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape), memory_space=pltpu.VMEM)
@@ -220,6 +225,25 @@ def _layer_call(x, maskB, wqkv, bqkv, wo, bo, ln1, w1, b1, w2, b2, ln2,
     )(x, maskB, wqkv, bqkv, wo, bo, ln1, w1, b1, w2, b2, ln2)
 
 
+def _batch_axis_of(mesh, x_info):
+    """Usable batch (dim-0) mesh axis from an operand's propagated sharding;
+    None when unsharded, non-Named, or the axis does not divide the dim."""
+    from jax.sharding import NamedSharding
+
+    sh = x_info.sharding
+    if not isinstance(sh, NamedSharding) or not len(sh.spec):
+        return None
+    b = sh.spec[0]
+    if b is not None:
+        names = b if isinstance(b, tuple) else (b,)
+        n = 1
+        for a in names:
+            n *= mesh.shape[a]
+        if x_info.shape[0] % n:
+            return None
+    return b
+
+
 @functools.lru_cache(maxsize=None)
 def _make_layer_cp(num_heads, eps, interpret):
     """custom_partitioning wrapper: under plain jit with GSPMD-sharded
@@ -234,22 +258,8 @@ def _make_layer_cp(num_heads, eps, interpret):
     rule = ("b t d, b u t, c0 c1, c2 c3, c4 c5, c6 c7, c8 c9, d0 d1, d2 d3, "
             "d4 d5, d6 d7, d8 d9 -> b t d")
 
-    def _b_axis(mesh, x_info):
-        sh = x_info.sharding
-        if not isinstance(sh, NamedSharding) or not len(sh.spec):
-            return None
-        b = sh.spec[0]
-        if b is not None:
-            names = b if isinstance(b, tuple) else (b,)
-            n = 1
-            for a in names:
-                n *= mesh.shape[a]
-            if x_info.shape[0] % n:
-                return None
-        return b
-
     def _shardings(mesh, arg_infos):
-        b = _b_axis(mesh, arg_infos[0])
+        b = _batch_axis_of(mesh, arg_infos[0])
         xs = NamedSharding(mesh, P(b, None, None))
         ms = NamedSharding(mesh, P(b, None, None))
         rep2 = NamedSharding(mesh, P(None, None))
@@ -271,6 +281,42 @@ def _make_layer_cp(num_heads, eps, interpret):
     return fn
 
 
+def fuse_bert_blocks(blocks: Dict[str, Any]) -> Dict[str, jax.Array]:
+    """Pre-fuse the STACKED (L, ...) block params once (outside the layer
+    scan): one qkv concat over the whole stack instead of one per layer per
+    call."""
+    return {
+        "wqkv": jnp.concatenate(
+            [blocks["q"]["kernel"], blocks["k"]["kernel"], blocks["v"]["kernel"]], axis=2),
+        "bqkv": jnp.concatenate(
+            [blocks["q"]["bias"], blocks["k"]["bias"], blocks["v"]["bias"]], axis=1)[:, None, :],
+        "wo": blocks["o"]["kernel"],
+        "bo": blocks["o"]["bias"][:, None, :],
+        "ln1": jnp.stack([blocks["attn_ln_w"], blocks["attn_ln_b"]], axis=1),
+        "w1": blocks["fc1"]["kernel"],
+        "b1": blocks["fc1"]["bias"][:, None, :],
+        "w2": blocks["fc2"]["kernel"],
+        "b2": blocks["fc2"]["bias"][:, None, :],
+        "ln2": jnp.stack([blocks["out_ln_w"], blocks["out_ln_b"]], axis=1),
+    }
+
+
+def fused_bert_layer_parts(x, key_mask, l: Dict[str, jax.Array], *,
+                           num_heads: int, eps: float,
+                           interpret: bool | None = None) -> jax.Array:
+    """One fused layer from a fuse_bert_blocks-style per-layer dict."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    args = (x, key_mask[:, None, :], l["wqkv"], l["bqkv"], l["wo"], l["bo"],
+            l["ln1"], l["w1"], l["b1"], l["w2"], l["b2"], l["ln2"])
+
+    from rag_docvqa_tpu.ops.flash_attention import _auto_partition_wanted
+
+    if _auto_partition_wanted():
+        return _make_layer_cp(num_heads, eps, interpret)(*args)
+    return _layer_call(*args, num_heads=num_heads, eps=eps, interpret=interpret)
+
+
 def fused_bert_layer(
     x: jax.Array,        # (B, T, d)
     key_mask: jax.Array,  # (B, T) bool
@@ -280,26 +326,22 @@ def fused_bert_layer(
     eps: float,
     interpret: bool | None = None,
 ) -> jax.Array:
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    wqkv = jnp.concatenate(
-        [layer["q"]["kernel"], layer["k"]["kernel"], layer["v"]["kernel"]], axis=1
-    )
-    bqkv = jnp.concatenate(
-        [layer["q"]["bias"], layer["k"]["bias"], layer["v"]["bias"]]
-    )[None]
-    ln1 = jnp.stack([layer["attn_ln_w"], layer["attn_ln_b"]])
-    ln2 = jnp.stack([layer["out_ln_w"], layer["out_ln_b"]])
-    args = (x, key_mask[:, None, :], wqkv, bqkv,
-            layer["o"]["kernel"], layer["o"]["bias"][None], ln1,
-            layer["fc1"]["kernel"], layer["fc1"]["bias"][None],
-            layer["fc2"]["kernel"], layer["fc2"]["bias"][None], ln2)
-
-    from rag_docvqa_tpu.ops.flash_attention import _auto_partition_wanted
-
-    if _auto_partition_wanted():
-        return _make_layer_cp(num_heads, eps, interpret)(*args)
-    return _layer_call(*args, num_heads=num_heads, eps=eps, interpret=interpret)
+    l = {
+        "wqkv": jnp.concatenate(
+            [layer["q"]["kernel"], layer["k"]["kernel"], layer["v"]["kernel"]], axis=1),
+        "bqkv": jnp.concatenate(
+            [layer["q"]["bias"], layer["k"]["bias"], layer["v"]["bias"]])[None],
+        "wo": layer["o"]["kernel"],
+        "bo": layer["o"]["bias"][None],
+        "ln1": jnp.stack([layer["attn_ln_w"], layer["attn_ln_b"]]),
+        "w1": layer["fc1"]["kernel"],
+        "b1": layer["fc1"]["bias"][None],
+        "w2": layer["fc2"]["kernel"],
+        "b2": layer["fc2"]["bias"][None],
+        "ln2": jnp.stack([layer["out_ln_w"], layer["out_ln_b"]]),
+    }
+    return fused_bert_layer_parts(x, key_mask, l, num_heads=num_heads, eps=eps,
+                                  interpret=interpret)
 
 
 # --------------------------------------------------------------------------- #
@@ -382,7 +424,8 @@ def _t5_layer_kernel(
     o_ref[...] = (x + fo).reshape(rows, T, d)
 
 
-def _pick_rows_t5(B, T, d, inner, d_ff, H, gated, budget: int = 52 * 2**20) -> int:
+def _pick_rows_t5(B, T, d, inner, d_ff, H, gated, itemsize: int = 2,
+                  budget: int = 52 * 2**20) -> int:
     for rows in (8, 4, 2, 1):
         if B % rows:
             continue
@@ -390,13 +433,13 @@ def _pick_rows_t5(B, T, d, inner, d_ff, H, gated, budget: int = 52 * 2**20) -> i
         Tl = max(T, 128)
         n_wi = 2 if gated else 1
         est = (
-            2 * 2 * rows * T * d * 2
-            + R * 3 * inner * 2 + R * inner * 2
+            2 * 2 * rows * T * d * itemsize
+            + R * 3 * inner * itemsize + R * inner * itemsize
             + 3 * rows * T * Tl * 4
             + (2 + n_wi) * R * d_ff * 4
             + 2 * R * d * 4
-            + (3 * d * inner + inner * d + (n_wi + 1) * d * d_ff) * 2
-            + H * T * Tl * 2  # resident bias
+            + (3 * d * inner + inner * d + (n_wi + 1) * d * d_ff) * itemsize
+            + H * T * Tl * 2  # resident bias (always bf16 by construction)
         )
         if est <= budget:
             return rows
@@ -409,8 +452,11 @@ def _t5_layer_call(x, maskB, bias, wqkv, wo, ln0, ln1, *ffn_ws,
     inner = wo.shape[0]
     dk = inner // num_heads
     d_ff = ffn_ws[0].shape[1]
-    rows = _pick_rows_t5(B, T, d, inner, d_ff, num_heads, gated)
-    assert rows, f"fused t5 layer does not fit VMEM at (B={B}, T={T}, d={d}, d_ff={d_ff})"
+    rows = _pick_rows_t5(B, T, d, inner, d_ff, num_heads, gated, x.dtype.itemsize)
+    if not rows:
+        raise ValueError(
+            f"fused t5 layer does not fit VMEM at (B={B}, T={T}, d={d}, "
+            f"d_ff={d_ff}, dtype={x.dtype}) — call with fused=False")
 
     full = lambda *shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape), memory_space=pltpu.VMEM)
     in_specs = [
@@ -446,6 +492,40 @@ def _t5_layer_call(x, maskB, bias, wqkv, wo, ln0, ln1, *ffn_ws,
     )(x, maskB, bias, wqkv, wo, ln0, ln1, *ffn_ws)
 
 
+def fuse_t5_blocks(stacked: Dict[str, Any], gated: bool) -> Dict[str, jax.Array]:
+    """Pre-fuse the STACKED (L, ...) encoder params once (outside the layer
+    scan)."""
+    attn, ffn = stacked["attn"], stacked["ffn"]
+    pre = {
+        "wqkv": jnp.concatenate([attn["q"], attn["k"], attn["v"]], axis=2),
+        "wo": attn["o"],
+        "ln0": stacked["ln0"][:, None, :],
+        "ln1": stacked["ln1"][:, None, :],
+    }
+    if gated:
+        pre.update(wi_0=ffn["wi_0"], wi_1=ffn["wi_1"], wof=ffn["wo"])
+    else:
+        pre.update(wi=ffn["wi"], wof=ffn["wo"])
+    return pre
+
+
+def fused_t5_layer_parts(x, key_mask, bias, l: Dict[str, jax.Array], *,
+                         num_heads: int, eps: float, gated: bool,
+                         interpret: bool | None = None) -> jax.Array:
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    ffn_ws = (l["wi_0"], l["wi_1"], l["wof"]) if gated else (l["wi"], l["wof"])
+    args = (x, key_mask[:, None, :], bias, l["wqkv"], l["wo"],
+            l["ln0"], l["ln1"]) + ffn_ws
+
+    from rag_docvqa_tpu.ops.flash_attention import _auto_partition_wanted
+
+    if _auto_partition_wanted():
+        return _make_t5_layer_cp(num_heads, eps, gated, interpret)(*args)
+    return _t5_layer_call(*args, num_heads=num_heads, eps=eps, gated=gated,
+                          interpret=interpret)
+
+
 def fused_t5_layer(
     x: jax.Array,         # (B, T, d)
     key_mask: jax.Array,  # (B, T) bool
@@ -457,21 +537,19 @@ def fused_t5_layer(
     gated: bool,
     interpret: bool | None = None,
 ) -> jax.Array:
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    attn = layer["attn"]
-    ffn = layer["ffn"]
-    wqkv = jnp.concatenate([attn["q"], attn["k"], attn["v"]], axis=1)
-    ffn_ws = (ffn["wi_0"], ffn["wi_1"], ffn["wo"]) if gated else (ffn["wi"], ffn["wo"])
-    args = (x, key_mask[:, None, :], bias, wqkv, attn["o"],
-            layer["ln0"][None], layer["ln1"][None]) + ffn_ws
-
-    from rag_docvqa_tpu.ops.flash_attention import _auto_partition_wanted
-
-    if _auto_partition_wanted():
-        return _make_t5_layer_cp(num_heads, eps, gated, interpret)(*args)
-    return _t5_layer_call(*args, num_heads=num_heads, eps=eps, gated=gated,
-                          interpret=interpret)
+    attn, ffn = layer["attn"], layer["ffn"]
+    l = {
+        "wqkv": jnp.concatenate([attn["q"], attn["k"], attn["v"]], axis=1),
+        "wo": attn["o"],
+        "ln0": layer["ln0"][None],
+        "ln1": layer["ln1"][None],
+    }
+    if gated:
+        l.update(wi_0=ffn["wi_0"], wi_1=ffn["wi_1"], wof=ffn["wo"])
+    else:
+        l.update(wi=ffn["wi"], wof=ffn["wo"])
+    return fused_t5_layer_parts(x, key_mask, bias, l, num_heads=num_heads,
+                                eps=eps, gated=gated, interpret=interpret)
 
 
 @functools.lru_cache(maxsize=None)
@@ -488,17 +566,7 @@ def _make_t5_layer_cp(num_heads, eps, gated, interpret):
     rule = f"b t d, b u t, h t2 t3, {w_rule} -> b t d"
 
     def _shardings(mesh, arg_infos):
-        sh = arg_infos[0].sharding
-        b = None
-        if isinstance(sh, NamedSharding) and len(sh.spec):
-            b = sh.spec[0]
-            if b is not None:
-                names = b if isinstance(b, tuple) else (b,)
-                n = 1
-                for a in names:
-                    n *= mesh.shape[a]
-                if arg_infos[0].shape[0] % n:
-                    b = None
+        b = _batch_axis_of(mesh, arg_infos[0])
         xs = NamedSharding(mesh, P(b, None, None))
         rep3 = NamedSharding(mesh, P(None, None, None))
         rep2 = NamedSharding(mesh, P(None, None))
@@ -520,21 +588,22 @@ def _make_t5_layer_cp(num_heads, eps, gated, interpret):
     return fn
 
 
-def fused_t5_encoder_wanted(cfg, B: int, T: int) -> bool:
+def fused_t5_encoder_wanted(cfg, B: int, T: int, itemsize: int = 2) -> bool:
     """Whole-layer fused T5 encoder: eligible on TPU when the working set
-    fits VMEM. Inference path only — training keeps the flash fwd+bwd pair
-    (the custom_vjp backward here recomputes through the flash path, which
-    would make a train step strictly slower than flash alone)."""
+    fits VMEM. (T arrives pre-rounded to a multiple of 8 — t5.encode PADS odd
+    lengths rather than falling back.) Inference path only — training keeps
+    the flash fwd+bwd pair (the custom_vjp backward here recomputes through
+    the flash path, which would make a train step strictly slower than flash
+    alone)."""
     inner = cfg.num_heads * cfg.d_kv
     return (
         jax.default_backend() == "tpu"
-        and T % 8 == 0
         and _pick_rows_t5(B, T, cfg.d_model, inner, cfg.d_ff, cfg.num_heads,
-                          cfg.gated_ffn) > 0
+                          cfg.gated_ffn, itemsize) > 0
     )
 
 
-def fused_encoder_wanted(cfg, B: int, T: int) -> bool:
+def fused_encoder_wanted(cfg, B: int, T: int, itemsize: int = 2) -> bool:
     """The fused layer covers the vanilla-BERT block (BGE family): softmax
     attention without ALiBi, plain-GELU MLP. JINA variants, and shapes whose
     working set cannot fit VMEM, fall back to XLA."""
@@ -544,5 +613,5 @@ def fused_encoder_wanted(cfg, B: int, T: int) -> bool:
         and not cfg.glu_mlp
         and T % 8 == 0
         and cfg.hidden_size % cfg.num_heads == 0
-        and _pick_rows(B, T, cfg.hidden_size, cfg.intermediate_size) > 0
+        and _pick_rows(B, T, cfg.hidden_size, cfg.intermediate_size, itemsize) > 0
     )

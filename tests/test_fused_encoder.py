@@ -204,7 +204,22 @@ def test_fused_t5_odd_length_pads():
 
 def test_fused_rows_reranker_shape_eligible():
     """XLM-R-base cross-encoder shape (d=768, d_ff=3072, T=512) fits at
-    rows=1 under the relaxed single-row budget."""
+    rows=1 under the relaxed single-row budget — for bf16 runs. The f32
+    working set is ~2x and must be rejected (it would fail Mosaic's scoped
+    VMEM allocation at compile time otherwise)."""
     from rag_docvqa_tpu.ops.fused_encoder import _pick_rows
 
-    assert _pick_rows(16, 512, 768, 3072) == 1
+    assert _pick_rows(16, 512, 768, 3072, itemsize=2) == 1
+    assert _pick_rows(16, 512, 768, 3072, itemsize=4) == 0
+
+
+def test_fused_true_rejected_for_jina_configs():
+    """Explicit fused=True on an ALiBi/GLU config must raise, not silently
+    compute vanilla attention."""
+    cfg = BertConfig(vocab_size=100, hidden_size=64, num_layers=1, num_heads=4,
+                     intermediate_size=128, use_alibi=True)
+    p = init_bert_params(jax.random.PRNGKey(0), cfg)
+    ids = jnp.zeros((4, 16), jnp.int32)
+    mask = jnp.ones((4, 16), bool)
+    with pytest.raises(ValueError, match="ALiBi/GLU"):
+        bert_encode(p, cfg, ids, mask, fused=True)
