@@ -9,6 +9,7 @@ in f32.
 
 from __future__ import annotations
 
+import functools as _functools
 from dataclasses import dataclass
 from typing import Any, Dict
 
@@ -139,6 +140,7 @@ def extract_patches(pixels: jax.Array, patch: int) -> jax.Array:
 def vit_encode(
     params: Dict[str, Any], cfg: ViTConfig, pixels: jax.Array,
     return_hidden_states: bool = False,
+    fused: bool | None = None,  # None = auto (whole-layer TPU kernel when eligible)
 ) -> jax.Array:
     """(B, H, W, 3) normalized pixels -> (B, 1+N, D) hidden states.
 
@@ -152,6 +154,17 @@ def vit_encode(
     x = jnp.concatenate([cls, x], axis=1)
     if cfg.use_abs_pos:
         x = x + params["pos_embed"].astype(x.dtype)
+
+    if fused is None and not return_hidden_states:
+        from rag_docvqa_tpu.ops.fused_encoder import fused_vit_encoder_wanted
+
+        T0 = x.shape[1]
+        fused = fused_vit_encoder_wanted(cfg, B, -(-T0 // 8) * 8, x.dtype.itemsize)
+    if fused and not return_hidden_states:
+        x = _fused_vit_stack(cfg)(params["blocks"], x)
+        if cfg.use_final_layernorm:
+            x = layer_norm(x, params["final_ln_w"], params["final_ln_b"], cfg.layer_norm_eps)
+        return x
 
     H, dh = cfg.num_heads, cfg.hidden_size // cfg.num_heads
     scale = dh**-0.5
@@ -189,6 +202,92 @@ def vit_encode(
         x = layer_norm(x, params["final_ln_w"], params["final_ln_b"], cfg.layer_norm_eps)
     if return_hidden_states:
         return x, per_layer
+    return x
+
+
+@_functools.lru_cache(maxsize=None)
+def _fused_vit_stack(cfg: ViTConfig):
+    """Layer stack through the whole-layer ViT/BEiT kernel (inference path).
+    Pads the 1+N sequence to a multiple of 8 internally (padded keys masked,
+    padded query rows sliced away). custom_vjp backward recomputes through
+    the XLA blocks."""
+    import numpy as _np
+
+    from rag_docvqa_tpu.ops.fused_encoder import fuse_vit_blocks, fused_vit_layer_parts
+
+    rel_index = (
+        jnp.asarray(beit_relative_position_index(cfg.grid))
+        if cfg.arch == "beit" and cfg.use_rel_pos_bias
+        else None
+    )
+
+    @jax.custom_vjp
+    def run(blocks, x):
+        B, T0, d = x.shape
+        Tp = -(-T0 // 8) * 8
+        pad = Tp - T0
+        pre = fuse_vit_blocks(blocks, rel_index)
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+            if "bias" in pre:
+                pre["bias"] = jnp.pad(pre["bias"], ((0, 0), (0, 0), (0, pad), (0, pad)))
+        mask = jnp.arange(Tp)[None, :] < T0
+        mask = jnp.broadcast_to(mask, (B, Tp))
+
+        def body(x, layer):
+            return fused_vit_layer_parts(
+                x, mask, layer, num_heads=cfg.num_heads, eps=cfg.layer_norm_eps
+            ), None
+
+        x, _ = jax.lax.scan(body, x, pre)
+        return x[:, :T0] if pad else x
+
+    def fwd(blocks, x):
+        return run(blocks, x), (blocks, x)
+
+    def bwd(res, g):
+        blocks, x = res
+        _, vjp = jax.vjp(lambda b, x_: _vit_xla_blocks(b, cfg, x_), blocks, x)
+        return vjp(g)
+
+    run.defvjp(fwd, bwd)
+    return run
+
+
+def _vit_xla_blocks(blocks, cfg: ViTConfig, x: jax.Array) -> jax.Array:
+    """XLA layer stack on pre-embedded inputs (no final LN) — the fused
+    path's VJP recompute target."""
+    B = x.shape[0]
+    H, dh = cfg.num_heads, cfg.hidden_size // cfg.num_heads
+    scale = dh**-0.5
+    rel_index = None
+    if cfg.arch == "beit" and cfg.use_rel_pos_bias:
+        rel_index = jnp.asarray(beit_relative_position_index(cfg.grid))
+
+    def block(x, layer):
+        h = layer_norm(x, layer["ln1_w"], layer["ln1_b"], cfg.layer_norm_eps)
+        q = dense(h, layer["q"]["kernel"], layer["q"]["bias"]).reshape(B, -1, H, dh)
+        k = dense(h, layer["k"]["kernel"], layer["k"].get("bias")).reshape(B, -1, H, dh)
+        v = dense(h, layer["v"]["kernel"], layer["v"]["bias"]).reshape(B, -1, H, dh)
+        s = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+        if rel_index is not None:
+            bias = layer["rel_bias_table"][rel_index]
+            s = s + jnp.transpose(bias, (2, 0, 1))[None].astype(s.dtype)
+        p = jax.nn.softmax(s, axis=-1).astype(x.dtype)
+        a = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(B, -1, cfg.hidden_size)
+        a = dense(a, layer["o"]["kernel"], layer["o"]["bias"])
+        if "lambda_1" in layer:
+            a = a * layer["lambda_1"].astype(a.dtype)
+        x = x + a
+        h = layer_norm(x, layer["ln2_w"], layer["ln2_b"], cfg.layer_norm_eps)
+        h = jax.nn.gelu(dense(h, layer["fc1"]["kernel"], layer["fc1"]["bias"]), approximate=False)
+        h = dense(h, layer["fc2"]["kernel"], layer["fc2"]["bias"])
+        if "lambda_2" in layer:
+            h = h * layer["lambda_2"].astype(h.dtype)
+        x = x + h
+        return x, None
+
+    x, _ = jax.lax.scan(block, x, blocks)
     return x
 
 

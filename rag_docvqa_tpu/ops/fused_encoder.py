@@ -615,3 +615,232 @@ def fused_encoder_wanted(cfg, B: int, T: int, itemsize: int = 2) -> bool:
         and cfg.hidden_size % cfg.num_heads == 0
         and _pick_rows(B, T, cfg.hidden_size, cfg.intermediate_size, itemsize) > 0
     )
+
+
+# --------------------------------------------------------------------------- #
+# fused ViT/BEiT encoder layer (pre-LN, biased projections, optional per-layer
+# rel-pos bias and layer-scale)
+# --------------------------------------------------------------------------- #
+def _vit_layer_kernel(
+    x_ref,      # (rows, T, d)
+    mask_ref,   # (rows, 1, T) bool (True = real token; padding masked off)
+    *rest,      # [bias (H,T,T)], wqkv, bqkv, wo, bo, ln1 (2,d), ln2 (2,d),
+                # w1, b1, w2, b2, [gamma (2,d)], o_ref, scratches
+    rows: int,
+    T: int,
+    d: int,
+    H: int,
+    scale: float,
+    eps: float,
+    has_bias: bool,
+    has_gamma: bool,
+):
+    i = 0
+    bias_ref = None
+    if has_bias:
+        bias_ref = rest[i]; i += 1
+    wqkv_ref, bqkv_ref, wo_ref, bo_ref, ln1_ref, ln2_ref, w1_ref, b1_ref, w2_ref, b2_ref = rest[i:i + 10]
+    i += 10
+    gamma_ref = None
+    if has_gamma:
+        gamma_ref = rest[i]; i += 1
+    o_ref, qkv_ref, attn_ref = rest[i:i + 3]
+
+    R = rows * T
+    dh = d // H
+    cdt = x_ref.dtype
+    x = x_ref[...].reshape(R, d)
+
+    def _ln(y, ln_ref):
+        y32 = y.astype(jnp.float32)
+        mean = jnp.mean(y32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(y32 - mean), axis=-1, keepdims=True)
+        n = (y32 - mean) * jax.lax.rsqrt(var + eps)
+        w = ln_ref[0, :].astype(jnp.float32)
+        b = ln_ref[1, :].astype(jnp.float32)
+        return (n * w[None, :] + b[None, :]).astype(cdt)
+
+    h = _ln(x, ln1_ref)
+    qkv_ref[...] = (
+        jax.lax.dot_general(h, wqkv_ref[...],
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        + bqkv_ref[...].astype(jnp.float32)
+    ).astype(cdt)
+
+    valid = jnp.broadcast_to(mask_ref[...][:, :, None, :], (rows, 1, T, T)).reshape(rows, T, T)
+    for hh in range(H):
+        q = qkv_ref[:, pl.ds(hh * dh, dh)].reshape(rows, T, dh)
+        k = qkv_ref[:, pl.ds(d + hh * dh, dh)].reshape(rows, T, dh)
+        v = qkv_ref[:, pl.ds(2 * d + hh * dh, dh)].reshape(rows, T, dh)
+        s = jax.lax.dot_general(q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        if scale != 1.0:
+            s = s * scale
+        if bias_ref is not None:
+            s = s + jnp.broadcast_to(bias_ref[hh][None].astype(jnp.float32), (rows, T, T))
+        s = jnp.where(valid, s, -1e30)
+        mx = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - mx)
+        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(cdt)
+        o = jax.lax.dot_general(p, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        attn_ref[:, pl.ds(hh * dh, dh)] = o.reshape(R, dh).astype(cdt)
+
+    ao = (
+        jax.lax.dot_general(attn_ref[...], wo_ref[...],
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        + bo_ref[...].astype(jnp.float32)
+    ).astype(cdt)
+    if gamma_ref is not None:
+        ao = ao * gamma_ref[0, :].astype(cdt)[None, :]
+    x = x + ao
+
+    h2 = _ln(x, ln2_ref)
+    f = (
+        jax.lax.dot_general(h2, w1_ref[...],
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        + b1_ref[...].astype(jnp.float32)
+    )
+    f = 0.5 * f * (1.0 + _erf32(f * (2.0 ** -0.5)))
+    fo = (
+        jax.lax.dot_general(f.astype(cdt), w2_ref[...],
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        + b2_ref[...].astype(jnp.float32)
+    ).astype(cdt)
+    if gamma_ref is not None:
+        fo = fo * gamma_ref[1, :].astype(cdt)[None, :]
+    o_ref[...] = (x + fo).reshape(rows, T, d)
+
+
+def _pick_rows_vit(B, T, d, d_ff, has_bias, H, itemsize: int = 2,
+                   budget: int = 26 * 2**20) -> int:
+    for rows in (8, 4, 2, 1):
+        if B % rows:
+            continue
+        R = rows * T
+        Tl = -(-T // 128) * 128
+        est = (
+            2 * 2 * rows * T * d * itemsize
+            + R * 3 * d * itemsize + R * d * itemsize
+            + 3 * rows * T * Tl * 4
+            + 2 * R * d_ff * 4
+            + 2 * R * d * 4
+            + (4 * d * d + 2 * d * d_ff) * itemsize
+            + (H * T * Tl * 2 if has_bias else 0)
+        )
+        if est <= budget or (rows == 1 and est <= 52 * 2**20):
+            return rows
+    return 0
+
+
+def _vit_layer_call(x, maskB, *rest, num_heads, eps, has_bias, has_gamma, interpret):
+    B, T, d = x.shape
+    i = 1 if has_bias else 0
+    w1 = rest[i + 6]
+    d_ff = w1.shape[1]
+    rows = _pick_rows_vit(B, T, d, d_ff, has_bias, num_heads, x.dtype.itemsize)
+    if not rows:
+        raise ValueError(
+            f"fused vit layer does not fit VMEM at (B={B}, T={T}, d={d}, "
+            f"d_ff={d_ff}, dtype={x.dtype}) — call with fused=False")
+    dh = d // num_heads
+
+    full = lambda *shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape), memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((rows, T, d), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows, 1, T), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    if has_bias:
+        in_specs.append(full(num_heads, T, T))
+    in_specs += [
+        full(d, 3 * d), full(1, 3 * d), full(d, d), full(1, d),
+        full(2, d), full(2, d),
+        full(d, d_ff), full(1, d_ff), full(d_ff, d), full(1, d),
+    ]
+    if has_gamma:
+        in_specs.append(full(2, d))
+
+    return pl.pallas_call(
+        functools.partial(_vit_layer_kernel, rows=rows, T=T, d=d, H=num_heads,
+                          scale=dh**-0.5, eps=eps, has_bias=has_bias,
+                          has_gamma=has_gamma),
+        grid=(B // rows,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((rows, T, d), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T, d), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((rows * T, 3 * d), x.dtype),
+            pltpu.VMEM((rows * T, d), x.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * T * (4 * d * d + 2 * d * d_ff) + 4 * B * num_heads * T * T * dh,
+            bytes_accessed=2 * B * T * d * x.dtype.itemsize,
+            transcendentals=B * T * (num_heads * T + d_ff),
+        ),
+        interpret=interpret,
+    )(x, maskB, *rest)
+
+
+def fuse_vit_blocks(blocks: Dict[str, Any], rel_index=None) -> Dict[str, jax.Array]:
+    """Pre-fuse the STACKED (L, ...) ViT/BEiT block params once. BEiT's
+    missing k bias becomes zeros; the per-layer rel-pos bias tables gather to
+    (L, H, T, T) bf16 here (one gather per encode, resident per grid step in
+    the kernel)."""
+    k_bias = blocks["k"].get("bias")
+    if k_bias is None:
+        k_bias = jnp.zeros_like(blocks["q"]["bias"])
+    pre = {
+        "wqkv": jnp.concatenate(
+            [blocks["q"]["kernel"], blocks["k"]["kernel"], blocks["v"]["kernel"]], axis=2),
+        "bqkv": jnp.concatenate(
+            [blocks["q"]["bias"], k_bias, blocks["v"]["bias"]], axis=1)[:, None, :],
+        "wo": blocks["o"]["kernel"],
+        "bo": blocks["o"]["bias"][:, None, :],
+        "ln1": jnp.stack([blocks["ln1_w"], blocks["ln1_b"]], axis=1),
+        "ln2": jnp.stack([blocks["ln2_w"], blocks["ln2_b"]], axis=1),
+        "w1": blocks["fc1"]["kernel"],
+        "b1": blocks["fc1"]["bias"][:, None, :],
+        "w2": blocks["fc2"]["kernel"],
+        "b2": blocks["fc2"]["bias"][:, None, :],
+    }
+    if rel_index is not None:
+        tbl = blocks["rel_bias_table"]  # (L, n_dist, H)
+        bias = tbl[:, rel_index]  # (L, T, T, H)
+        pre["bias"] = jnp.transpose(bias, (0, 3, 1, 2)).astype(jnp.bfloat16)
+    if "lambda_1" in blocks:
+        pre["gamma"] = jnp.stack([blocks["lambda_1"], blocks["lambda_2"]], axis=1)
+    return pre
+
+
+def fused_vit_layer_parts(x, key_mask, l: Dict[str, jax.Array], *,
+                          num_heads: int, eps: float,
+                          interpret: bool | None = None) -> jax.Array:
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    has_bias = "bias" in l
+    has_gamma = "gamma" in l
+    rest = ((l["bias"],) if has_bias else ()) + (
+        l["wqkv"], l["bqkv"], l["wo"], l["bo"], l["ln1"], l["ln2"],
+        l["w1"], l["b1"], l["w2"], l["b2"],
+    ) + ((l["gamma"],) if has_gamma else ())
+    return _vit_layer_call(x, key_mask[:, None, :], *rest,
+                           num_heads=num_heads, eps=eps, has_bias=has_bias,
+                           has_gamma=has_gamma, interpret=interpret)
+
+
+def fused_vit_encoder_wanted(cfg, B: int, T: int, itemsize: int = 2) -> bool:
+    """Whole-layer fused ViT/BEiT encoder for the visual towers (inference).
+    T arrives pre-rounded — vit_encode pads the 1+N sequence to a multiple
+    of 8."""
+    return (
+        jax.default_backend() == "tpu"
+        and cfg.hidden_size % cfg.num_heads == 0
+        and _pick_rows_vit(B, T, cfg.hidden_size, cfg.mlp_dim,
+                           cfg.arch == "beit" and cfg.use_rel_pos_bias,
+                           cfg.num_heads, itemsize) > 0
+    )

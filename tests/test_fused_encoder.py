@@ -223,3 +223,54 @@ def test_fused_true_rejected_for_jina_configs():
     mask = jnp.ones((4, 16), bool)
     with pytest.raises(ValueError, match="ALiBi/GLU"):
         bert_encode(p, cfg, ids, mask, fused=True)
+
+
+# ---------------------------------------------------------------------- #
+# fused ViT/BEiT encoder layer
+# ---------------------------------------------------------------------- #
+from rag_docvqa_tpu.models.vit import ViTConfig, init_vit_params, vit_encode
+
+
+@pytest.mark.parametrize("arch", ["vit", "beit"])
+def test_fused_vit_encode_matches_xla(arch):
+    """Both towers, incl. BEiT's per-layer rel-pos bias + layer-scale + zero
+    k-bias; T=1+N is odd (padding path)."""
+    cfg = ViTConfig(image_size=32, patch_size=8, hidden_size=64, num_layers=2,
+                    num_heads=4, mlp_dim=128, arch=arch,
+                    use_rel_pos_bias=arch == "beit",
+                    use_abs_pos=arch == "vit",
+                    layer_scale_init=0.1 if arch == "beit" else 0.0)
+    params = init_vit_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    pixels = jnp.asarray(rng.randn(3, 32, 32, 3).astype(np.float32))
+    ref = vit_encode(params, cfg, pixels, fused=False)
+    got = vit_encode(params, cfg, pixels, fused=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-3, rtol=1e-3)
+
+
+def test_fused_vit_grad():
+    cfg = ViTConfig(image_size=32, patch_size=8, hidden_size=64, num_layers=2,
+                    num_heads=4, mlp_dim=128)
+    params = init_vit_params(jax.random.PRNGKey(1), cfg)
+    rng = np.random.RandomState(1)
+    pixels = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+
+    def loss(p, fused):
+        return jnp.sum(vit_encode(p, cfg, pixels, fused=fused) ** 2)
+
+    g_f = jax.grad(lambda p: loss(p, True))(params)
+    g_x = jax.grad(lambda p: loss(p, False))(params)
+    for a, b in zip(jax.tree.leaves(g_f), jax.tree.leaves(g_x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3, rtol=5e-3)
+
+
+def test_fused_vit_hidden_states_stays_xla():
+    """return_hidden_states (the BEiT segmentation backbone taps) keeps the
+    XLA path — the fused stack does not materialize per-block outputs."""
+    cfg = ViTConfig(image_size=32, patch_size=8, hidden_size=64, num_layers=2,
+                    num_heads=4, mlp_dim=128)
+    params = init_vit_params(jax.random.PRNGKey(2), cfg)
+    rng = np.random.RandomState(2)
+    pixels = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+    x, per_layer = vit_encode(params, cfg, pixels, return_hidden_states=True)
+    assert per_layer.shape[0] == 2
