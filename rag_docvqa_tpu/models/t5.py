@@ -514,25 +514,6 @@ def _attend_one(
     return out.reshape(out.shape[0], -1)
 
 
-def fuse_decode_qkv(params: Params) -> Params:
-    """Concatenate the decoder self-attention q/k/v weights into one
-    (L, D, 3*inner) ``qkv`` leaf consumed by `decode_step`.
-
-    The decode step's (B, D) x (D, inner) projections are too small to hide
-    per-op overhead (PERF.md §3: ~9.5 us per chained small matmul on this
-    backend); one (D, 3*inner) matmul replaces three. Column-block
-    concatenation leaves every output value identical up to matmul tiling.
-    Called by `ops/decode.py::_decode_loop` BEFORE the step scan so the
-    concat runs once per decode program, not once per step (XLA's loop
-    LICM would likely hoist it anyway; this makes it structural)."""
-    dec = params["decoder"]
-    sa = dec["self_attn"]
-    if "qkv" in sa:
-        return params
-    qkv = jnp.concatenate([sa["q"], sa["k"], sa["v"]], axis=-1)
-    return {**params, "decoder": {**dec, "self_attn": {**sa, "qkv": qkv}}}
-
-
 def decode_step(
     params: Params,
     cfg: T5Config,
@@ -577,15 +558,9 @@ def decode_step(
         else:
             layer, (ck, cv, sk, sv) = layer_and_cache
         h = rms_norm(x, layer["ln0"], cfg.layer_norm_eps)
-        sa = layer["self_attn"]
-        if "qkv" in sa:
-            # pre-concatenated weight (fuse_decode_qkv): one matmul for q/k/v
-            qkv = dense(h, sa["qkv"]).reshape(B, 3, cfg.num_heads, cfg.d_kv)
-            q, k_new, v_new = qkv[:, 0], qkv[:, 1, :, None, :], qkv[:, 2, :, None, :]
-        else:
-            q = split_q(h, sa["q"])
-            k_new = split_q(h, sa["k"])[:, :, None, :]  # (B, H, 1, dk)
-            v_new = split_q(h, sa["v"])[:, :, None, :]
+        q = split_q(h, layer["self_attn"]["q"])
+        k_new = split_q(h, layer["self_attn"]["k"])[:, :, None, :]  # (B, H, 1, dk)
+        v_new = split_q(h, layer["self_attn"]["v"])[:, :, None, :]
         sk = jax.lax.dynamic_update_slice(sk, k_new, (0, 0, step, 0))
         sv = jax.lax.dynamic_update_slice(sv, v_new, (0, 0, step, 0))
         x = x + dense(_attend_one(q, sk, sv, self_bias, self_mask), layer["self_attn"]["o"])

@@ -42,9 +42,6 @@ def _decode_loop(
     max_new_tokens: int,
 ) -> Tuple[jax.Array, jax.Array]:
     """The greedy scan from an already-built decode cache."""
-    # one (D, 3*inner) self-attention projection per layer instead of three:
-    # concat hoisted here, outside the step scan (t5.py::fuse_decode_qkv)
-    params = t5_mod.fuse_decode_qkv(params)
     B = encoder_mask.shape[0]
     token0 = jnp.full((B,), cfg.decoder_start_token_id, jnp.int32)
     done0 = jnp.zeros((B,), bool)

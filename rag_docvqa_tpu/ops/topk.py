@@ -160,13 +160,9 @@ def cosine_topk_pallas(
     B = queries.shape[0]
     assert N % tile_n == 0, f"pad index length {N} to a multiple of tile_n={tile_n}"
 
-    # normalize in f32, then match the index dtype: a mixed bf16 x f32 dot
-    # takes the MXU's f32 path (1/4 rate) — bf16 q with f32 accumulation
-    # measured 1.61 vs 2.00 ms at the 8k-chunk engine shape on v5e. f32
-    # indexes (all tests, CPU paths) keep the f32 query bit-exactly.
+    # queries stay f32 (mixed f32 x bf16 dots measured faster than casting
+    # q down); scores accumulate in f32 via preferred_element_type
     q = l2_normalize(queries.astype(jnp.float32))
-    if index.dtype == jnp.bfloat16:
-        q = q.astype(jnp.bfloat16)
     grid = (N // tile_n,)
     kernel = functools.partial(_fused_kernel, k=k, tile_n=tile_n)
 
