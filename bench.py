@@ -352,6 +352,13 @@ def main():
     big_time = _time_min(lambda: big_query(big_index, qv, TOP_K), 10)
     big_qps = N_QUERIES / big_time
 
+    # throughput-optimal batch: the same 805 MB index read amortizes over 4x
+    # the queries (PERF.md §6 — the kernel is read-bound at ~230 GB/s
+    # effective on this chip, so bigger query batches raise QPS ~25%)
+    qv1k = jnp.tile(qv, (4, 1))
+    _sync(big_query(big_index, qv1k, TOP_K))
+    big_qps_b1024 = 4 * N_QUERIES / _time_min(lambda: big_query(big_index, qv1k, TOP_K), 5)
+
     # int8-quantized index: 4x corpus capacity per chip (ops/quant.py)
     from rag_docvqa_tpu.ops.quant import cosine_topk_int8_auto, quantize_rows
 
@@ -382,6 +389,7 @@ def main():
                     "top_k": TOP_K,
                     "big_index_chunks": BIG_N,
                     "big_index_query_qps": round(big_qps, 1),
+                    "big_index_query_qps_b1024": round(big_qps_b1024, 1),
                     "big_index_query_ms_per_batch": round(big_time * 1e3, 2),
                     "big_index_int8_query_qps": round(int8_qps, 1),
                     "host_ingest_pages_per_sec": round(ingest_pages_per_sec, 1),
