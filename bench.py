@@ -198,7 +198,11 @@ def main():
     tr_params = vt5m.init_vt5_params(jax.random.PRNGKey(1), vt5_cfg)  # f32 masters
     tx = build_optimizer(lr=1e-4, warmup_steps=10, total_steps=1000)
     state = TrainState.create(tr_params, tx)
-    step_fn = make_train_step(vt5_cfg, rag, tx, bf16_compute=True)
+    # remat="layer": per-layer jax.checkpoint — measured FASTER than the
+    # plain step (144.8 vs 149.9 ms at B=32: recomputing one layer's forward
+    # beats writing+reading the stacked flash residuals) and lifts the max
+    # trainable batch from <64 (OOM) to 128+ on the 16 GB chip
+    step_fn = make_train_step(vt5_cfg, rag, tx, bf16_compute=True, remat="layer")
     state, m = step_fn(state, tr_batch, tr_labels)  # compile + warmup
     _sync(m["loss"])
 

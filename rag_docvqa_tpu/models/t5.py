@@ -60,6 +60,14 @@ class T5Config:
     # Channel-wise (per L,B,H,dk) scales fold into the query / the output —
     # no extra bandwidth. Small quality drift (opt-in; see test_t5 tolerance).
     decode_kv_int8: bool = False
+    # per-LAYER rematerialization for training: wrap each scan-body layer in
+    # jax.checkpoint so the backward recomputes one layer's forward at a
+    # time. Whole-forward remat (train_step.py remat=True) still saves every
+    # layer's flash-VJP residuals as stacked (L, B, H, T, dk) buffers — at
+    # t5-base B=64 T=512 that is ~15 GB and OOMs the 16 GB chip; per-layer
+    # remat caps the peak at ONE layer's residuals (+ the layer inputs), the
+    # standard memory/FLOPs trade for scaling batch on HBM-bound chips.
+    remat_layers: bool = False
     # fused Pallas single-query cross-attention (ops/decode_attention.py):
     # streams the KV cache HBM->VMEM once per step in its stored dtype
     # (int8/bf16) via tile-aligned packed layouts and dequantizes on chip.
@@ -289,7 +297,8 @@ def _encode_blocks(stacked, cfg: T5Config, x, attention_mask, bias) -> jax.Array
         x = x + _ffn(layer["ffn"], cfg, h)
         return x, None
 
-    x, _ = jax.lax.scan(lambda c, l: block(c, l), x, stacked)
+    blk = jax.checkpoint(block) if cfg.remat_layers else block
+    x, _ = jax.lax.scan(lambda c, l: blk(c, l), x, stacked)
     return x
 
 
@@ -384,7 +393,8 @@ def decode_train(
         "cross_attn": dec["cross_attn"],
         "ffn": dec["ffn"],
     }
-    x, cross_attn = jax.lax.scan(lambda c, l: block(c, l), x, stacked)
+    blk = jax.checkpoint(block) if cfg.remat_layers and not return_cross_attn else block
+    x, cross_attn = jax.lax.scan(lambda c, l: blk(c, l), x, stacked)
     x = rms_norm(x, dec["final_ln"], cfg.layer_norm_eps)
     logits = lm_logits(params, cfg, x)
     if return_cross_attn:

@@ -89,7 +89,7 @@ def make_train_step(
     nac_loss_weight: float = 1.0,
     nac_pos_weight: float = 1.0,
     nac_decode_len: int = 16,
-    remat: bool = False,
+    remat: Any = False,  # False | True (whole forward) | "layer" (per layer)
     bf16_compute: bool = False,
 ) -> Callable[..., Tuple[TrainState, Dict[str, jax.Array]]]:
     """Returns a jitted train_step(state, batch, labels[, nac_labels]) ->
@@ -111,8 +111,22 @@ def make_train_step(
     backward matmuls in bf16 (params cast inside the loss; the cast's VJP
     accumulates gradients back to f32). ~2x MXU rate + half the activation
     HBM on TPU; losses/softmax still accumulate in f32 inside the models.
+
+    remat: True checkpoints the WHOLE forward (keeps matmul outputs — the
+    flash custom_vjp still saves every layer's residuals as stacked
+    (L, B, H, T, dk) buffers, so peak memory stays O(L)); "layer"
+    checkpoints each encoder/decoder layer individually
+    (T5Config.remat_layers), capping the peak at one layer's residuals and
+    roughly doubling the trainable batch per chip.
     """
     acfg = rag_cfg.assemble()
+    if remat == "layer":
+        import dataclasses
+
+        vt5_cfg = dataclasses.replace(
+            vt5_cfg, t5=dataclasses.replace(vt5_cfg.t5, remat_layers=True)
+        )
+        remat = False
 
     def step_fn(state: TrainState, batch: ChunkedBatch, labels: jax.Array, nac_labels=None):
         def loss_fn(params):

@@ -60,8 +60,10 @@ class TrainLoopConfig:
     # final eval's not_answerable_threshold so best-checkpoint selection is
     # computed at the same operating point)
     nac_threshold: float = 0.5
-    # rematerialize the forward in backward (activation memory <-> ~1/3 FLOPs)
-    remat: bool = False
+    # rematerialize the forward in backward (activation memory <-> ~1/3 FLOPs):
+    # False | True (whole forward) | "layer" (per-layer checkpoint; caps peak
+    # activations at one layer's residuals — see train_step.make_train_step)
+    remat: Any = False
     # mixed precision: f32 master weights, bf16 forward/backward (~2x MXU
     # rate on TPU). None = auto (on for TPU backends, off elsewhere)
     bf16_compute: Optional[bool] = None

@@ -229,6 +229,34 @@ def test_remat_step_matches_plain():
     )
 
 
+@pytest.mark.slow
+def test_remat_layer_step_matches_plain():
+    """remat="layer" (per-layer jax.checkpoint, T5Config.remat_layers) is the
+    memory-capped variant: identical loss and updates to the plain step.
+    Whole-forward remat still materializes every layer's attention residuals
+    (stacked (L, B, H, T, dk)); per-layer remat is what lets t5-base train at
+    B>=64 on a 16 GB chip (PERF.md §4)."""
+    ing = make_ingestor()
+    docs = make_corpus(2, n_pages=2, words_per_page=20, seed=9)
+    batch, aux = ing.ingest(docs)
+    labels = jnp.asarray(ing.answer_labels(aux["answers"], max_len=4))
+    params = vt5m.init_vt5_params(jax.random.PRNGKey(0), CFG)
+    tx = build_optimizer(lr=1e-3, warmup_steps=1, total_steps=10,
+                         mask=trainable_mask(params, ("t5", "spatial")))
+
+    s1 = TrainState.create(params, tx)
+    s2 = TrainState.create(jax.tree.map(jnp.array, params), tx)
+    step_plain = make_train_step(CFG, RAG, tx)
+    step_layer = make_train_step(CFG, RAG, tx, remat="layer")
+    s1, m1 = step_plain(s1, batch, labels)
+    s2, m2 = step_layer(s2, batch, labels)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(s1.params["t5"]["shared"]), np.asarray(s2.params["t5"]["shared"]),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
 def test_bf16_compute_step():
     """Mixed precision: bf16 compute over f32 masters — params/opt state stay
     f32, the loss tracks the f32 step within bf16 tolerance, and it learns."""
