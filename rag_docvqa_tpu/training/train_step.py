@@ -194,11 +194,23 @@ def make_train_step(
 def make_hivt5_train_step(
     hivt5_cfg,
     tx: optax.GradientTransformation,
+    remat: Any = False,  # False | "layer" (per-layer checkpoint; see above)
 ):
     """Hi-VT5 training step: LM CE + weighted page-retrieval CE
     (reference train.py:69 adds outputs.ret_loss). Returns
-    step(state, batch, labels) -> (state, metrics)."""
+    step(state, batch, labels) -> (state, metrics).
+
+    remat="layer" matters most here: the hierarchical encode runs with
+    pages-in-batch (an effective batch of B * n_pages sequences), so the
+    stacked per-layer flash residuals grow with page count."""
     from rag_docvqa_tpu.models import hivt5 as hivt5_mod
+
+    if remat == "layer":
+        import dataclasses
+
+        hivt5_cfg = dataclasses.replace(
+            hivt5_cfg, t5=dataclasses.replace(hivt5_cfg.t5, remat_layers=True)
+        )
 
     def step_fn(state: TrainState, batch: ChunkedBatch, labels: jax.Array):
         def loss_fn(params):

@@ -145,7 +145,8 @@ class Trainer:
         if self.hivt5_cfg is not None:
             from rag_docvqa_tpu.training.train_step import make_hivt5_train_step
 
-            self.step_fn = make_hivt5_train_step(self.hivt5_cfg, self.tx)
+            self.step_fn = make_hivt5_train_step(self.hivt5_cfg, self.tx,
+                                                 remat=self.cfg.remat)
         else:
             bf16 = self.cfg.bf16_compute
             if bf16 is None:

@@ -204,6 +204,38 @@ def test_trainer_hivt5_path():
 
 
 @pytest.mark.slow
+def test_hivt5_remat_layer_matches_plain():
+    """Hi-VT5 step with remat="layer" is math-identical to the plain step —
+    the pages-in-batch encode is where per-layer checkpointing matters most
+    (effective batch B * n_pages)."""
+    from rag_docvqa_tpu.config import build_hivt5_config
+    from rag_docvqa_tpu.models import hivt5 as hivt5m
+    from rag_docvqa_tpu.training.train_step import make_hivt5_train_step
+
+    ing = make_ingestor()
+    docs = make_corpus(2, n_pages=2, words_per_page=20, seed=10)
+    batch, aux = ing.ingest(docs)
+    labels = jnp.asarray(ing.answer_labels(aux["answers"], max_len=4))
+    cfg_dict = {"d_model": 32, "d_kv": 8, "num_heads": 4, "d_ff": 64, "num_layers": 2,
+                "dropout_rate": 0.0, "page_tokens": 2, "max_pages": 3, "max_text_tokens": 48}
+    hcfg = build_hivt5_config(cfg_dict, TOK.vocab_size)
+    params = hivt5m.init_hivt5_params(jax.random.PRNGKey(0), hcfg)
+    tx = build_optimizer(lr=1e-3, warmup_steps=1, total_steps=10)
+
+    s1 = TrainState.create(params, tx)
+    s2 = TrainState.create(jax.tree.map(jnp.array, params), tx)
+    step_plain = make_hivt5_train_step(hcfg, tx)
+    step_layer = make_hivt5_train_step(hcfg, tx, remat="layer")
+    s1, m1 = step_plain(s1, batch, labels)
+    s2, m2 = step_layer(s2, batch, labels)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(s1.params["t5"]["shared"]), np.asarray(s2.params["t5"]["shared"]),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+@pytest.mark.slow
 def test_remat_step_matches_plain():
     """remat=True changes memory, not math: identical loss and updates."""
     ing = make_ingestor()
