@@ -165,6 +165,76 @@ def _flatten_tokens(
     )
 
 
+def _flatten_tokens_src(
+    order: jax.Array,  # (B, M) permutation: output slot position -> source index
+    order_ntok: jax.Array,  # (B, M) int32 in ORDERED positions, 0 for dropped
+    src_tokens: jax.Array,  # (B0, M, TW) payload in SOURCE order
+    src_box: jax.Array,  # (B0, M, 4) int32 scaled boxes, source order
+    src_label: jax.Array,  # (B0, M) int32, source order
+    prompt_tokens: jax.Array,  # (B, LP)
+    prompt_len: jax.Array,  # (B,)
+    cfg: AssembleConfig,
+) -> GeneratorInputs:
+    """`_flatten_tokens` with the slot permutation COMPOSED into the final
+    (B, S) gathers instead of applied to the payloads: physically permuting
+    the (B, M, TW) tokens + (B, M, 4) boxes through take_along_axis measured
+    ~7 ms of the 14 ms assembly stage at B=128 W=2048 on v5e (the argsort
+    itself is 1.8 ms) — composing indices gathers each payload exactly once
+    at the (B, S=512) output size.
+
+    The payload arrays may be shared across row groups: with B = B0 * R
+    output rows, source batch b = row // R (per-chunk / per-page rows reuse
+    one sample's slots R times without materializing the broadcast)."""
+    B, M = order.shape
+    B0, _, TW = src_tokens.shape
+    R = B // B0
+    S = cfg.max_source_length
+    lp = prompt_tokens.shape[1]
+
+    offsets = prompt_len[:, None] + _exclusive_cumsum(order_ntok)  # (B, M)
+    total = prompt_len + jnp.sum(order_ntok, axis=-1)  # (B,)
+    eos_pos = jnp.minimum(total, S - 1)
+
+    bounds = jnp.zeros((B, S), jnp.int32)
+    bounds = bounds.at[jnp.arange(B)[:, None], offsets].add(1, mode="drop")
+    m_i = jnp.clip(jnp.cumsum(bounds, axis=1) - 1, 0, M - 1)  # (B, S)
+
+    src_off = jnp.take_along_axis(offsets, m_i, axis=1)  # (B, S)
+    i_pos = jnp.arange(S)[None, :]
+    t_i = jnp.clip(i_pos - src_off, 0, TW - 1)  # (B, S)
+
+    src_m = jnp.take_along_axis(order, m_i, axis=1)  # (B, S) source slot
+    b_idx = (jnp.arange(B) // R)[:, None]  # (B, 1) source batch row
+    flat_tok = src_tokens.reshape(B0, M * TW)
+    content_ids = flat_tok[b_idx, src_m * TW + t_i]  # (B, S)
+    content_box = src_box[b_idx, src_m]  # (B, S, 4)
+    content_lab = src_label[b_idx, src_m]  # (B, S)
+
+    prompt_ids = jnp.take_along_axis(prompt_tokens, jnp.minimum(i_pos, lp - 1), axis=1)
+
+    is_eos = i_pos == eos_pos[:, None]
+    is_prompt = i_pos < prompt_len[:, None]
+    is_content = (i_pos >= prompt_len[:, None]) & (i_pos < eos_pos[:, None])
+    out_ids = jnp.where(
+        is_eos, cfg.eos_token_id,
+        jnp.where(is_prompt, prompt_ids, jnp.where(is_content, content_ids, cfg.pad_token_id)),
+    ).astype(jnp.int32)
+    pbox = jnp.asarray(PROMPT_BOX, jnp.int32)[None, None, :]
+    out_box = jnp.where(
+        is_eos[..., None], 0,
+        jnp.where(is_prompt[..., None], pbox, jnp.where(is_content[..., None], content_box, 0)),
+    ).astype(jnp.int32)
+    out_lab = jnp.where(
+        is_eos, EOS_LABEL,
+        jnp.where(is_prompt, PROMPT_LABEL, jnp.where(is_content, content_lab, PAD_LABEL)),
+    ).astype(jnp.int32)
+
+    mask = i_pos <= eos_pos[:, None]
+    return GeneratorInputs(
+        input_ids=out_ids, input_boxes=out_box, input_labels=out_lab, attention_mask=mask
+    )
+
+
 def _ordered_slots(
     batch: ChunkedBatch,
     owner: jax.Array,  # (B, W) in [0..K]
@@ -209,14 +279,12 @@ def _ordered_slots(
             batch.slot_label,
         )
 
-    order = jnp.argsort(key, axis=1)  # stable
-    take = lambda x: jnp.take_along_axis(x, order.reshape(order.shape + (1,) * (x.ndim - 2)), axis=1)
+    order = jnp.argsort(key, axis=1)  # stable; the sort itself is ~2 ms
+    # only the (B, M) scalars are physically ordered; the payloads stay in
+    # source order and _flatten_tokens_src composes `order` into its gathers
     o_owner = jnp.take_along_axis(all_owner, order, axis=1)
-    o_tokens = take(all_tokens)
     o_ntok = jnp.where(o_owner < K, jnp.take_along_axis(all_ntok, order, axis=1), 0)
-    o_box = take(all_box)
-    o_label = jnp.take_along_axis(all_label, order, axis=1)
-    return o_tokens, o_ntok, o_box, o_label
+    return order, o_ntok, all_tokens, all_box, all_label
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -230,9 +298,12 @@ def assemble_concat(
     into one generator input per sample. Returns (inputs, owner)."""
     K = top_k_idx.shape[1]
     owner = compute_ownership(batch, top_k_idx, top_k_valid, cfg.include_surroundings)
-    o_tokens, o_ntok, o_box, o_label = _ordered_slots(batch, owner, K, cfg.sep_token_id)
-    gen = _flatten_tokens(
-        o_tokens, o_ntok, o_box, o_label, batch.prompt_tokens, batch.prompt_len, cfg
+    order, o_ntok, src_tokens, src_box, src_label = _ordered_slots(
+        batch, owner, K, cfg.sep_token_id
+    )
+    gen = _flatten_tokens_src(
+        order, o_ntok, src_tokens, src_box, src_label,
+        batch.prompt_tokens, batch.prompt_len, cfg,
     )
     return gen, owner
 
@@ -260,18 +331,12 @@ def assemble_per_chunk(
     order = jnp.argsort(key, axis=2)  # (B, K, W)
     n_sel = jnp.sum(onehot, axis=2)  # (B, K)
 
-    def take(x, extra_dims):
-        # x: (B, W, ...) -> (B, K, W, ...) gathered by order
-        xe = jnp.broadcast_to(x[:, None], (B, K) + x.shape[1:])
-        idx = order.reshape(order.shape + (1,) * extra_dims)
-        return jnp.take_along_axis(xe, idx, axis=2)
-
-    sel_tokens = take(batch.slot_tokens, 1)  # (B, K, W, TW)
+    # only the (B, K, W) ntok scalars are physically ordered; the payloads
+    # stay at (B, W, ...) and _flatten_tokens_src reuses them across the K
+    # rows of each sample (b = row // K) — no (B, K, W, TW) materialization
     sel_ntok = jnp.take_along_axis(jnp.broadcast_to(batch.slot_ntok[:, None], (B, K, W)), order, axis=2)
     rank_pos = jnp.arange(W)[None, None, :]
     sel_ntok = jnp.where(rank_pos < n_sel[:, :, None], sel_ntok, 0)
-    sel_box = take((batch.slot_box * 1000).astype(jnp.int32), 1)
-    sel_label = jnp.take_along_axis(jnp.broadcast_to(batch.slot_label[:, None], (B, K, W)), order, axis=2)
 
     # flatten (B, K) -> rows
     row_cfg = AssembleConfig(
@@ -283,11 +348,12 @@ def assemble_per_chunk(
     )
     prompt_rows = jnp.broadcast_to(batch.prompt_tokens[:, None], (B, K, batch.prompt_tokens.shape[1]))
     plen_rows = jnp.broadcast_to(batch.prompt_len[:, None], (B, K))
-    gen = _flatten_tokens(
-        sel_tokens.reshape(B * K, W, -1),
+    gen = _flatten_tokens_src(
+        order.reshape(B * K, W),
         sel_ntok.reshape(B * K, W),
-        sel_box.reshape(B * K, W, 4),
-        sel_label.reshape(B * K, W),
+        batch.slot_tokens,
+        (batch.slot_box * 1000).astype(jnp.int32),
+        batch.slot_label,
         prompt_rows.reshape(B * K, -1),
         plen_rows.reshape(B * K),
         row_cfg,
@@ -317,20 +383,18 @@ def assemble_page_rows(
     in_win = (g >= lo[:, :, None]) & (g < hi[:, :, None]) & row_valid[:, :, None]  # (B, K, R)
 
     ntok = jnp.where(in_win, batch.raw_ntok[:, None, :], 0)  # (B, K, R)
-    tokens = jnp.broadcast_to(batch.raw_tokens[:, None], (B, K) + batch.raw_tokens.shape[1:])
-    box = jnp.broadcast_to(
-        ((batch.raw_box * 1000).astype(jnp.int32))[:, None], (B, K, R, 4)
-    )
-    label = jnp.broadcast_to(batch.raw_label[:, None], (B, K, R))
 
     prompt_rows = jnp.broadcast_to(batch.prompt_tokens[:, None], (B, K, batch.prompt_tokens.shape[1]))
     plen_rows = jnp.broadcast_to(batch.prompt_len[:, None], (B, K))
-    TW = batch.raw_tokens.shape[2]
-    return _flatten_tokens(
-        tokens.reshape(B * K, R, TW),
+    # page rows keep the raw word order (identity permutation); the raw
+    # payloads are shared across each sample's K rows inside the flatten
+    order = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[None, :], (B * K, R))
+    return _flatten_tokens_src(
+        order,
         ntok.reshape(B * K, R),
-        box.reshape(B * K, R, 4),
-        label.reshape(B * K, R),
+        batch.raw_tokens,
+        (batch.raw_box * 1000).astype(jnp.int32),
+        batch.raw_label,
         prompt_rows.reshape(B * K, -1),
         plen_rows.reshape(B * K),
         cfg,
