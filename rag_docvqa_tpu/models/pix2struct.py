@@ -95,6 +95,9 @@ def vision_encode(
     cfg: Pix2StructConfig,
     flattened_patches: jax.Array,  # (B, N, 2 + patch_dim)
     attention_mask: jax.Array,  # (B, N)
+    fused: bool = True,  # allow the whole-layer inference kernel (training
+    # passes False: the raw pallas layer has no VJP — same contract as
+    # t5.encode, whose training callers pin fused=False)
 ) -> jax.Array:
     v = cfg.vision
     p = params["vision"]
@@ -107,6 +110,38 @@ def vision_encode(
     H = v.num_heads
     key_mask = attention_mask.astype(bool)
     mask = key_mask[:, None, None, :]
+
+    # whole-layer fused kernel (ops/fused_encoder.py, bias-free variant): the
+    # patch-tower layer is T5-shaped with no rel-pos bias; at chunk-crop
+    # patch budgets (<= ~768 at d=768) the entire layer runs with
+    # activations resident in VMEM. Inference-only, like t5.encode's fused
+    # path; the 2048-patch full-page budget falls back to flash.
+    from rag_docvqa_tpu.ops.fused_encoder import fused_p2s_encoder_wanted
+
+    if fused and fused_p2s_encoder_wanted(v, B, N, x.dtype.itemsize):
+        from rag_docvqa_tpu.ops.fused_encoder import fuse_t5_blocks, fused_t5_layer_parts
+
+        stacked = {"ln0": p["ln0"], "ln1": p["ln1"], "attn": p["attn"], "ffn": p["ffn"]}
+        pre = fuse_t5_blocks(stacked, gated=True)
+        Np = -(-N // 8) * 8
+        pad = Np - N
+        km = key_mask
+        if pad:
+            # padded keys are masked off; padded query rows are sliced away
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+            km = jnp.pad(key_mask, ((0, 0), (0, pad)))
+
+        def fused_body(x, layer):
+            return fused_t5_layer_parts(
+                x, km, None, layer,
+                num_heads=H, eps=v.layer_norm_eps, gated=True,
+            ), None
+
+        x, _ = jax.lax.scan(fused_body, x, pre)
+        if pad:
+            x = x[:, :N]
+        return rms_norm(x, p["final_ln"], v.layer_norm_eps)
+
     if v.flash_encoder:
         from rag_docvqa_tpu.ops.flash_attention import flash_attention
 
@@ -153,7 +188,8 @@ def forward_train(
     attention_mask: jax.Array,
     labels: jax.Array,  # (B, Td) with -100 padding
 ) -> Tuple[jax.Array, jax.Array]:
-    enc = vision_encode(params, cfg, flattened_patches, attention_mask)
+    # fused=False: the whole-layer kernel has no VJP (inference-only)
+    enc = vision_encode(params, cfg, flattened_patches, attention_mask, fused=False)
     dec_in = t5m.shift_tokens_right(labels, cfg.text.pad_id, cfg.text.decoder_start_token_id)
     logits = t5m.decode_train(params["text"], cfg.text, dec_in, enc, attention_mask.astype(bool))
     valid = labels != -100

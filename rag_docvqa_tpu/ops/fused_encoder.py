@@ -392,7 +392,8 @@ def _t5_layer_kernel(
         v = qkv_ref[:, pl.ds(2 * inner + hh * dk, dk)].reshape(rows, T, dk)
         s = jax.lax.dot_general(q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
-        s = s + jnp.broadcast_to(bias_ref[hh][None].astype(jnp.float32), (rows, T, T))
+        if bias_ref is not None:
+            s = s + jnp.broadcast_to(bias_ref[hh][None].astype(jnp.float32), (rows, T, T))
         s = jnp.where(valid, s, -1e9)
         mx = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - mx)
@@ -425,7 +426,7 @@ def _t5_layer_kernel(
 
 
 def _pick_rows_t5(B, T, d, inner, d_ff, H, gated, itemsize: int = 2,
-                  budget: int = 52 * 2**20) -> int:
+                  budget: int = 52 * 2**20, has_bias: bool = True) -> int:
     for rows in (8, 4, 2, 1):
         if B % rows:
             continue
@@ -439,11 +440,19 @@ def _pick_rows_t5(B, T, d, inner, d_ff, H, gated, itemsize: int = 2,
             + (2 + n_wi) * R * d_ff * 4
             + 2 * R * d * 4
             + (3 * d * inner + inner * d + (n_wi + 1) * d * d_ff) * itemsize
-            + H * T * Tl * 2  # resident bias (always bf16 by construction)
+            # resident bias (always bf16 by construction); bias-free layers
+            # (Pix2Struct's patch encoder) skip it
+            + (H * T * Tl * 2 if has_bias else 0)
         )
         if est <= budget:
             return rows
     return 0
+
+
+def _t5_layer_kernel_nobias(x_ref, mask_ref, wqkv_ref, wo_ref, ln0_ref, ln1_ref,
+                            *ffn_and_out, **kw):
+    _t5_layer_kernel(x_ref, mask_ref, None, wqkv_ref, wo_ref, ln0_ref, ln1_ref,
+                     *ffn_and_out, **kw)
 
 
 def _t5_layer_call(x, maskB, bias, wqkv, wo, ln0, ln1, *ffn_ws,
@@ -452,7 +461,8 @@ def _t5_layer_call(x, maskB, bias, wqkv, wo, ln0, ln1, *ffn_ws,
     inner = wo.shape[0]
     dk = inner // num_heads
     d_ff = ffn_ws[0].shape[1]
-    rows = _pick_rows_t5(B, T, d, inner, d_ff, num_heads, gated, x.dtype.itemsize)
+    rows = _pick_rows_t5(B, T, d, inner, d_ff, num_heads, gated, x.dtype.itemsize,
+                         has_bias=bias is not None)
     if not rows:
         raise ValueError(
             f"fused t5 layer does not fit VMEM at (B={B}, T={T}, d={d}, "
@@ -462,16 +472,19 @@ def _t5_layer_call(x, maskB, bias, wqkv, wo, ln0, ln1, *ffn_ws,
     in_specs = [
         pl.BlockSpec((rows, T, d), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((rows, 1, T), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-        full(num_heads, T, T),
-        full(d, 3 * inner), full(inner, d), full(1, d), full(1, d),
     ]
+    if bias is not None:
+        in_specs.append(full(num_heads, T, T))
+    in_specs += [full(d, 3 * inner), full(inner, d), full(1, d), full(1, d)]
     if gated:
         in_specs += [full(d, d_ff), full(d, d_ff), full(d_ff, d)]
     else:
         in_specs += [full(d, d_ff), full(d_ff, d)]
 
+    kernel = _t5_layer_kernel if bias is not None else _t5_layer_kernel_nobias
+    args = (x, maskB) + ((bias,) if bias is not None else ()) + (wqkv, wo, ln0, ln1) + ffn_ws
     return pl.pallas_call(
-        functools.partial(_t5_layer_kernel, rows=rows, T=T, d=d, H=num_heads,
+        functools.partial(kernel, rows=rows, T=T, d=d, H=num_heads,
                           dk=dk, eps=eps, gated=gated),
         grid=(B // rows,),
         in_specs=in_specs,
@@ -489,7 +502,7 @@ def _t5_layer_call(x, maskB, bias, wqkv, wo, ln0, ln1, *ffn_ws,
             transcendentals=B * T * (num_heads * T + d_ff),
         ),
         interpret=interpret,
-    )(x, maskB, bias, wqkv, wo, ln0, ln1, *ffn_ws)
+    )(*args)
 
 
 def fuse_t5_blocks(stacked: Dict[str, Any], gated: bool) -> Dict[str, jax.Array]:
@@ -521,6 +534,14 @@ def fused_t5_layer_parts(x, key_mask, bias, l: Dict[str, jax.Array], *,
     from rag_docvqa_tpu.ops.flash_attention import _auto_partition_wanted
 
     if _auto_partition_wanted():
+        if bias is None:
+            # no-bias variant has no GSPMD wrapper: the direct opaque call is
+            # still CORRECT under auto-sharding (XLA gathers + replicates) but
+            # not batch-partitioned — fused_p2s_encoder_wanted gates it off in
+            # multi-device auto contexts, so this is only reached when a
+            # caller (or test) forces the fused path.
+            return _t5_layer_call(*args, num_heads=num_heads, eps=eps,
+                                  gated=gated, interpret=interpret)
         return _make_t5_layer_cp(num_heads, eps, gated, interpret)(*args)
     return _t5_layer_call(*args, num_heads=num_heads, eps=eps, gated=gated,
                           interpret=interpret)
@@ -601,6 +622,26 @@ def fused_t5_encoder_wanted(cfg, B: int, T: int, itemsize: int = 2) -> bool:
         and _pick_rows_t5(B, T, cfg.d_model, inner, cfg.d_ff, cfg.num_heads,
                           cfg.gated_ffn, itemsize) > 0
     )
+
+
+def fused_p2s_encoder_wanted(v_cfg, B: int, T: int, itemsize: int = 2) -> bool:
+    """Whole-layer fused encoder for the Pix2Struct patch tower: the layer is
+    T5-shaped (pre-RMS, no projection biases, gated tanh-GELU FFN) with NO
+    rel-pos bias, so the bias-free kernel applies. Eligible on TPU in a
+    single-device auto context (the no-bias variant has no GSPMD wrapper —
+    sharded eval keeps flash) when the working set fits VMEM at the padded
+    patch length; the 2048-patch full-page budget does NOT fit and falls
+    back to flash automatically."""
+    if jax.default_backend() != "tpu":
+        return False
+    from rag_docvqa_tpu.ops.flash_attention import _auto_partition_wanted
+
+    if _auto_partition_wanted():
+        return False
+    d, H = v_cfg.hidden_size, v_cfg.num_heads
+    Tp = -(-T // 8) * 8
+    return _pick_rows_t5(B, Tp, d, d, v_cfg.d_ff, H, True, itemsize,
+                         has_bias=False) > 0
 
 
 def fused_encoder_wanted(cfg, B: int, T: int, itemsize: int = 2) -> bool:

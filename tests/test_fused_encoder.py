@@ -274,3 +274,33 @@ def test_fused_vit_hidden_states_stays_xla():
     pixels = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
     x, per_layer = vit_encode(params, cfg, pixels, return_hidden_states=True)
     assert per_layer.shape[0] == 2
+
+
+def test_fused_p2s_vision_matches_xla(monkeypatch):
+    """Bias-free fused whole-layer path for the Pix2Struct patch tower
+    (interpret mode) == the XLA scan, including odd patch counts (padding)
+    and ragged masks."""
+    from rag_docvqa_tpu.models import pix2struct as p2s
+    from rag_docvqa_tpu.ops import fused_encoder as fe
+
+    vis = p2s.P2SVisionConfig(hidden_size=64, num_layers=2, num_heads=4,
+                              d_ff=128, patch_dim=48, max_rows=16, max_cols=16)
+    cfg = p2s.Pix2StructConfig(vision=vis)
+    params = p2s.init_p2s_params(jax.random.PRNGKey(0), cfg)
+    B, N = 4, 13  # odd N exercises the pad-to-8 path
+    rng = jax.random.PRNGKey(1)
+    vals = jax.random.normal(rng, (B, N, 48), jnp.float32)
+    rows = jnp.tile(jnp.arange(N)[None, :, None] // 4, (B, 1, 1)).astype(jnp.float32)
+    cols = jnp.tile(jnp.arange(N)[None, :, None] % 4, (B, 1, 1)).astype(jnp.float32)
+    patches = jnp.concatenate([rows, cols, vals], axis=-1)
+    n_valid = jnp.asarray([13, 9, 1, 5])
+    mask = (jnp.arange(N)[None, :] < n_valid[:, None]).astype(jnp.float32)
+
+    ref = p2s.vision_encode(params, cfg, patches, mask, fused=False)
+    monkeypatch.setattr(fe, "fused_p2s_encoder_wanted", lambda *a, **k: True)
+    out = p2s.vision_encode(params, cfg, patches, mask, fused=True)
+    np.testing.assert_allclose(
+        np.asarray(out)[np.asarray(mask, bool)],
+        np.asarray(ref)[np.asarray(mask, bool)],
+        rtol=2e-5, atol=2e-5,
+    )
