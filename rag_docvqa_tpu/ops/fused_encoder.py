@@ -363,6 +363,7 @@ def _t5_layer_kernel(
     dk: int,
     eps: float,
     gated: bool,
+    ffn_chunk: int = 0,  # >0: FFN in d_ff column chunks (f32 accumulator)
 ):
     if gated:
         wi0_ref, wi1_ref, wof_ref, o_ref, qkv_ref, attn_ref = ffn_and_out
@@ -407,46 +408,79 @@ def _t5_layer_kernel(
                              preferred_element_type=jnp.float32).astype(cdt)
     x = x + ao
     h2 = _rms(x, ln1_ref)
-    if gated:
-        g = jax.lax.dot_general(h2, wi0_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32).astype(cdt)
-        u = jax.lax.dot_general(h2, wi1_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32).astype(cdt)
+
+    def _gelu_tanh_mul(g, u):
         # gelu_new (tanh approximation), matching jax.nn.gelu(approximate=True)
         g32 = g.astype(jnp.float32)
         inner_t = (2.0 / jnp.pi) ** 0.5 * (g32 + 0.044715 * g32 * g32 * g32)
-        f = (0.5 * g32 * (1.0 + jnp.tanh(inner_t))).astype(cdt) * u
+        return (0.5 * g32 * (1.0 + jnp.tanh(inner_t))).astype(cdt) * u
+
+    dot = lambda a, b: jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    if ffn_chunk:
+        # d_ff column chunks: the (R, d_ff) f32 temporaries were the VMEM
+        # budget's dominant term at T >= 1024 — chunking swaps them for
+        # (R, C) temporaries + one (R, d) f32 accumulator. Same products,
+        # f32-accumulated partial outputs (order differs from the single
+        # dot by <= f32 rounding).
+        d_ff = (wi0_ref if gated else wi_ref).shape[1]
+        fo32 = jnp.zeros((R, d), jnp.float32)
+        for c0 in range(0, d_ff, ffn_chunk):
+            sl = pl.ds(c0, min(ffn_chunk, d_ff - c0))
+            if gated:
+                g = dot(h2, wi0_ref[:, sl]).astype(cdt)
+                u = dot(h2, wi1_ref[:, sl]).astype(cdt)
+                f_c = _gelu_tanh_mul(g, u)
+            else:
+                f_c = jnp.maximum(dot(h2, wi_ref[:, sl]), 0.0).astype(cdt)
+            fo32 = fo32 + dot(f_c, wof_ref[sl, :])
+        fo = fo32.astype(cdt)
     else:
-        f = jax.lax.dot_general(h2, wi_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        f = jnp.maximum(f, 0.0).astype(cdt)
-    fo = jax.lax.dot_general(f, wof_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32).astype(cdt)
+        if gated:
+            g = dot(h2, wi0_ref[...]).astype(cdt)
+            u = dot(h2, wi1_ref[...]).astype(cdt)
+            f = _gelu_tanh_mul(g, u)
+        else:
+            f = jnp.maximum(dot(h2, wi_ref[...]), 0.0).astype(cdt)
+        fo = dot(f, wof_ref[...]).astype(cdt)
     o_ref[...] = (x + fo).reshape(rows, T, d)
 
 
 def _pick_rows_t5(B, T, d, inner, d_ff, H, gated, itemsize: int = 2,
-                  budget: int = 52 * 2**20, has_bias: bool = True) -> int:
-    for rows in (8, 4, 2, 1):
-        if B % rows:
-            continue
+                  budget: int = 52 * 2**20, has_bias: bool = True):
+    """Returns (rows, ffn_chunk); (0, 0) when nothing fits. The unchunked
+    FFN (ffn_chunk=0) is preferred at any row count — chunking only buys
+    entry for shapes whose (R, d_ff) f32 FFN temporaries dominate the
+    budget (T >= ~1024), at the cost of per-chunk dot dispatch."""
+    n_wi = 2 if gated else 1
+
+    def est(rows, C):
         R = rows * T
         Tl = max(T, 128)
-        n_wi = 2 if gated else 1
-        est = (
+        ffn_tmp = ((n_wi + 1) * R * C * 4 + R * d * 4) if C else (2 + n_wi) * R * d_ff * 4
+        return (
             2 * 2 * rows * T * d * itemsize
             + R * 3 * inner * itemsize + R * inner * itemsize
             + 3 * rows * T * Tl * 4
-            + (2 + n_wi) * R * d_ff * 4
+            + ffn_tmp
             + 2 * R * d * 4
             + (3 * d * inner + inner * d + (n_wi + 1) * d * d_ff) * itemsize
             # resident bias (always bf16 by construction); bias-free layers
             # (Pix2Struct's patch encoder) skip it
             + (H * T * Tl * 2 if has_bias else 0)
         )
-        if est <= budget:
-            return rows
-    return 0
+
+    for C in (0, 512, 256):
+        if C and (C >= d_ff):
+            continue
+        for rows in (8, 4, 2, 1):
+            if B % rows:
+                continue
+            if est(rows, C) <= budget:
+                return rows, C
+    return 0, 0
 
 
 def _t5_layer_kernel_nobias(x_ref, mask_ref, wqkv_ref, wo_ref, ln0_ref, ln1_ref,
@@ -461,8 +495,8 @@ def _t5_layer_call(x, maskB, bias, wqkv, wo, ln0, ln1, *ffn_ws,
     inner = wo.shape[0]
     dk = inner // num_heads
     d_ff = ffn_ws[0].shape[1]
-    rows = _pick_rows_t5(B, T, d, inner, d_ff, num_heads, gated, x.dtype.itemsize,
-                         has_bias=bias is not None)
+    rows, ffn_chunk = _pick_rows_t5(B, T, d, inner, d_ff, num_heads, gated,
+                                    x.dtype.itemsize, has_bias=bias is not None)
     if not rows:
         raise ValueError(
             f"fused t5 layer does not fit VMEM at (B={B}, T={T}, d={d}, "
@@ -485,7 +519,7 @@ def _t5_layer_call(x, maskB, bias, wqkv, wo, ln0, ln1, *ffn_ws,
     args = (x, maskB) + ((bias,) if bias is not None else ()) + (wqkv, wo, ln0, ln1) + ffn_ws
     return pl.pallas_call(
         functools.partial(kernel, rows=rows, T=T, d=d, H=num_heads,
-                          dk=dk, eps=eps, gated=gated),
+                          dk=dk, eps=eps, gated=gated, ffn_chunk=ffn_chunk),
         grid=(B // rows,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((rows, T, d), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
@@ -620,7 +654,7 @@ def fused_t5_encoder_wanted(cfg, B: int, T: int, itemsize: int = 2) -> bool:
     return (
         jax.default_backend() == "tpu"
         and _pick_rows_t5(B, T, cfg.d_model, inner, cfg.d_ff, cfg.num_heads,
-                          cfg.gated_ffn, itemsize) > 0
+                          cfg.gated_ffn, itemsize)[0] > 0
     )
 
 
@@ -641,7 +675,7 @@ def fused_p2s_encoder_wanted(v_cfg, B: int, T: int, itemsize: int = 2) -> bool:
     d, H = v_cfg.hidden_size, v_cfg.num_heads
     Tp = -(-T // 8) * 8
     return _pick_rows_t5(B, Tp, d, d, v_cfg.d_ff, H, True, itemsize,
-                         has_bias=False) > 0
+                         has_bias=False)[0] > 0
 
 
 def fused_encoder_wanted(cfg, B: int, T: int, itemsize: int = 2) -> bool:

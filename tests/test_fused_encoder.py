@@ -304,3 +304,31 @@ def test_fused_p2s_vision_matches_xla(monkeypatch):
         np.asarray(ref)[np.asarray(mask, bool)],
         rtol=2e-5, atol=2e-5,
     )
+
+
+def test_fused_p2s_vision_ffn_chunked_matches_xla(monkeypatch):
+    """ffn_chunk>0 (the T>=1024 VMEM-entry path) computes the same layer:
+    chunked f32-accumulated FFN partial outputs == the single-dot FFN."""
+    from rag_docvqa_tpu.models import pix2struct as p2s
+    from rag_docvqa_tpu.ops import fused_encoder as fe
+
+    vis = p2s.P2SVisionConfig(hidden_size=64, num_layers=2, num_heads=4,
+                              d_ff=128, patch_dim=48, max_rows=16, max_cols=16)
+    cfg = p2s.Pix2StructConfig(vision=vis)
+    params = p2s.init_p2s_params(jax.random.PRNGKey(3), cfg)
+    B, N = 4, 16
+    vals = jax.random.normal(jax.random.PRNGKey(4), (B, N, 48), jnp.float32)
+    rows = jnp.tile(jnp.arange(N)[None, :, None] // 4, (B, 1, 1)).astype(jnp.float32)
+    cols = jnp.tile(jnp.arange(N)[None, :, None] % 4, (B, 1, 1)).astype(jnp.float32)
+    patches = jnp.concatenate([rows, cols, vals], axis=-1)
+    mask = (jnp.arange(N)[None, :] < jnp.asarray([16, 9, 1, 5])[:, None]).astype(jnp.float32)
+
+    ref = p2s.vision_encode(params, cfg, patches, mask, fused=False)
+    monkeypatch.setattr(fe, "fused_p2s_encoder_wanted", lambda *a, **k: True)
+    monkeypatch.setattr(fe, "_pick_rows_t5", lambda *a, **k: (4, 32))
+    out = p2s.vision_encode(params, cfg, patches, mask, fused=True)
+    np.testing.assert_allclose(
+        np.asarray(out)[np.asarray(mask, bool)],
+        np.asarray(ref)[np.asarray(mask, bool)],
+        rtol=2e-5, atol=2e-5,
+    )
