@@ -6,7 +6,10 @@ eval/train loops. `prefetch` runs the producer generator on a background
 thread with a bounded queue, so batch N+1 is ingested (and `device_put`)
 while the device computes batch N — the role DataLoader workers play in the
 reference (eval.py:557), double-buffered instead of multi-process because
-ingest is numpy-bound and the payoff is overlap, not parallel decode.
+ingest is numpy-bound and the payoff is overlap, not parallel decode —
+measured: a background ingest thread sustains ~90% of its idle rate while
+the device answer loop runs (PERF.md §5), so processes would add pickling
+cost for little gain.
 """
 
 from __future__ import annotations
