@@ -191,7 +191,9 @@ def main():
     # ingests to the caps already compiled above (no recompiles).
     from rag_docvqa_tpu.data.prefetch import map_prefetch
 
-    N_PIPE = 4
+    # 8 batches: at 4 the un-overlapped first batch depressed the pipelined
+    # figure ~20% below steady state (PERF.md §5)
+    N_PIPE = 8
     corpora = [
         make_corpus(E2E_B, n_pages=E2E_PAGES, words_per_page=120, seed=10 + i)
         for i in range(N_PIPE)
