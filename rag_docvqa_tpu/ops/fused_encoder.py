@@ -459,7 +459,9 @@ def _pick_rows_t5(B, T, d, inner, d_ff, H, gated, itemsize: int = 2,
     def est(rows, C):
         R = rows * T
         Tl = max(T, 128)
-        ffn_tmp = ((n_wi + 1) * R * C * 4 + R * d * 4) if C else (2 + n_wi) * R * d_ff * 4
+        # chunked: (n_wi+1) (R, C) f32 temporaries + the fo32 accumulator
+        # AND each chunk's (R, d) f32 partial product live at the same time
+        ffn_tmp = ((n_wi + 1) * R * C * 4 + 2 * R * d * 4) if C else (2 + n_wi) * R * d_ff * 4
         return (
             2 * 2 * rows * T * d * itemsize
             + R * 3 * inner * itemsize + R * inner * itemsize

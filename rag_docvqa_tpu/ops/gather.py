@@ -107,61 +107,14 @@ def _flatten_tokens(
     prompt_len: jax.Array,  # (B,)
     cfg: AssembleConfig,
 ) -> GeneratorInputs:
-    """Gather formulation: content target positions are dense and monotone in
-    source (slot, token) order, so each output position maps back to exactly
-    one source. A tiny boundary scatter-add + cumsum recovers that inverse map
-    (#offsets <= i) - 1; everything else is gathers. This replaces three
-    (B, M, TW)-index scatters that dominated assembly wall time on TPU (XLA
-    lowers big scatters poorly; gathers tile cleanly)."""
-    B, M, TW = order_tokens.shape
-    S = cfg.max_source_length
-    lp = prompt_tokens.shape[1]
-
-    offsets = prompt_len[:, None] + _exclusive_cumsum(order_ntok)  # (B, M)
-    total = prompt_len + jnp.sum(order_ntok, axis=-1)  # (B,)
-    eos_pos = jnp.minimum(total, S - 1)  # EOS always kept (src/VT5.py:166)
-
-    # inverse map: m_i = #{m : offsets[m] <= i} - 1 via boundary counts.
-    # Zero-width slots (ntok == 0) share an offset with their successor; the
-    # count sum lands on the LAST slot at that offset — the one whose
-    # [offset, offset + ntok) interval actually covers i.
-    bounds = jnp.zeros((B, S), jnp.int32)
-    bounds = bounds.at[jnp.arange(B)[:, None], offsets].add(1, mode="drop")
-    m_i = jnp.clip(jnp.cumsum(bounds, axis=1) - 1, 0, M - 1)  # (B, S)
-
-    src_off = jnp.take_along_axis(offsets, m_i, axis=1)  # (B, S)
-    i_pos = jnp.arange(S)[None, :]
-    t_i = jnp.clip(i_pos - src_off, 0, TW - 1)  # (B, S)
-
-    flat_tok = order_tokens.reshape(B, M * TW)
-    content_ids = jnp.take_along_axis(flat_tok, m_i * TW + t_i, axis=1)  # (B, S)
-    content_box = jnp.take_along_axis(order_box, m_i[..., None], axis=1)  # (B, S, 4)
-    content_lab = jnp.take_along_axis(order_label, m_i, axis=1)  # (B, S)
-
-    prompt_ids = jnp.take_along_axis(prompt_tokens, jnp.minimum(i_pos, lp - 1), axis=1)
-
-    is_eos = i_pos == eos_pos[:, None]
-    is_prompt = i_pos < prompt_len[:, None]
-    is_content = (i_pos >= prompt_len[:, None]) & (i_pos < eos_pos[:, None])
-    # priority matches the scatter order of the reference assembly: EOS last
-    # (wins), prompt over content, pad elsewhere
-    out_ids = jnp.where(
-        is_eos, cfg.eos_token_id,
-        jnp.where(is_prompt, prompt_ids, jnp.where(is_content, content_ids, cfg.pad_token_id)),
-    ).astype(jnp.int32)
-    pbox = jnp.asarray(PROMPT_BOX, jnp.int32)[None, None, :]
-    out_box = jnp.where(
-        is_eos[..., None], 0,
-        jnp.where(is_prompt[..., None], pbox, jnp.where(is_content[..., None], content_box, 0)),
-    ).astype(jnp.int32)
-    out_lab = jnp.where(
-        is_eos, EOS_LABEL,
-        jnp.where(is_prompt, PROMPT_LABEL, jnp.where(is_content, content_lab, PAD_LABEL)),
-    ).astype(jnp.int32)
-
-    mask = i_pos <= eos_pos[:, None]
-    return GeneratorInputs(
-        input_ids=out_ids, input_boxes=out_box, input_labels=out_lab, attention_mask=mask
+    """Payloads already in output word order: delegate to `_flatten_tokens_src`
+    with an identity slot permutation (one flatten implementation — the
+    gather-formulation rationale lives on `_flatten_tokens_src`)."""
+    B, M, _ = order_tokens.shape
+    identity = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None, :], (B, M))
+    return _flatten_tokens_src(
+        identity, order_ntok, order_tokens, order_box, order_label,
+        prompt_tokens, prompt_len, cfg,
     )
 
 

@@ -127,6 +127,8 @@ def make_train_step(
             vt5_cfg, t5=dataclasses.replace(vt5_cfg.t5, remat_layers=True)
         )
         remat = False
+    elif remat not in (False, True):
+        raise ValueError(f"remat must be False, True, or 'layer'; got {remat!r}")
 
     def step_fn(state: TrainState, batch: ChunkedBatch, labels: jax.Array, nac_labels=None):
         def loss_fn(params):
@@ -194,14 +196,16 @@ def make_train_step(
 def make_hivt5_train_step(
     hivt5_cfg,
     tx: optax.GradientTransformation,
-    remat: Any = False,  # False | "layer" (per-layer checkpoint; see above)
+    remat: Any = False,  # False | True (whole forward) | "layer" (per layer)
 ):
     """Hi-VT5 training step: LM CE + weighted page-retrieval CE
     (reference train.py:69 adds outputs.ret_loss). Returns
     step(state, batch, labels) -> (state, metrics).
 
-    remat="layer" matters most here: the hierarchical encode runs with
-    pages-in-batch (an effective batch of B * n_pages sequences), so the
+    remat accepts the same values as make_train_step: "layer" checkpoints
+    each encoder/decoder layer (T5Config.remat_layers); True checkpoints the
+    whole forward. "layer" matters most here: the hierarchical encode runs
+    with pages-in-batch (an effective batch of B * n_pages sequences), so the
     stacked per-layer flash residuals grow with page count."""
     from rag_docvqa_tpu.models import hivt5 as hivt5_mod
 
@@ -211,10 +215,21 @@ def make_hivt5_train_step(
         hivt5_cfg = dataclasses.replace(
             hivt5_cfg, t5=dataclasses.replace(hivt5_cfg.t5, remat_layers=True)
         )
+        remat = False
+    elif remat not in (False, True):
+        raise ValueError(f"remat must be False, True, or 'layer'; got {remat!r}")
+
+    fwd = hivt5_mod.forward_train
+    if remat:
+        fwd = jax.checkpoint(
+            hivt5_mod.forward_train,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            static_argnums=(1,),
+        )
 
     def step_fn(state: TrainState, batch: ChunkedBatch, labels: jax.Array):
         def loss_fn(params):
-            loss, aux = hivt5_mod.forward_train(params, hivt5_cfg, batch, labels)
+            loss, aux = fwd(params, hivt5_cfg, batch, labels)
             return loss, aux
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)

@@ -332,3 +332,39 @@ def test_fused_p2s_vision_ffn_chunked_matches_xla(monkeypatch):
         np.asarray(ref)[np.asarray(mask, bool)],
         rtol=2e-5, atol=2e-5,
     )
+
+
+def test_fused_t5_biasful_ffn_chunked_natural_selection(monkeypatch):
+    """Bias-ful (rel-pos) T5 layer through the NATURAL chunk-selection path:
+    a shrunk VMEM budget makes _pick_rows_t5 itself choose a chunked FFN
+    (C=256 at d_ff=512) rather than a monkeypatched (rows, C) pair — covering
+    the text-encoder chunked kernel, not just the Pix2Struct bias-free one."""
+    import functools
+
+    from rag_docvqa_tpu.models import t5 as t5m
+    from rag_docvqa_tpu.ops import fused_encoder as fe
+
+    cfg = t5m.T5Config(
+        vocab_size=64, d_model=128, d_kv=32, num_heads=4, d_ff=512,
+        num_encoder_layers=2, num_decoder_layers=1, dropout_rate=0.0,
+    )
+    params = t5m.init_t5_params(jax.random.PRNGKey(5), cfg)
+    B, T = 8, 64
+    x = jax.random.normal(jax.random.PRNGKey(6), (B, T, cfg.d_model), jnp.float32)
+    mask = jnp.arange(T)[None, :] < jnp.asarray([64, 40, 8, 64, 1, 33, 64, 17])[:, None]
+
+    budget = 1_500_000  # unchunked rows=1 needs ~1.9 MB here; chunked C=256 fits
+    picked = fe._pick_rows_t5(B, T, cfg.d_model, cfg.num_heads * cfg.d_kv,
+                              cfg.d_ff, cfg.num_heads, False, 4, budget=budget)
+    assert picked[0] > 0 and picked[1] > 0, picked  # natural selection chunks
+
+    ref = t5m.encode(params, cfg, x, mask, fused=False)
+    monkeypatch.setattr(fe, "_pick_rows_t5",
+                        functools.partial(fe._pick_rows_t5, budget=budget))
+    got = t5m.encode(params, cfg, x, mask, fused=True)
+    # chunked FFN accumulates partial products in a different order; tiny
+    # f32-rounding drift (max ~5e-5 over 2 layers) is expected
+    np.testing.assert_allclose(
+        np.asarray(got)[np.asarray(mask)], np.asarray(ref)[np.asarray(mask)],
+        rtol=2e-3, atol=2e-4,
+    )
