@@ -218,13 +218,19 @@ def main():
     # free the generator's device state before the remaining sections
     del vt5_params, batch
 
-    # ---- training step throughput (t5-base VT5, flash fwd+bwd, bf16 mixed) ---
+    # ---- training step throughput (t5-base VT5, fused-layer fwd+bwd, bf16) --
     # The whole step (retrieve -> assemble -> teacher-forced fwd -> backward ->
-    # AdamW update) is one jitted program; flash attention trains through its
-    # custom VJP. f32 master weights, bf16 compute (make_train_step).
+    # AdamW update) is one jitted program. The encoder trains through the
+    # whole-layer kernel pair (fused forward + handwritten Pallas backward,
+    # ops/fused_encoder_bwd.py) — measured 445.6 vs 562.6 ms at B=128 against
+    # the flash fwd+bwd pair (MFU 0.394 vs 0.312); the backward kernels keep
+    # the dLN/dFFN/softmax-bwd glue in VMEM that the XLA backward round-
+    # tripped through HBM. f32 master weights, bf16 compute (make_train_step).
+    # B=128: the AdamW update's ~14 ms HBM-bound wall amortizes over 4x the
+    # compute vs B=32 (0.348 -> 0.394 MFU), and the 16 GB chip fits it.
     from rag_docvqa_tpu.training import TrainState, build_optimizer, make_train_step
 
-    TRAIN_B, TRAIN_TD, TRAIN_REPS = 32, 16, 8
+    TRAIN_B, TRAIN_TD, TRAIN_REPS = 128, 16, 8
     tr_docs = make_corpus(TRAIN_B, n_pages=E2E_PAGES, words_per_page=120, seed=1)
     tr_batch, tr_aux = ing.ingest(tr_docs)
     tr_batch = jax.device_put(tr_batch)
@@ -232,10 +238,11 @@ def main():
     tr_params = vt5m.init_vt5_params(jax.random.PRNGKey(1), vt5_cfg)  # f32 masters
     tx = build_optimizer(lr=1e-4, warmup_steps=10, total_steps=1000)
     state = TrainState.create(tr_params, tx)
-    # remat="layer": per-layer jax.checkpoint — measured FASTER than the
-    # plain step (144.8 vs 149.9 ms at B=32: recomputing one layer's forward
-    # beats writing+reading the stacked flash residuals) and lifts the max
-    # trainable batch from <64 (OOM) to 128+ on the 16 GB chip
+    # remat="layer" is the FALLBACK discipline: the fused-train encoder path
+    # (auto-selected inside vt5.forward_train on TPU) recomputes inside its
+    # backward kernels and ignores remat; if the gate ever falls back to
+    # flash, per-layer jax.checkpoint keeps the step from OOMing at B=128
+    # (whole-forward remat stacks every layer's flash residuals; PERF.md §4)
     step_fn = make_train_step(vt5_cfg, rag, tx, bf16_compute=True, remat="layer")
     state, m = step_fn(state, tr_batch, tr_labels)  # compile + warmup
     _sync(m["loss"])

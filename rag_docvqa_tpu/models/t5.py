@@ -244,9 +244,9 @@ def encode(
     if fused is None:
         from rag_docvqa_tpu.ops.fused_encoder import fused_t5_encoder_wanted
 
-        # the fused forward's custom_vjp backward recomputes through the
-        # flash path, so explicit training steps pass fused=False to keep
-        # the flash fwd+bwd pair (vt5.py::loss_fn)
+        # inference auto-select; training callers pass fused="train" (whole-
+        # layer forward + handwritten Pallas backward, fused_encoder_bwd) or
+        # fused=False (flash fwd+bwd pair) explicitly
         fused = fused_t5_encoder_wanted(cfg, B, Tp, x.dtype.itemsize)
     if fused:
         pad = Tp - T
@@ -259,7 +259,8 @@ def encode(
             am = jnp.pad(attention_mask, ((0, 0), (0, pad)))
         pos = jnp.arange(Tp)
         bias = relative_bias(enc["rel_bias"], pos, pos, bidirectional=True, cfg=cfg)
-        x = _fused_t5_stack(cfg)(stacked, x, am, bias[0].astype(jnp.bfloat16))
+        stack = _fused_t5_stack_train(cfg) if fused == "train" else _fused_t5_stack(cfg)
+        x = stack(stacked, x, am, bias[0].astype(jnp.bfloat16))
         if pad:
             x = x[:, :T]
     else:
@@ -339,6 +340,33 @@ def _fused_t5_stack(cfg: T5Config):
         return ds, dx, dmask, dbias
 
     run.defvjp(fwd, bwd)
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_t5_stack_train(cfg: T5Config):
+    """Encoder layer stack for TRAINING through the whole-layer kernel pair:
+    fused forward (saving the attention-residual sum x1) + handwritten Pallas
+    backward (ops/fused_encoder_bwd.py). The custom_vjp sits at the LAYER
+    level, so jax differentiates the scan + weight pre-fusing naturally —
+    weight gradients stack over layers, the concatenated qkv gradient splits
+    back through the concatenate VJP, and the batch-shared rel-pos bias
+    gradient accumulates across layers in the transposed scan."""
+    from rag_docvqa_tpu.ops.fused_encoder import fuse_t5_blocks
+    from rag_docvqa_tpu.ops.fused_encoder_bwd import make_fused_t5_layer_train
+
+    layer_fn = make_fused_t5_layer_train(cfg.num_heads, cfg.layer_norm_eps,
+                                         cfg.gated_ffn)
+
+    def run(stacked, x, key_mask, bias_bf16):
+        pre = fuse_t5_blocks(stacked, cfg.gated_ffn)
+
+        def body(x, layer):
+            return layer_fn(x, key_mask, bias_bf16, layer), None
+
+        x, _ = jax.lax.scan(body, x, pre)
+        return x
+
     return run
 
 

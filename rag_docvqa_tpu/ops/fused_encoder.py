@@ -364,11 +364,17 @@ def _t5_layer_kernel(
     eps: float,
     gated: bool,
     ffn_chunk: int = 0,  # >0: FFN in d_ff column chunks (f32 accumulator)
+    save_x1: bool = False,  # also write the attention-residual sum (train bwd)
 ):
     if gated:
-        wi0_ref, wi1_ref, wof_ref, o_ref, qkv_ref, attn_ref = ffn_and_out
+        wi0_ref, wi1_ref, wof_ref, *out = ffn_and_out
     else:
-        wi_ref, wof_ref, o_ref, qkv_ref, attn_ref = ffn_and_out
+        wi_ref, wof_ref, *out = ffn_and_out
+    if save_x1:
+        o_ref, x1_ref, qkv_ref, attn_ref = out
+    else:
+        o_ref, qkv_ref, attn_ref = out
+        x1_ref = None
     R = rows * T
     inner = H * dk
     cdt = x_ref.dtype
@@ -407,6 +413,8 @@ def _t5_layer_kernel(
                              dimension_numbers=(((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32).astype(cdt)
     x = x + ao
+    if x1_ref is not None:
+        x1_ref[...] = x.reshape(rows, T, d)
     h2 = _rms(x, ln1_ref)
 
     def _gelu_tanh_mul(g, u):
@@ -492,7 +500,7 @@ def _t5_layer_kernel_nobias(x_ref, mask_ref, wqkv_ref, wo_ref, ln0_ref, ln1_ref,
 
 
 def _t5_layer_call(x, maskB, bias, wqkv, wo, ln0, ln1, *ffn_ws,
-                   num_heads, eps, gated, interpret):
+                   num_heads, eps, gated, interpret, save_x1=False):
     B, T, d = x.shape
     inner = wo.shape[0]
     dk = inner // num_heads
@@ -519,13 +527,16 @@ def _t5_layer_call(x, maskB, bias, wqkv, wo, ln0, ln1, *ffn_ws,
 
     kernel = _t5_layer_kernel if bias is not None else _t5_layer_kernel_nobias
     args = (x, maskB) + ((bias,) if bias is not None else ()) + (wqkv, wo, ln0, ln1) + ffn_ws
+    out_blk = pl.BlockSpec((rows, T, d), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    out_sh = jax.ShapeDtypeStruct((B, T, d), x.dtype)
     return pl.pallas_call(
         functools.partial(kernel, rows=rows, T=T, d=d, H=num_heads,
-                          dk=dk, eps=eps, gated=gated, ffn_chunk=ffn_chunk),
+                          dk=dk, eps=eps, gated=gated, ffn_chunk=ffn_chunk,
+                          save_x1=save_x1),
         grid=(B // rows,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((rows, T, d), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, T, d), x.dtype),
+        out_specs=[out_blk, out_blk] if save_x1 else out_blk,
+        out_shape=[out_sh, out_sh] if save_x1 else out_sh,
         scratch_shapes=[
             pltpu.VMEM((rows * T, 3 * inner), x.dtype),
             pltpu.VMEM((rows * T, inner), x.dtype),
@@ -560,7 +571,8 @@ def fuse_t5_blocks(stacked: Dict[str, Any], gated: bool) -> Dict[str, jax.Array]
 
 def fused_t5_layer_parts(x, key_mask, bias, l: Dict[str, jax.Array], *,
                          num_heads: int, eps: float, gated: bool,
-                         interpret: bool | None = None) -> jax.Array:
+                         interpret: bool | None = None,
+                         save_x1: bool = False):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     ffn_ws = (l["wi_0"], l["wi_1"], l["wof"]) if gated else (l["wi"], l["wof"])
@@ -569,6 +581,12 @@ def fused_t5_layer_parts(x, key_mask, bias, l: Dict[str, jax.Array], *,
 
     from rag_docvqa_tpu.ops.flash_attention import _auto_partition_wanted
 
+    if save_x1:
+        # train-path forward (fused_encoder_bwd): also returns the attention-
+        # residual sum. No GSPMD wrapper — fused_t5_train_wanted gates this
+        # off under auto-partitioning.
+        return _t5_layer_call(*args, num_heads=num_heads, eps=eps, gated=gated,
+                              interpret=interpret, save_x1=True)
     if _auto_partition_wanted():
         if bias is None:
             # no-bias variant has no GSPMD wrapper: the direct opaque call is
