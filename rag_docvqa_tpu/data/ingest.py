@@ -38,6 +38,54 @@ class DocVQAIngestor:
         self.tokenizer = tokenizer
         self.spec = spec or ChunkSpec()
         self.caps = caps or Caps()
+        # word -> row in a (n, tokens_per_word) token matrix; turns the
+        # per-word tokenize loop (the measured ingest hot spot — ~50% of
+        # wall) into one fancy-indexed gather per page. Unbounded across a
+        # corpus by design: ~130 B/word, so even a 1M-word vocabulary costs
+        # ~130 MB host RAM. Rebuilt if caps.tokens_per_word changes.
+        self._wcache: Dict[str, int] = {}
+        self._wcache_tw = -1
+
+    # ------------------------------------------------------------------ #
+    def _word_rows(self, words: List[str]) -> Tuple[np.ndarray, np.ndarray, np.ndarray, bool]:
+        """Vectorized per-word tokenization via the word-matrix cache.
+
+        Returns (page_tok (n, TW) int32, page_ntok (n,) int32, row_idx,
+        concat_ok) where concat_ok mirrors the page_concat_ok condition: no
+        word truncated to tokens_per_word and no word re-splits under
+        str.split."""
+        tw = self.caps.tokens_per_word
+        if self._wcache_tw != tw:
+            self._wcache = {}
+            self._wcache_tw = tw
+            cap = 4096
+            self._wtok = np.zeros((cap, tw), np.int32)
+            self._wntok = np.zeros((cap,), np.int32)
+            self._wok = np.zeros((cap,), bool)
+        wc = self._wcache
+        try:
+            idx = [wc[w] for w in words]
+        except KeyError:
+            tk = self.tokenizer
+            idx = []
+            for w in words:
+                j = wc.get(w)
+                if j is None:
+                    j = len(wc)
+                    if j >= self._wtok.shape[0]:
+                        grow = lambda a: np.concatenate([a, np.zeros_like(a)])
+                        self._wtok = grow(self._wtok)
+                        self._wntok = grow(self._wntok)
+                        self._wok = grow(self._wok)
+                    full = tk.encode_word(w)
+                    ids = full[:tw]
+                    self._wtok[j, : len(ids)] = ids
+                    self._wntok[j] = len(ids)
+                    self._wok[j] = len(full) <= tw and w.split() == [w]
+                    wc[w] = j
+                idx.append(j)
+        ia = np.asarray(idx, np.intp)
+        return self._wtok[ia], self._wntok[ia], ia, bool(self._wok[ia].all())
 
     # ------------------------------------------------------------------ #
     def answer_labels(
@@ -220,25 +268,18 @@ class DocVQAIngestor:
                     layout_clusters=layout.get("clusters"),
                 )
                 # tokenize the page ONCE into a (n_words, TW) matrix; both the
-                # chunked slot arrays and the raw arrays slice from it (this
-                # loop + vectorized scatter is the ingest hot path — 13x over
-                # the per-slot version)
+                # chunked slot arrays and the raw arrays slice from it. The
+                # word-matrix cache (_word_rows) makes this one gather per
+                # page instead of a per-word Python loop (measured ~2x on the
+                # whole ingest).
                 nw = len(words)
-                page_tok = np.zeros((nw, c.tokens_per_word), np.int32)
-                page_ntok = np.zeros((nw,), np.int32)
                 # chunk-text embed ids can be assembled from these per-word
                 # rows (instead of re-encoding the joined chunk text) exactly
                 # when the tokenizer's encode() IS concat-of-encode_word
                 # (BaseTokenizer.encode), no word re-splits under str.split,
                 # and no word's ids were truncated to tokens_per_word
-                page_concat_ok = type(tk).encode is BaseTokenizer.encode
-                for i, word in enumerate(words):
-                    full = tk.encode_word(word)
-                    ids = full[: c.tokens_per_word]
-                    page_tok[i, : len(ids)] = ids
-                    page_ntok[i] = len(ids)
-                    if page_concat_ok and (len(full) > len(ids) or word.split() != [word]):
-                        page_concat_ok = False
+                page_tok, page_ntok, _, words_ok = self._word_rows(list(words))
+                page_concat_ok = words_ok and type(tk).encode is BaseTokenizer.encode
                 page_box = np.asarray(boxes, np.float32).reshape(nw, 4) if nw else np.zeros((0, 4), np.float32)
 
                 # ---- vectorized page path ---------------------------------
@@ -296,9 +337,16 @@ class DocVQAIngestor:
                     keep = pos < c.embed_tokens
                     chunk_emb_tokens[b, cc + tok_chunk[keep], pos[keep]] = flat[keep]
                     chunk_emb_mask[b, cc + tok_chunk[keep], pos[keep]] = True
-                    for widx in pc.word_indices:
-                        texts_b.append(" ".join(words[i] for i in widx))
-                    slot_words_b.extend(words[i] for i in cat)
+                    # chunk texts + slot words via one object-array gather in
+                    # cat (chunk-concatenated) order, then per-chunk joins on
+                    # list slices — the per-element generator joins were ~10%
+                    # of ingest
+                    allw = np.asarray(words, dtype=object)[cat].tolist()
+                    pos0 = 0
+                    for ln in lens.tolist():
+                        texts_b.append(" ".join(allw[pos0 : pos0 + ln]))
+                        pos0 += ln
+                    slot_words_b.extend(allw)
                     slot_cursor += total
                     chunk_cursor += n_ch
                     page_chunks = ()  # chunk work done; shared tail below

@@ -11,6 +11,8 @@ from __future__ import annotations
 import random
 from typing import List
 
+import numpy as np
+
 from rag_docvqa_tpu.data.contract import RawDocument
 
 _VOCAB = [
@@ -52,7 +54,10 @@ def make_document(
             for i in range(len(page_words))
         ]
         words.append(page_words)
-        boxes.append(page_boxes)
+        # pre-converted float32 arrays: ingest's per-page np.asarray becomes
+        # a no-op (the nested-list conversion was ~10% of ingest wall); real
+        # dataset loaders get the same for free from their npy caches
+        boxes.append(np.asarray(page_boxes, np.float32))
 
     return RawDocument(
         question=f"what is the {key} ?",
