@@ -328,11 +328,30 @@ def main():
     _ing = DocVQAIngestor(_tok, ChunkSpec(chunk_size=60, overlap=10),
                           Caps(max_pages=8, max_chunks=32, max_slots=2048))
     _docs = make_corpus(64, n_pages=8, words_per_page=120, seed=0)
-    _ing.ingest(_docs[:8])  # warm tokenizer cache
-    t0 = time.perf_counter()
-    for s in range(0, 64, 8):
-        _ing.ingest(_docs[s : s + 8])
-    ingest_pages_per_sec = 64 * 8 / (time.perf_counter() - t0)
+    _ing.ingest(_docs[:8])  # warm tokenizer + word-matrix caches
+    ingest_pages_per_sec = 0.0
+    for _ in range(3):  # best-of-3: host timers share the core with the OS
+        t0 = time.perf_counter()
+        for s in range(0, 64, 8):
+            _ing.ingest(_docs[s : s + 8])
+        ingest_pages_per_sec = max(ingest_pages_per_sec, 64 * 8 / (time.perf_counter() - t0))
+
+    # multi-process sharded ingest (data/ingest_mp.py): on this image's
+    # 1-core host the workers contend with the parent, so this measures ~1x
+    # by construction — the number exists to catch regressions in the MP
+    # path and to scale on real multi-core hosts (cpu_count-1 workers)
+    import os as _os
+
+    from rag_docvqa_tpu.data.ingest_mp import MPIngestor
+
+    with MPIngestor(HashTokenizer(vocab_size=VOCAB), ChunkSpec(chunk_size=60, overlap=10),
+                    Caps(max_pages=8, max_chunks=32, max_slots=2048)) as _mp_ing:
+        _mp_workers = _mp_ing.num_workers
+        list(_mp_ing.imap([_docs[:8]]))  # spawn + warm workers
+        t0 = time.perf_counter()
+        for _ in _mp_ing.imap([_docs[s : s + 8] for s in range(0, 64, 8)]):
+            pass
+        ingest_mp_pages_per_sec = 64 * 8 / (time.perf_counter() - t0)
 
     # ---- BGE-transformer embed backend (not a table lookup) ------------------
     # bge-small-en-v1.5-shaped encoder over the same chunk corpus: proves the
@@ -377,6 +396,123 @@ def main():
     bge_n_params = 12 * (4 * 384 * 384 + 2 * 384 * 1536)
     bge_flops = 2 * bge_n_params * (N_CHUNKS * CHUNK_TOKENS + N_QUERIES * QUERY_TOKENS)
     bge_mfu = bge_flops / bge_time / 197e12 if backend == "tpu" else 0.0  # v5e bf16 peak (197 TFLOPs)
+
+    # ---- HiVT5 e2e: hierarchical encode -> page head -> compressed decode ----
+    # pages-in-batch encode (B*P rows of [PAGE]x10 + 512 text tokens through
+    # the t5-base encoder), keep 10 summary tokens/page, decode over the
+    # 80-token compressed document (reference HiVT5.py:46-123). Text-only
+    # (use_visual=False): the visual branch is benched via its fused ViT
+    # kernel in PERF.md §2; page renders would time the host resize here.
+    from rag_docvqa_tpu.engine.hivt5_engine import _generate_device as hivt5_generate
+    from rag_docvqa_tpu.models import hivt5 as hm
+
+    HI_B, HI_P, HI_NEW = 16, 8, 16
+    hi_cfg = hm.HiVT5Config(
+        t5=t5_cfg, spatial=SpatialConfig(hidden_size=768, dropout_rate=0.0),
+        max_doc_pages=HI_P, page_tokens=10, page_seq_len=512,
+    )
+    hi_params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+        hm.init_hivt5_params(jax.random.PRNGKey(2), hi_cfg),
+    )
+    hi_batch = jax.device_put(ing.ingest(docs[:HI_B])[0])
+    _sync(hivt5_generate(hi_params, hi_cfg, hi_batch, HI_NEW)[1])
+    hi_time = _time_min(lambda: hivt5_generate(hi_params, hi_cfg, hi_batch, HI_NEW)[1], 5)
+    hi_tokens = HI_B * HI_P * (hi_cfg.page_tokens + hi_cfg.page_seq_len)
+    hi_flops = 2 * enc_params * hi_tokens + 2 * dec_params * HI_B * HI_NEW
+    hivt5_mfu = hi_flops / hi_time / 197e12 if backend == "tpu" else 0.0
+    hivt5_docs_per_sec = HI_B / hi_time
+    del hi_params, hi_batch
+
+    # ---- RAGPix2Struct e2e: page strips -> patch MaxSim -> generate ----------
+    # The full OCR-free engine loop (reference RAGPix2Struct.py:183-334):
+    # host chunks page renders into 256px strips + extracts flattened
+    # patches, device embeds every strip through the 12-layer patch encoder,
+    # MaxSim late interaction picks top-k crops, host packs them to the
+    # 1024-patch budget, device generates. e2e includes the host stages
+    # (this 1-core host pays them serially; docs/s is the honest number),
+    # generate_ms is the device decode program alone.
+    from rag_docvqa_tpu.engine.rag_pix2struct import (
+        P2SRAGConfig, RAGPix2StructEngine, _generate_device as p2s_generate)
+    from rag_docvqa_tpu.models import pix2struct as p2s
+    from rag_docvqa_tpu.data.contract import RawDocument
+
+    P2S_B, P2S_PAGES, P2S_NEW = 8, 4, 16
+    p2s_cfg = p2s.Pix2StructConfig()  # pix2struct-base dims
+    p2s_params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+        p2s.init_p2s_params(jax.random.PRNGKey(3), p2s_cfg),
+    )
+    p2s_rag = P2SRAGConfig(chunk_num=TOP_K, max_new_tokens=P2S_NEW)
+    p2s_eng = RAGPix2StructEngine(p2s_rag, p2s_cfg, p2s_params, tok)
+    img_rng = np.random.RandomState(7)
+    p2s_docs = [
+        RawDocument(
+            question=f"what is item {i}?", words=[[]], boxes=[[]], answers=["x"],
+            images=[img_rng.randint(0, 255, (512, 512, 3), np.uint8) for _ in range(P2S_PAGES)],
+        )
+        for i in range(P2S_B)
+    ]
+    p2s_eng.inference(p2s_docs)  # compile + warm
+    p2s_time = _time_min(lambda: jnp.float32(p2s_eng.inference(p2s_docs)["confidences"][0]), 1)
+    p2s_docs_per_sec = P2S_B / p2s_time
+    p2s_pages_per_sec = P2S_B * P2S_PAGES / p2s_time
+    # device generate alone at the packed patch budget
+    gp = jnp.zeros((P2S_B, p2s_rag.max_total_patches, 2 + p2s_cfg.vision.patch_dim), jnp.float32)
+    gm = jnp.ones((P2S_B, p2s_rag.max_total_patches), bool)
+    _sync(p2s_generate(p2s_params, p2s_cfg, gp, gm, P2S_NEW)[1])
+    p2s_gen_time = _time_min(lambda: p2s_generate(p2s_params, p2s_cfg, gp, gm, P2S_NEW)[1], 5)
+    v = p2s_cfg.vision
+    p2s_v_params = v.num_layers * (4 * v.hidden_size * v.hidden_size + 2 * v.hidden_size * v.d_ff)
+    t = p2s_cfg.text
+    p2s_d_params = t.num_decoder_layers * (8 * t.d_model * t.d_kv * t.num_heads + 3 * t.d_model * t.d_ff) \
+        + t.d_model * t.vocab_size
+    p2s_gen_flops = 2 * p2s_v_params * P2S_B * p2s_rag.max_total_patches \
+        + 2 * p2s_d_params * P2S_B * P2S_NEW
+    p2s_gen_mfu = p2s_gen_flops / p2s_gen_time / 197e12 if backend == "tpu" else 0.0
+    del p2s_params, p2s_eng, p2s_docs, gp, gm
+
+    # ---- Qwen decode path: flash prefill + cached greedy decode --------------
+    # Qwen2.5-3B dims (the reference's QwenVL generator family,
+    # QwenVLInstruct.py:234-264): GQA 16q/2kv, tied embeddings. Weights init
+    # directly in bf16 under one jit (a separate f32 init + cast would peak
+    # at 3x the weight bytes). Decode is HBM-bound: every step re-reads the
+    # ~6.2 GB of weights, so ms/step is reported against that floor.
+    from rag_docvqa_tpu.models import causal_lm as clm
+
+    QW_B, QW_TP, QW_NEW = 8, 512, 64
+    q_cfg = clm.CausalLMConfig(
+        vocab_size=151936, d_model=2048, num_layers=36, num_heads=16,
+        num_kv_heads=2, d_ff=11008, flash_prefill=backend == "tpu",
+    )
+    q_params = jax.jit(
+        lambda k: jax.tree.map(lambda x: x.astype(jnp.bfloat16), clm.init_causal_lm_params(k, q_cfg))
+    )(jax.random.PRNGKey(4))
+    q_ids = jnp.asarray(rng.randint(3, 151000, size=(QW_B, QW_TP)), jnp.int32)
+    q_am = jnp.ones((QW_B, QW_TP), bool)
+
+    @functools.partial(jax.jit, static_argnames=("cfg",))
+    def qwen_gen(params, cfg, ids, am):
+        return clm.generate(params, cfg, ids, am, max_new_tokens=QW_NEW)
+
+    @functools.partial(jax.jit, static_argnames=("cfg",))
+    def qwen_prefill_probe(params, cfg, ids, am):
+        logits0, _ = clm.prefill(params, cfg, ids, am, QW_TP + QW_NEW)
+        return jnp.sum(logits0.astype(jnp.float32))
+
+    _sync(qwen_gen(q_params, q_cfg, q_ids, q_am)[1])
+    _sync(qwen_prefill_probe(q_params, q_cfg, q_ids, q_am))
+    qwen_gen_time = _time_min(lambda: qwen_gen(q_params, q_cfg, q_ids, q_am)[1], 3)
+    qwen_prefill_time = _time_min(lambda: qwen_prefill_probe(q_params, q_cfg, q_ids, q_am), 3)
+    qwen_decode_step_ms = (qwen_gen_time - qwen_prefill_time) / (QW_NEW - 1) * 1e3
+    qwen_decode_tokens_per_sec = QW_B * 1e3 / max(qwen_decode_step_ms, 1e-9)
+    q_bytes = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(q_params)) * 2
+    # effective GB/s of the per-step weight re-read; compare against the
+    # MEASURED ~230-280 GB/s this tunneled chip delivers (PERF.md §6), not
+    # the 819 GB/s datasheet
+    qwen_decode_gbs = q_bytes / (qwen_decode_step_ms / 1e3) / 1e9
+    qwen_prefill_tokens_per_sec = QW_B * QW_TP / qwen_prefill_time
+    del q_params, q_ids, q_am
 
     # ---- corpus-scale query throughput (HBM-resident big index) --------------
     # LAST on purpose: the ~2.7 GB allocation peak (bf16 + f32 temp + int8)
@@ -438,6 +574,21 @@ def main():
                     "big_index_query_ms_per_batch": round(big_time * 1e3, 2),
                     "big_index_int8_query_qps": round(int8_qps, 1),
                     "host_ingest_pages_per_sec": round(ingest_pages_per_sec, 1),
+                    "host_ingest_mp_pages_per_sec": round(ingest_mp_pages_per_sec, 1),
+                    "host_ingest_mp_workers": _mp_workers,
+                    "host_cpu_count": _os.cpu_count(),
+                    "hivt5_e2e_docs_per_sec": round(hivt5_docs_per_sec, 1),
+                    "hivt5_e2e_pages_per_sec": round(hivt5_docs_per_sec * HI_P, 1),
+                    "hivt5_e2e_ms_per_batch": round(hi_time * 1e3, 2),
+                    "hivt5_mfu": round(hivt5_mfu, 3),
+                    "p2s_e2e_docs_per_sec": round(p2s_docs_per_sec, 2),
+                    "p2s_e2e_pages_per_sec": round(p2s_pages_per_sec, 1),
+                    "p2s_generate_ms_per_batch": round(p2s_gen_time * 1e3, 2),
+                    "p2s_generate_mfu": round(p2s_gen_mfu, 3),
+                    "qwen_decode_tokens_per_sec": round(qwen_decode_tokens_per_sec, 1),
+                    "qwen_decode_ms_per_step": round(qwen_decode_step_ms, 2),
+                    "qwen_decode_weight_read_gbs": round(qwen_decode_gbs, 1),
+                    "qwen_prefill_tokens_per_sec": round(qwen_prefill_tokens_per_sec, 1),
                     "bge_embed_retrieve_pages_per_sec": round(bge_pages_per_sec, 1),
                     "bge_mfu": round(bge_mfu, 3),
                     "e2e_retrieve_generate_pages_per_sec": round(e2e_pages_per_sec, 1),

@@ -103,7 +103,11 @@ def vision_encode(
     p = params["vision"]
     rows = jnp.clip(flattened_patches[:, :, 0].astype(jnp.int32), 0, v.max_rows - 1)
     cols = jnp.clip(flattened_patches[:, :, 1].astype(jnp.int32), 0, v.max_cols - 1)
-    x = dense(flattened_patches[:, :, 2:], p["patch_proj"]["kernel"], p["patch_proj"]["bias"])
+    # compute in the parameter dtype: host patches arrive f32, and f32 @ bf16
+    # promotes the WHOLE tower to f32 (2x MXU cost — and the decode cache,
+    # sized off encoder dtype, then mismatches the bf16 decoder)
+    pk = p["patch_proj"]["kernel"]
+    x = dense(flattened_patches[:, :, 2:].astype(pk.dtype), pk, p["patch_proj"]["bias"])
     x = x + p["row_emb"][rows] + p["col_emb"][cols]
 
     B, N, _ = x.shape

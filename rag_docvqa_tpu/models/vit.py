@@ -149,7 +149,10 @@ def vit_encode(
     (HF collects hidden_states at config.out_indices)."""
     B = pixels.shape[0]
     patches = extract_patches(pixels, cfg.patch_size)
-    x = dense(patches, params["patch_embed"]["kernel"], params["patch_embed"]["bias"])
+    # compute in the parameter dtype: host pixels arrive f32, and f32 @ bf16
+    # promotes the whole tower to f32 (2x MXU cost downstream)
+    pk = params["patch_embed"]["kernel"]
+    x = dense(patches.astype(pk.dtype), pk, params["patch_embed"]["bias"])
     cls = jnp.broadcast_to(params["cls_token"].astype(x.dtype), (B, 1, cfg.hidden_size))
     x = jnp.concatenate([cls, x], axis=1)
     if cfg.use_abs_pos:

@@ -211,3 +211,54 @@ def single_device_query(
     """Unsharded reference for property tests: normalize + matmul + top-k."""
     index = l2_normalize(embeddings.astype(jnp.float32))
     return cosine_topk_xla(index, queries, k, index_mask=index_mask)
+
+
+# --------------------------------------------------------------------------- #
+# sharded late-interaction (MaxSim) retrieval
+# --------------------------------------------------------------------------- #
+@functools.partial(jax.jit, static_argnames=("mesh", "axis", "n_valid", "k"))
+def sharded_maxsim_topk(
+    patches: jax.Array,  # (N_pad, Tp, D) patch-token embeddings, sharded P(axis)
+    patch_mask: jax.Array,  # (N_pad, Tp) bool, sharded P(axis)
+    query: jax.Array,  # (Tq, D) replicated query token embeddings
+    *,
+    mesh: Mesh,
+    axis: str = "data",
+    n_valid: int,
+    k: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Visual-retriever collective: MaxSim late interaction over a patch
+    index sharded across the mesh (the VisualRetriever's crop scoring,
+    src/_modules.py MaxSim path, at beyond-one-chip index sizes).
+
+    Each chip scores its (shard_len, Tp, D) rows with
+    ops/late_interaction.late_interaction and takes a local top-k; the
+    global top-k merges the all-gathered (devices * k) candidates ordered by
+    ascending shard id, so ties resolve to the lowest global row exactly
+    like single-device lax.top_k. Cross-chip traffic is O(devices * k).
+    Returns (vals (k,), idx (k,), valid (k,))."""
+    from rag_docvqa_tpu.ops.late_interaction import late_interaction
+
+    n_shards = mesh.shape[axis]
+    shard_len = patches.shape[0] // n_shards
+
+    def local(p_shard, pm_shard, q):
+        sid = jax.lax.axis_index(axis)
+        scores = late_interaction(q, p_shard, patch_mask=pm_shard)  # (shard_len,)
+        local_valid = jnp.clip(n_valid - sid * shard_len, 0, shard_len)
+        scores = jnp.where(jnp.arange(shard_len) < local_valid, scores, -jnp.inf)
+        vals, idx = jax.lax.top_k(scores, min(k, shard_len))
+        gidx = idx + sid * shard_len
+        cand_vals = jax.lax.all_gather(vals, axis).reshape(-1)
+        cand_idx = jax.lax.all_gather(gidx, axis).reshape(-1)
+        out_vals, pos = jax.lax.top_k(cand_vals, k)
+        out_idx = jnp.take_along_axis(cand_idx, pos, axis=-1)
+        return out_vals, out_idx, jnp.isfinite(out_vals)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )(patches, patch_mask, query)

@@ -88,3 +88,46 @@ def test_sharded_twophase_kernel_equivalent(mesh):
     ref_vals, ref_ids, ref_ok = single_device_query(emb, q, k=7)
     np.testing.assert_array_equal(np.asarray(ids), np.asarray(ref_ids))
     np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals), rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_maxsim_matches_single_device(mesh):
+    """sharded_maxsim_topk (visual-retriever collective) == single-device
+    MaxSim + top_k, including tie order and the validity tail."""
+    from rag_docvqa_tpu.parallel.index import sharded_maxsim_topk
+    from rag_docvqa_tpu.ops.late_interaction import late_interaction
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rng = np.random.RandomState(3)
+    N, Tp, D, k, n_valid = 64, 5, 32, 6, 58
+    patches = jnp.asarray(rng.randn(N, Tp, D).astype(np.float32))
+    pmask = jnp.asarray(rng.rand(N, Tp) < 0.75)
+    q = jnp.asarray(rng.randn(4, D).astype(np.float32))
+    p_sh = jax.device_put(patches, NamedSharding(mesh, P("data")))
+    pm_sh = jax.device_put(pmask, NamedSharding(mesh, P("data")))
+    vals, idx, ok = sharded_maxsim_topk(p_sh, pm_sh, q, mesh=mesh, n_valid=n_valid, k=k)
+    ref = late_interaction(q, patches, patch_mask=pmask)
+    ref = jnp.where(jnp.arange(N) < n_valid, ref, -jnp.inf)
+    rv, ri = jax.lax.top_k(ref, k)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ri))
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(rv), rtol=1e-5, atol=1e-6)
+    assert bool(np.all(np.asarray(ok)))
+
+
+def test_sharded_maxsim_duplicate_rows_tie_order(mesh):
+    """Duplicated patch rows across shard boundaries must resolve to the
+    lowest global index, exactly like single-device top_k."""
+    from rag_docvqa_tpu.parallel.index import sharded_maxsim_topk
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rng = np.random.RandomState(4)
+    N, Tp, D = 32, 3, 16
+    base = rng.randn(N, Tp, D).astype(np.float32)
+    base[17] = base[2]  # duplicate in different shards (8-way: rows 0-3 vs 16-19)
+    patches = jnp.asarray(base)
+    pmask = jnp.ones((N, Tp), bool)
+    q = jnp.asarray(rng.randn(2, D).astype(np.float32))
+    p_sh = jax.device_put(patches, NamedSharding(mesh, P("data")))
+    pm_sh = jax.device_put(pmask, NamedSharding(mesh, P("data")))
+    vals, idx, _ = sharded_maxsim_topk(p_sh, pm_sh, q, mesh=mesh, n_valid=N, k=N)
+    got = list(np.asarray(idx))
+    assert got.index(2) < got.index(17)
