@@ -15,6 +15,7 @@ Host-side ports (pure numpy + jax.image.resize, no torch):
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -153,12 +154,34 @@ def divide_image_into_layout_patches(
 # --------------------------------------------------------------------------- #
 # Pix2Struct patch extraction
 # --------------------------------------------------------------------------- #
-def _resize_bilinear(image: np.ndarray, h: int, w: int) -> np.ndarray:
-    import jax
+@functools.lru_cache(maxsize=256)
+def _resize_weight_mat(in_size: int, out_size: int) -> np.ndarray:
+    """(out, in) antialiased-bilinear resample weights — the same separable
+    triangle kernel jax.image.resize(method='bilinear', antialias=True)
+    builds (jax/_src/image/scale.py::compute_weight_mat), in pure numpy."""
+    scale = out_size / in_size
+    kscale = max(1.0, 1.0 / scale)  # widen the kernel when downsampling
+    out_coords = (np.arange(out_size, dtype=np.float64) + 0.5) / scale - 0.5
+    x = (np.arange(in_size, dtype=np.float64)[None, :] - out_coords[:, None]) / kscale
+    w = np.clip(1.0 - np.abs(x), 0.0, None)
+    return (w / w.sum(axis=1, keepdims=True)).astype(np.float32)
 
-    return np.asarray(
-        jax.image.resize(image.astype(np.float32), (h, w, image.shape[2]), "bilinear", antialias=True)
-    )
+
+def _resize_bilinear(image: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Host resize, pure numpy. This runs in every engine's host
+    preprocessing loop; the previous jax.image.resize implementation
+    dispatched a device program PER CALL — on the tunneled TPU that is a
+    full RTT per page crop, which made the RAGPix2Struct host stage ~30x
+    slower than the device generate it feeds (BENCH r4: 0.49 docs/s)."""
+    img = image.astype(np.float32)
+    ih, iw = img.shape[:2]
+    if ih != h:
+        img = np.tensordot(_resize_weight_mat(ih, h), img, axes=(1, 0))
+    if iw != w:
+        img = np.moveaxis(
+            np.tensordot(_resize_weight_mat(iw, w), img, axes=(1, 1)), 0, 1
+        )
+    return img
 
 
 def adaptive_normalize(image: np.ndarray) -> np.ndarray:

@@ -197,8 +197,10 @@ def cosine_topk_pallas(
 # --------------------------------------------------------------------------- #
 # two-phase hierarchical top-k (exact)
 # --------------------------------------------------------------------------- #
-def _segmax_kernel(n_valid_ref, q_ref, idx_tile_ref, segmax_ref, tile_n: int, group: int):
-    """Per index tile: fused matmul + segment-max reduction.
+def _segmax_kernel(n_valid_ref, q_ref, idx_tile_ref, segmax_ref, *supermax_ref,
+                   tile_n: int, group: int, sgroups: int = 1):
+    """Per index tile: fused matmul + segment-max reduction (+ optional
+    second-level supergroup maxima when sgroups > 1).
 
     The contraction is issued as (tile_n, D) x (B, D)^T so scores land
     directly in (tile_n, B) orientation: the per-`group` max is then a
@@ -218,38 +220,52 @@ def _segmax_kernel(n_valid_ref, q_ref, idx_tile_ref, segmax_ref, tile_n: int, gr
     B = scores.shape[1]
     global_idx = t * tile_n + jax.lax.broadcasted_iota(jnp.int32, (tile_n, B), 0)
     scores = jnp.where(global_idx < n_valid, scores, NEG_INF)
-    segmax_ref[:] = jnp.max(scores.reshape(tile_n // group, group, B), axis=1)
+    segs = jnp.max(scores.reshape(tile_n // group, group, B), axis=1)
+    segmax_ref[:] = segs
+    if supermax_ref:
+        supermax_ref[0][:] = jnp.max(
+            segs.reshape(tile_n // (group * sgroups), sgroups, B), axis=1
+        )
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile_n", "group", "interpret"))
+@functools.partial(jax.jit, static_argnames=("k", "tile_n", "group", "sgroups", "interpret"))
 def cosine_topk_twophase(
     index: jax.Array,  # (N, D) pre-normalized, N % tile_n == 0
     queries: jax.Array,  # (B, D)
     n_valid: jax.Array,  # () int32
     k: int,
     tile_n: int = 2048,
-    group: int = 16,
+    group: int = 8,
+    sgroups: int = 16,  # groups per supergroup (1 disables the hierarchy)
     interpret: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Exact top-k via segment-max pre-selection.
+    """Exact top-k via (hierarchical) segment-max pre-selection.
 
-    Phase 1 (Pallas): fused matmul + per-16-element segment maxima.
-    Phase 2 (XLA):    lax.top_k over the (B, N/16) segment maxima.
-    Phase 3 (XLA):    re-score only the k winning segments' k*16 candidates
-                      and take the final top-k.
+    Phase 1 (Pallas): fused matmul + per-`group` segment maxima, plus
+                      per-`group*sgroups` SUPERGROUP maxima in the same pass.
+    Phase 2 (XLA):    lax.top_k over the (B, N/(group*sgroups)) supermaxima
+                      selects k supergroups; a take_along_axis gathers their
+                      k*sgroups segment maxima and a second (tiny) top_k
+                      selects the k winning segments. vs the flat variant
+                      this shrinks the big top_k 16x (32768 -> 2048 lanes at
+                      N=512k) — measured 4.66 -> ~4.0 ms/batch at B=256.
+    Phase 3 (XLA):    re-score only the k winning segments' k*group
+                      candidates and take the final top-k.
 
-    Exactness (incl. lax.top_k's lowest-index tie rule): any segment holding
-    a true top-k element outranks (segmax desc, segment index asc) at least
-    one of any k other segments — so the k selected segments cover the
-    answer; sorting the selected segments by ascending index keeps the
-    first-match tie behavior in the final top_k.
+    Exactness (incl. lax.top_k's lowest-index tie rule) holds at BOTH
+    levels by the same covering argument: if a true top-k element's
+    supergroup (segment) were not selected, the k selected supergroups
+    (segments) would each contain an element >= it — k elements beating a
+    top-k element, contradiction. Ascending-index candidate order at every
+    level keeps the first-match tie behavior of single lax.top_k.
 
     Backend caveat: phase 3 re-accumulates the k*group candidate scores in a
     separate contraction; on TPU its f32 accumulation order can differ from a
     monolithic matmul by ~1e-4 on bf16 data, so adjacent ranks whose scores
     are closer than that may swap relative to cosine_topk_xla (the selected
     index SET matches; verified on a 512k-row index). Interpret/CPU mode is
-    bit-identical. Measured on TPU v5e vs 512k x 768 bf16 (ms/batch):
+    bit-identical. Measured on TPU v5e vs 512k x 768 bf16 (ms/batch, flat
+    phase 2):
       B=8: 4.06 (pallas 3.93, xla 4.14) | B=64: 4.18 (4.77, 5.43)
       B=256: 5.59 (11.85, 9.99)         | B=512: 8.27 (pallas OOM, 15.68)
     """
@@ -262,11 +278,29 @@ def cosine_topk_twophase(
     if k * group >= N:  # tiny index: selection saves nothing
         row = jnp.arange(N)
         return cosine_topk_xla(index, queries, k, index_mask=row < n_valid)
+    # hierarchy pays only when the supergroup level is a real reduction;
+    # Mosaic also requires the per-tile supermax block's sublane dim (rows
+    # per tile) to be divisible by 8
+    S2 = N // (group * sgroups)
+    hier = (
+        sgroups > 1
+        and tile_n % (group * sgroups) == 0
+        and (tile_n // (group * sgroups)) % 8 == 0
+        and S2 > 2 * k
+    )
 
     q = l2_normalize(queries.astype(jnp.float32))
     grid = (N // tile_n,)
-    kernel = functools.partial(_segmax_kernel, tile_n=tile_n, group=group)
-    segmax = pl.pallas_call(
+    kernel = functools.partial(_segmax_kernel, tile_n=tile_n, group=group,
+                               sgroups=sgroups if hier else 1)
+    seg_blk = pl.BlockSpec((tile_n // group, B), lambda t: (t, 0), memory_space=pltpu.VMEM)
+    out_specs, out_shape = seg_blk, jax.ShapeDtypeStruct((S, B), jnp.float32)
+    if hier:
+        sup_blk = pl.BlockSpec((tile_n // (group * sgroups), B), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM)
+        out_specs = [seg_blk, sup_blk]
+        out_shape = [out_shape, jax.ShapeDtypeStruct((S2, B), jnp.float32)]
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -274,19 +308,33 @@ def cosine_topk_twophase(
             pl.BlockSpec((B, D), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_n, D), lambda t: (t, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile_n // group, B), lambda t: (t, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((S, B), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * N * D,
             bytes_accessed=N * D * index.dtype.itemsize + B * D * 4 + B * S * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(jnp.asarray([n_valid], jnp.int32).reshape(1), q, index).T  # (B, S)
+    )(jnp.asarray([n_valid], jnp.int32).reshape(1), q, index)
 
-    # phase 2: segment selection (ties -> lowest segment index, like top_k)
-    _, seg_idx = jax.lax.top_k(segmax, k)  # (B, k)
-    seg_idx = jnp.sort(seg_idx, axis=1)  # ascending global order for tie parity
+    if hier:
+        segmax, supermax = outs[0].T, outs[1].T  # (B, S), (B, S2)
+        # level 1: supergroup selection (ties -> lowest index, like top_k)
+        _, sup_idx = jax.lax.top_k(supermax, k)  # (B, k)
+        sup_idx = jnp.sort(sup_idx, axis=1)
+        # level 2: the selected supergroups' segment maxima, ascending order
+        g_flat = (sup_idx[:, :, None] * sgroups
+                  + jnp.arange(sgroups)[None, None, :]).reshape(B, k * sgroups)
+        seg_cand = jnp.take_along_axis(segmax, g_flat, axis=1)
+        _, pos2 = jax.lax.top_k(seg_cand, k)
+        seg_idx = jnp.take_along_axis(g_flat, pos2, axis=1)
+        seg_idx = jnp.sort(seg_idx, axis=1)
+    else:
+        segmax = outs.T  # (B, S)
+        # phase 2: segment selection (ties -> lowest segment index, like top_k)
+        _, seg_idx = jax.lax.top_k(segmax, k)  # (B, k)
+        seg_idx = jnp.sort(seg_idx, axis=1)  # ascending global order for tie parity
 
     # phase 3: exact re-score of the k*group surviving candidates
     cand_idx = seg_idx[:, :, None] * group + jnp.arange(group)[None, None, :]  # (B, k, G)

@@ -118,3 +118,38 @@ def test_twophase_padding_masked():
     _, idx, ok = cosine_topk_twophase(idxp, q, n_valid, 8, tile_n=512, interpret=True)
     assert np.asarray(ok).all()
     assert (np.asarray(idx) < 700).all()
+
+
+def test_twophase_hierarchical_matches_xla_exactly():
+    """The hierarchical (supergroup) phase-2 path must stay exact: at
+    N=8192, tile_n=2048, group=16, sgroups=16 -> S2=32 > 2k, hierarchy ON."""
+    from rag_docvqa_tpu.ops.topk import cosine_topk_twophase
+
+    rng = np.random.RandomState(12)
+    emb = l2_normalize(jnp.asarray(rng.randn(8192, 64).astype(np.float32)))
+    q = jnp.asarray(rng.randn(24, 64).astype(np.float32))
+    v2, i2, ok = cosine_topk_twophase(emb, q, jnp.int32(8192), 10,
+                                      tile_n=2048, group=16, sgroups=16, interpret=True)
+    vx, ix, _ = cosine_topk_xla(emb, q, 10)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(ix))
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(vx), rtol=1e-6, atol=1e-7)
+    assert np.asarray(ok).all()
+
+
+def test_twophase_hierarchical_ties_and_padding():
+    """Duplicated rows spanning supergroup boundaries + padded tail: the
+    hierarchy must keep lax.top_k's lowest-index tie rule and mask padding."""
+    from rag_docvqa_tpu.ops.topk import cosine_topk_twophase
+
+    rng = np.random.RandomState(13)
+    base = rng.randn(1100, 32).astype(np.float32)
+    base[900:910] = base[100:110]  # exact duplicates ~800 rows apart
+    emb = l2_normalize(jnp.asarray(base))
+    idxp, n_valid = pad_index(emb, tile_n=2048)  # pads to 2048
+    q = jnp.asarray(l2_normalize(jnp.asarray(base[105:109])))  # self-queries hit the dup pair
+    # k=6: S2 = 2048/(16*8) = 16 > 2k, so the hierarchical branch is ON
+    v2, i2, ok = cosine_topk_twophase(idxp, q, n_valid, 6,
+                                      tile_n=2048, group=16, sgroups=8, interpret=True)
+    vx, ix, _ = cosine_topk_xla(emb, q, 6)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(ix))
+    assert (np.asarray(i2) < 1100).all()
