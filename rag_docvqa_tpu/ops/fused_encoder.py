@@ -365,6 +365,7 @@ def _t5_layer_kernel(
     gated: bool,
     ffn_chunk: int = 0,  # >0: FFN in d_ff column chunks (f32 accumulator)
     save_x1: bool = False,  # also write the attention-residual sum (train bwd)
+    attn_stream: int = 0,  # >0: online-softmax over key chunks (bias-free only)
 ):
     if gated:
         wi0_ref, wi1_ref, wof_ref, *out = ffn_and_out
@@ -392,22 +393,62 @@ def _t5_layer_kernel(
         preferred_element_type=jnp.float32,
     ).astype(cdt)
 
-    valid = jnp.broadcast_to(mask_ref[...][:, :, None, :], (rows, 1, T, T)).reshape(rows, T, T)
-    for hh in range(H):
-        q = qkv_ref[:, pl.ds(hh * dk, dk)].reshape(rows, T, dk)
-        k = qkv_ref[:, pl.ds(inner + hh * dk, dk)].reshape(rows, T, dk)
-        v = qkv_ref[:, pl.ds(2 * inner + hh * dk, dk)].reshape(rows, T, dk)
-        s = jax.lax.dot_general(q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                                preferred_element_type=jnp.float32)
-        if bias_ref is not None:
-            s = s + jnp.broadcast_to(bias_ref[hh][None].astype(jnp.float32), (rows, T, T))
-        s = jnp.where(valid, s, -1e9)
-        mx = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - mx)
-        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(cdt)
-        o = jax.lax.dot_general(p, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                                preferred_element_type=jnp.float32)
-        attn_ref[:, pl.ds(hh * dk, dk)] = o.reshape(R, dk).astype(cdt)
+    if attn_stream:
+        # online-softmax (flash-style) score stream over key chunks: never
+        # materializes the (T, T) scores, which are THE VMEM term that locks
+        # the whole-layer kernel out of the 2048-patch Pix2Struct page
+        # budget. Bias-free only: a resident (H, T, T) rel-pos bias would
+        # blow the budget the stream just reclaimed.
+        assert bias_ref is None, "attn_stream requires the bias-free layer"
+        kmask = mask_ref[...].reshape(rows, 1, T)  # (rows, 1, T)
+        for hh in range(H):
+            q = qkv_ref[:, pl.ds(hh * dk, dk)].reshape(rows, T, dk)
+            k = qkv_ref[:, pl.ds(inner + hh * dk, dk)].reshape(rows, T, dk)
+            v = qkv_ref[:, pl.ds(2 * inner + hh * dk, dk)].reshape(rows, T, dk)
+            m = jnp.full((rows, T, 1), -1e30, jnp.float32)
+            l = jnp.zeros((rows, T, 1), jnp.float32)
+            acc = jnp.zeros((rows, T, dk), jnp.float32)
+            for c0 in range(0, T, attn_stream):
+                kc = min(attn_stream, T - c0)
+                k_c = jax.lax.slice(k, (0, c0, 0), (rows, c0 + kc, dk))
+                v_c = jax.lax.slice(v, (0, c0, 0), (rows, c0 + kc, dk))
+                s = jax.lax.dot_general(
+                    q, k_c, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)  # (rows, T, kc)
+                valid_c = jnp.broadcast_to(
+                    jax.lax.slice(kmask, (0, 0, c0), (rows, 1, c0 + kc)),
+                    (rows, T, kc))
+                s = jnp.where(valid_c, s, -1e9)
+                m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+                alpha = jnp.exp(m - m_new)
+                p = jnp.exp(s - m_new)
+                l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+                # p casts to the compute dtype before the p@v dot, like the
+                # materialized path (and the flash kernel) do
+                acc = acc * alpha + jax.lax.dot_general(
+                    p.astype(cdt), v_c,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                m = m_new
+            o = acc / jnp.maximum(l, 1e-30)
+            attn_ref[:, pl.ds(hh * dk, dk)] = o.reshape(R, dk).astype(cdt)
+    else:
+        valid = jnp.broadcast_to(mask_ref[...][:, :, None, :], (rows, 1, T, T)).reshape(rows, T, T)
+        for hh in range(H):
+            q = qkv_ref[:, pl.ds(hh * dk, dk)].reshape(rows, T, dk)
+            k = qkv_ref[:, pl.ds(inner + hh * dk, dk)].reshape(rows, T, dk)
+            v = qkv_ref[:, pl.ds(2 * inner + hh * dk, dk)].reshape(rows, T, dk)
+            s = jax.lax.dot_general(q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                                    preferred_element_type=jnp.float32)
+            if bias_ref is not None:
+                s = s + jnp.broadcast_to(bias_ref[hh][None].astype(jnp.float32), (rows, T, T))
+            s = jnp.where(valid, s, -1e9)
+            mx = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - mx)
+            p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(cdt)
+            o = jax.lax.dot_general(p, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                                    preferred_element_type=jnp.float32)
+            attn_ref[:, pl.ds(hh * dk, dk)] = o.reshape(R, dk).astype(cdt)
 
     ao = jax.lax.dot_general(attn_ref[...], wo_ref[...],
                              dimension_numbers=(((1,), (0,)), ((), ())),
@@ -458,22 +499,34 @@ def _t5_layer_kernel(
 
 def _pick_rows_t5(B, T, d, inner, d_ff, H, gated, itemsize: int = 2,
                   budget: int = 52 * 2**20, has_bias: bool = True):
-    """Returns (rows, ffn_chunk); (0, 0) when nothing fits. The unchunked
-    FFN (ffn_chunk=0) is preferred at any row count — chunking only buys
-    entry for shapes whose (R, d_ff) f32 FFN temporaries dominate the
-    budget (T >= ~1024), at the cost of per-chunk dot dispatch."""
+    """Returns (rows, ffn_chunk, attn_stream); (0, 0, 0) when nothing fits.
+    The unchunked FFN (ffn_chunk=0) is preferred at any row count — chunking
+    only buys entry for shapes whose (R, d_ff) f32 FFN temporaries dominate
+    the budget (T >= ~1024), at the cost of per-chunk dot dispatch. The
+    materialized-scores attention (attn_stream=0) is preferred over the
+    online-softmax stream; streaming (bias-free layers only) buys entry for
+    shapes whose (T, T) f32 scores lock the kernel out (the 2048-patch
+    Pix2Struct page budget)."""
     n_wi = 2 if gated else 1
+    dk = inner // H
 
-    def est(rows, C):
+    def est(rows, C, KC):
         R = rows * T
         Tl = max(T, 128)
         # chunked: (n_wi+1) (R, C) f32 temporaries + the fo32 accumulator
         # AND each chunk's (R, d) f32 partial product live at the same time
         ffn_tmp = ((n_wi + 1) * R * C * 4 + 2 * R * d * 4) if C else (2 + n_wi) * R * d_ff * 4
+        if KC:
+            # streamed: s + p (rows, T, KC) f32, acc (rows, T, dk) f32,
+            # m/l/alpha small, plus per-head k/v chunk values
+            attn_tmp = 2 * rows * T * KC * 4 + rows * T * dk * 4 \
+                + 2 * rows * T * dk * itemsize + 3 * rows * T * 4
+        else:
+            attn_tmp = 3 * rows * T * Tl * 4
         return (
             2 * 2 * rows * T * d * itemsize
             + R * 3 * inner * itemsize + R * inner * itemsize
-            + 3 * rows * T * Tl * 4
+            + attn_tmp
             + ffn_tmp
             + 2 * R * d * 4
             + (3 * d * inner + inner * d + (n_wi + 1) * d * d_ff) * itemsize
@@ -482,15 +535,19 @@ def _pick_rows_t5(B, T, d, inner, d_ff, H, gated, itemsize: int = 2,
             + (H * T * Tl * 2 if has_bias else 0)
         )
 
-    for C in (0, 512, 256):
-        if C and (C >= d_ff):
+    streams = (0, 512) if not has_bias else (0,)
+    for KC in streams:
+        if KC and KC >= T:
             continue
-        for rows in (8, 4, 2, 1):
-            if B % rows:
+        for C in (0, 512, 256):
+            if C and (C >= d_ff):
                 continue
-            if est(rows, C) <= budget:
-                return rows, C
-    return 0, 0
+            for rows in (8, 4, 2, 1):
+                if B % rows:
+                    continue
+                if est(rows, C, KC) <= budget:
+                    return rows, C, KC
+    return 0, 0, 0
 
 
 def _t5_layer_kernel_nobias(x_ref, mask_ref, wqkv_ref, wo_ref, ln0_ref, ln1_ref,
@@ -499,14 +556,204 @@ def _t5_layer_kernel_nobias(x_ref, mask_ref, wqkv_ref, wo_ref, ln0_ref, ln1_ref,
                      *ffn_and_out, **kw)
 
 
+# --------------------------------------------------------------------------- #
+# query-tiled whole-layer kernel (bias-free): the 2048-patch page budget
+# --------------------------------------------------------------------------- #
+def _t5_layer_kernel_qtiled(
+    x_ref,      # (1, T, d) one batch row, resident across its tq steps
+    mask_ref,   # (1, 1, T)
+    wqkv_ref, wo_ref, ln0_ref, ln1_ref,
+    *ffn_and_out,
+    T: int, TQ: int, d: int, H: int, dk: int,
+    eps: float, gated: bool, ffn_chunk: int, kc: int,
+):
+    """Whole layer with the QUERY dimension tiled over the grid: at T=2048
+    the batch-row kernel's per-row working set (f32 temporaries scale with
+    R = T) exceeds VMEM even with streamed attention, so this variant runs
+    grid (B, T/TQ) — QKV for the full row computes ONCE (tq == 0) into a
+    resident scratch, each step does online-softmax attention for its TQ
+    queries against all T keys from that scratch, then LN1+FFN+residual on
+    the block. Everything is 2-D (Mosaic-friendly). Inference-only,
+    bias-free (a resident (H, T, T) bias would defeat the point)."""
+    if gated:
+        wi0_ref, wi1_ref, wof_ref, o_ref, qkv_ref, attn_ref = ffn_and_out
+    else:
+        wi_ref, wof_ref, o_ref, qkv_ref, attn_ref = ffn_and_out
+    tq = pl.program_id(1)
+    inner = H * dk
+    cdt = x_ref.dtype
+
+    def _rms(y, ln_ref):
+        y32 = y.astype(jnp.float32)
+        var = jnp.mean(jnp.square(y32), axis=-1, keepdims=True)
+        n = y32 * jax.lax.rsqrt(var + eps)
+        return (n * ln_ref[...].astype(jnp.float32)).astype(cdt)
+
+    @pl.when(tq == 0)
+    def _fill_qkv():
+        h = _rms(x_ref[...].reshape(T, d), ln0_ref)
+        qkv_ref[...] = jax.lax.dot_general(
+            h, wqkv_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(cdt)
+
+    kmask = mask_ref[...].reshape(1, T)
+    q0 = tq * TQ
+    for hh in range(H):
+        q = qkv_ref[pl.ds(q0, TQ), pl.ds(hh * dk, dk)]  # (TQ, dk)
+        m = jnp.full((TQ, 1), -1e30, jnp.float32)
+        l = jnp.zeros((TQ, 1), jnp.float32)
+        acc = jnp.zeros((TQ, dk), jnp.float32)
+        for c0 in range(0, T, kc):
+            cur = min(kc, T - c0)
+            k_c = qkv_ref[pl.ds(c0, cur), pl.ds(inner + hh * dk, dk)]
+            v_c = qkv_ref[pl.ds(c0, cur), pl.ds(2 * inner + hh * dk, dk)]
+            s = jax.lax.dot_general(
+                q, k_c, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (TQ, cur)
+            valid_c = jnp.broadcast_to(
+                jax.lax.slice(kmask, (0, c0), (1, c0 + cur)), (TQ, cur))
+            s = jnp.where(valid_c, s, -1e9)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new)
+            l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * alpha + jax.lax.dot_general(
+                p.astype(cdt), v_c, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m = m_new
+        attn_ref[:, pl.ds(hh * dk, dk)] = (acc / jnp.maximum(l, 1e-30)).astype(cdt)
+
+    ao = jax.lax.dot_general(attn_ref[...], wo_ref[...],
+                             dimension_numbers=(((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32).astype(cdt)
+    x1 = x_ref[0, pl.ds(q0, TQ), :] + ao  # (TQ, d)
+    h2 = _rms(x1, ln1_ref)
+
+    def _gelu_tanh_mul(g, u):
+        g32 = g.astype(jnp.float32)
+        inner_t = (2.0 / jnp.pi) ** 0.5 * (g32 + 0.044715 * g32 * g32 * g32)
+        return (0.5 * g32 * (1.0 + jnp.tanh(inner_t))).astype(cdt) * u
+
+    dot = lambda a, b: jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    if ffn_chunk:
+        d_ff = (wi0_ref if gated else wi_ref).shape[1]
+        fo32 = jnp.zeros((TQ, d), jnp.float32)
+        for c0 in range(0, d_ff, ffn_chunk):
+            sl = pl.ds(c0, min(ffn_chunk, d_ff - c0))
+            if gated:
+                g = dot(h2, wi0_ref[:, sl]).astype(cdt)
+                u = dot(h2, wi1_ref[:, sl]).astype(cdt)
+                f_c = _gelu_tanh_mul(g, u)
+            else:
+                f_c = jnp.maximum(dot(h2, wi_ref[:, sl]), 0.0).astype(cdt)
+            fo32 = fo32 + dot(f_c, wof_ref[sl, :])
+        fo = fo32.astype(cdt)
+    else:
+        if gated:
+            f = _gelu_tanh_mul(dot(h2, wi0_ref[...]).astype(cdt),
+                               dot(h2, wi1_ref[...]).astype(cdt))
+        else:
+            f = jnp.maximum(dot(h2, wi_ref[...]), 0.0).astype(cdt)
+        fo = dot(f, wof_ref[...]).astype(cdt)
+    o_ref[...] = (x1 + fo).reshape(1, TQ, d)
+
+
+def _t5_layer_call_qtiled(x, maskB, wqkv, wo, ln0, ln1, *ffn_ws,
+                          num_heads, eps, gated, interpret, TQ, kc, ffn_chunk):
+    B, T, d = x.shape
+    inner = wo.shape[0]
+    dk = inner // num_heads
+    full = lambda *shape: pl.BlockSpec(shape, lambda b, t: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    in_specs = [
+        # the x row and mask keep the same block index across a row's tq
+        # steps, so Pallas fetches them once per batch row
+        pl.BlockSpec((1, T, d), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, T), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+        full(d, 3 * inner), full(inner, d), full(1, d), full(1, d),
+    ]
+    if gated:
+        in_specs += [full(d, ffn_ws[0].shape[1]), full(d, ffn_ws[0].shape[1]),
+                     full(ffn_ws[0].shape[1], d)]
+    else:
+        in_specs += [full(d, ffn_ws[0].shape[1]), full(ffn_ws[0].shape[1], d)]
+    return pl.pallas_call(
+        functools.partial(_t5_layer_kernel_qtiled, T=T, TQ=TQ, d=d,
+                          H=num_heads, dk=dk, eps=eps, gated=gated,
+                          ffn_chunk=ffn_chunk, kc=kc),
+        grid=(B, T // TQ),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, TQ, d), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T, d), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((T, 3 * inner), x.dtype),   # per-row QKV (filled at tq=0)
+            pltpu.VMEM((TQ, inner), x.dtype),      # attention output block
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * T * (4 * d * inner + (3 if gated else 2) * d * ffn_ws[0].shape[1])
+            + 4 * B * num_heads * T * T * dk,
+            bytes_accessed=2 * B * T * d * x.dtype.itemsize,
+            transcendentals=B * T * (num_heads * T + ffn_ws[0].shape[1]),
+        ),
+        interpret=interpret,
+    )(x, maskB, wqkv, wo, ln0, ln1, *ffn_ws)
+
+
+def _pick_qtile_t5(B, T, d, inner, d_ff, H, gated, itemsize: int = 2,
+                   budget: int = 52 * 2**20):
+    """Entry sizes for the query-tiled kernel. Returns (TQ, kc, ffn_chunk)
+    or (0, 0, 0)."""
+    n_wi = 2 if gated else 1
+    dk = inner // H
+
+    def est(TQ, kc, C):
+        ffn_tmp = ((n_wi + 1) * TQ * C * 4 + 2 * TQ * d * 4) if C else (2 + n_wi) * TQ * d_ff * 4
+        return (
+            T * d * itemsize                       # resident x row
+            + TQ * d * itemsize                    # out block
+            + T * 3 * inner * itemsize             # qkv scratch
+            + TQ * inner * itemsize                # attn scratch
+            + 2 * TQ * kc * 4 + TQ * dk * 4        # s/p + acc f32
+            + ffn_tmp
+            + 2 * TQ * d * 4                       # h2/x1 f32 temps
+            + 2 * T * d * 4                        # tq==0 QKV fill: h + dot f32
+            + (3 * d * inner + inner * d + (n_wi + 1) * d * d_ff) * itemsize
+        )
+
+    for TQ in (512, 256, 128):
+        if T % TQ:
+            continue
+        for C in (0, 512, 256):
+            if C and C >= d_ff:
+                continue
+            if est(TQ, 512, C) <= budget:
+                return TQ, 512, C
+    return 0, 0, 0
+
+
 def _t5_layer_call(x, maskB, bias, wqkv, wo, ln0, ln1, *ffn_ws,
                    num_heads, eps, gated, interpret, save_x1=False):
     B, T, d = x.shape
     inner = wo.shape[0]
     dk = inner // num_heads
     d_ff = ffn_ws[0].shape[1]
-    rows, ffn_chunk = _pick_rows_t5(B, T, d, inner, d_ff, num_heads, gated,
-                                    x.dtype.itemsize, has_bias=bias is not None)
+    rows, ffn_chunk, attn_stream = _pick_rows_t5(
+        B, T, d, inner, d_ff, num_heads, gated,
+        x.dtype.itemsize, has_bias=bias is not None)
+    if not rows and bias is None and not save_x1:
+        TQ, kc, qc = _pick_qtile_t5(B, T, d, inner, d_ff, num_heads, gated,
+                                    x.dtype.itemsize)
+        if TQ:
+            return _t5_layer_call_qtiled(x, maskB, wqkv, wo, ln0, ln1, *ffn_ws,
+                                         num_heads=num_heads, eps=eps,
+                                         gated=gated, interpret=interpret,
+                                         TQ=TQ, kc=kc, ffn_chunk=qc)
     if not rows:
         raise ValueError(
             f"fused t5 layer does not fit VMEM at (B={B}, T={T}, d={d}, "
@@ -532,7 +779,7 @@ def _t5_layer_call(x, maskB, bias, wqkv, wo, ln0, ln1, *ffn_ws,
     return pl.pallas_call(
         functools.partial(kernel, rows=rows, T=T, d=d, H=num_heads,
                           dk=dk, eps=eps, gated=gated, ffn_chunk=ffn_chunk,
-                          save_x1=save_x1),
+                          save_x1=save_x1, attn_stream=attn_stream),
         grid=(B // rows,),
         in_specs=in_specs,
         out_specs=[out_blk, out_blk] if save_x1 else out_blk,
@@ -684,8 +931,8 @@ def fused_p2s_encoder_wanted(v_cfg, B: int, T: int, itemsize: int = 2) -> bool:
     rel-pos bias, so the bias-free kernel applies. Eligible on TPU in a
     single-device auto context (the no-bias variant has no GSPMD wrapper —
     sharded eval keeps flash) when the working set fits VMEM at the padded
-    patch length; the 2048-patch full-page budget does NOT fit and falls
-    back to flash automatically."""
+    patch length — via the batch-row kernel at chunk budgets, or the
+    query-tiled kernel at the 2048-patch full-page budget."""
     if jax.default_backend() != "tpu":
         return False
     from rag_docvqa_tpu.ops.flash_attention import _auto_partition_wanted
@@ -694,8 +941,13 @@ def fused_p2s_encoder_wanted(v_cfg, B: int, T: int, itemsize: int = 2) -> bool:
         return False
     d, H = v_cfg.hidden_size, v_cfg.num_heads
     Tp = -(-T // 8) * 8
-    return _pick_rows_t5(B, Tp, d, d, v_cfg.d_ff, H, True, itemsize,
-                         has_bias=False)[0] > 0
+    return (
+        _pick_rows_t5(B, Tp, d, d, v_cfg.d_ff, H, True, itemsize,
+                      has_bias=False)[0] > 0
+        # 2048-patch page budget: the query-tiled kernel takes over where
+        # the batch-row kernel's per-row working set exceeds VMEM
+        or _pick_qtile_t5(B, Tp, d, d, v_cfg.d_ff, H, True, itemsize)[0] > 0
+    )
 
 
 def fused_encoder_wanted(cfg, B: int, T: int, itemsize: int = 2) -> bool:

@@ -325,7 +325,7 @@ def test_fused_p2s_vision_ffn_chunked_matches_xla(monkeypatch):
 
     ref = p2s.vision_encode(params, cfg, patches, mask, fused=False)
     monkeypatch.setattr(fe, "fused_p2s_encoder_wanted", lambda *a, **k: True)
-    monkeypatch.setattr(fe, "_pick_rows_t5", lambda *a, **k: (4, 32))
+    monkeypatch.setattr(fe, "_pick_rows_t5", lambda *a, **k: (4, 32, 0))
     out = p2s.vision_encode(params, cfg, patches, mask, fused=True)
     np.testing.assert_allclose(
         np.asarray(out)[np.asarray(mask, bool)],
@@ -367,4 +367,110 @@ def test_fused_t5_biasful_ffn_chunked_natural_selection(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(got)[np.asarray(mask)], np.asarray(ref)[np.asarray(mask)],
         rtol=2e-3, atol=2e-4,
+    )
+
+
+def test_fused_p2s_attn_stream_matches_xla(monkeypatch):
+    """attn_stream>0 (the online-softmax entry for the 2048-patch page
+    budget): streamed key-chunk attention == materialized scores, incl.
+    ragged masks and a chunk boundary cutting through the valid range."""
+    from rag_docvqa_tpu.models import pix2struct as p2s
+    from rag_docvqa_tpu.ops import fused_encoder as fe
+
+    vis = p2s.P2SVisionConfig(hidden_size=64, num_layers=2, num_heads=4,
+                              d_ff=128, patch_dim=48, max_rows=16, max_cols=16)
+    cfg = p2s.Pix2StructConfig(vision=vis)
+    params = p2s.init_p2s_params(jax.random.PRNGKey(7), cfg)
+    B, N = 4, 32
+    vals = jax.random.normal(jax.random.PRNGKey(8), (B, N, 48), jnp.float32)
+    rows = jnp.tile(jnp.arange(N)[None, :, None] // 8, (B, 1, 1)).astype(jnp.float32)
+    cols = jnp.tile(jnp.arange(N)[None, :, None] % 8, (B, 1, 1)).astype(jnp.float32)
+    patches = jnp.concatenate([rows, cols, vals], axis=-1)
+    # valid lengths straddle the attn_stream=8 chunk boundaries
+    mask = (jnp.arange(N)[None, :] < jnp.asarray([32, 21, 3, 9])[:, None]).astype(jnp.float32)
+
+    ref = p2s.vision_encode(params, cfg, patches, mask, fused=False)
+    monkeypatch.setattr(fe, "fused_p2s_encoder_wanted", lambda *a, **k: True)
+    monkeypatch.setattr(fe, "_pick_rows_t5", lambda *a, **k: (2, 0, 8))
+    out = p2s.vision_encode(params, cfg, patches, mask, fused=True)
+    np.testing.assert_allclose(
+        np.asarray(out)[np.asarray(mask, bool)],
+        np.asarray(ref)[np.asarray(mask, bool)],
+        rtol=3e-5, atol=3e-5,
+    )
+
+
+def test_qtile_picker_covers_page_budget():
+    """At pix2struct-base dims and the 2048-patch page budget the batch-row
+    kernel cannot fit (per-row f32 temporaries scale with T), but the
+    query-tiled kernel must (round 3: no entry at all -> flash fallback);
+    bias-ful layers must never take the streaming entry (the resident bias
+    blows the budget streaming reclaims)."""
+    from rag_docvqa_tpu.ops import fused_encoder as fe
+
+    assert fe._pick_rows_t5(16, 2048, 768, 768, 2048, 12, True,
+                            itemsize=2, has_bias=False)[0] == 0
+    TQ, kc, C = fe._pick_qtile_t5(16, 2048, 768, 768, 2048, 12, True, itemsize=2)
+    assert TQ > 0 and kc > 0, (TQ, kc, C)
+    rows_b, _, KC_b = fe._pick_rows_t5(16, 2048, 768, 768, 3072, 12, False,
+                                       itemsize=2, has_bias=True)
+    assert KC_b == 0  # bias-ful: streaming entry not offered
+
+
+def test_fused_p2s_qtiled_matches_xla(monkeypatch):
+    """The query-tiled whole-layer kernel == the XLA path at a shape forced
+    through it (batch-row picker disabled), incl. ragged masks whose valid
+    lengths straddle both the TQ query blocks and the kc key chunks."""
+    from rag_docvqa_tpu.models import pix2struct as p2s
+    from rag_docvqa_tpu.ops import fused_encoder as fe
+
+    vis = p2s.P2SVisionConfig(hidden_size=64, num_layers=2, num_heads=4,
+                              d_ff=128, patch_dim=48, max_rows=16, max_cols=16)
+    cfg = p2s.Pix2StructConfig(vision=vis)
+    params = p2s.init_p2s_params(jax.random.PRNGKey(9), cfg)
+    B, N = 3, 32
+    vals = jax.random.normal(jax.random.PRNGKey(10), (B, N, 48), jnp.float32)
+    rows = jnp.tile(jnp.arange(N)[None, :, None] // 8, (B, 1, 1)).astype(jnp.float32)
+    cols = jnp.tile(jnp.arange(N)[None, :, None] % 8, (B, 1, 1)).astype(jnp.float32)
+    patches = jnp.concatenate([rows, cols, vals], axis=-1)
+    mask = (jnp.arange(N)[None, :] < jnp.asarray([32, 19, 5])[:, None]).astype(jnp.float32)
+
+    ref = p2s.vision_encode(params, cfg, patches, mask, fused=False)
+    monkeypatch.setattr(fe, "fused_p2s_encoder_wanted", lambda *a, **k: True)
+    monkeypatch.setattr(fe, "_pick_rows_t5", lambda *a, **k: (0, 0, 0))
+    monkeypatch.setattr(fe, "_pick_qtile_t5", lambda *a, **k: (8, 8, 0))
+    out = p2s.vision_encode(params, cfg, patches, mask, fused=True)
+    np.testing.assert_allclose(
+        np.asarray(out)[np.asarray(mask, bool)],
+        np.asarray(ref)[np.asarray(mask, bool)],
+        rtol=3e-5, atol=3e-5,
+    )
+
+
+def test_fused_p2s_qtiled_ffn_chunked(monkeypatch):
+    """Query-tiled + chunked FFN (the combination the 2048 budget uses at
+    big d_ff) stays exact."""
+    from rag_docvqa_tpu.models import pix2struct as p2s
+    from rag_docvqa_tpu.ops import fused_encoder as fe
+
+    vis = p2s.P2SVisionConfig(hidden_size=64, num_layers=1, num_heads=2,
+                              d_ff=160, patch_dim=48, max_rows=16, max_cols=16)
+    cfg = p2s.Pix2StructConfig(vision=vis)
+    params = p2s.init_p2s_params(jax.random.PRNGKey(11), cfg)
+    B, N = 2, 16
+    vals = jax.random.normal(jax.random.PRNGKey(12), (B, N, 48), jnp.float32)
+    r_ = jnp.tile(jnp.arange(N)[None, :, None] // 4, (B, 1, 1)).astype(jnp.float32)
+    c_ = jnp.tile(jnp.arange(N)[None, :, None] % 4, (B, 1, 1)).astype(jnp.float32)
+    patches = jnp.concatenate([r_, c_, vals], axis=-1)
+    mask = (jnp.arange(N)[None, :] < jnp.asarray([16, 11])[:, None]).astype(jnp.float32)
+
+    ref = p2s.vision_encode(params, cfg, patches, mask, fused=False)
+    monkeypatch.setattr(fe, "fused_p2s_encoder_wanted", lambda *a, **k: True)
+    monkeypatch.setattr(fe, "_pick_rows_t5", lambda *a, **k: (0, 0, 0))
+    monkeypatch.setattr(fe, "_pick_qtile_t5", lambda *a, **k: (8, 8, 64))
+    out = p2s.vision_encode(params, cfg, patches, mask, fused=True)
+    np.testing.assert_allclose(
+        np.asarray(out)[np.asarray(mask, bool)],
+        np.asarray(ref)[np.asarray(mask, bool)],
+        rtol=3e-5, atol=3e-5,
     )
