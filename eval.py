@@ -30,6 +30,10 @@ def main(argv=None):
                         help="shard eval batches over all devices (mesh 'data' axis)")
     parser.add_argument("--platform", choices=("default", "cpu", "tpu"), default="default",
                         help="force a JAX platform (cpu for smoke runs; the host may pin a TPU)")
+    parser.add_argument("--ingest-workers", type=int, default=0,
+                        help="shard host ingest over N worker processes "
+                             "(data/ingest_mp.py; the reference's DataLoader "
+                             "num_workers role). 0 = in-process ingest")
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
 
@@ -80,7 +84,13 @@ def main(argv=None):
         from rag_docvqa_tpu.engine import RAGConfig as _RC
 
         rag_cfg = _RC() if is_hivt5 else build_rag_config(config)
-        ingestor = DocVQAIngestor(tokenizer, build_chunk_spec(config), build_caps(config))
+        if args.ingest_workers > 0:
+            from rag_docvqa_tpu.data.ingest_mp import MPIngestor
+
+            ingestor = MPIngestor(tokenizer, build_chunk_spec(config), build_caps(config),
+                                  num_workers=args.ingest_workers)
+        else:
+            ingestor = DocVQAIngestor(tokenizer, build_chunk_spec(config), build_caps(config))
         docs = build_docs(config, args.split)
         # long-doc datasets: size caps to the data so no page is dropped
         # (default on for MMLongBenchDoc; the reference retrieves over all
@@ -143,6 +153,8 @@ def main(argv=None):
         summary["wall_time"] = round(time.time() - t0, 2)
         print(json.dumps(summary))
         results.append(summary)
+        if hasattr(ingestor, "close"):  # MPIngestor: shut the worker pool down
+            ingestor.close()
     return results
 
 
