@@ -830,8 +830,12 @@ def fused_t5_layer_parts(x, key_mask, bias, l: Dict[str, jax.Array], *,
 
     if save_x1:
         # train-path forward (fused_encoder_bwd): also returns the attention-
-        # residual sum. No GSPMD wrapper — fused_t5_train_wanted gates this
-        # off under auto-partitioning.
+        # residual sum. Batch-partitioned under GSPMD (data-parallel train
+        # steps); bias/weights replicate — tensor-parallel meshes should
+        # keep flash (fused_t5_train_wanted's working-set gate is per-shard).
+        if _auto_partition_wanted():
+            assert bias is not None, "train path is bias-ful (T5 rel-pos)"
+            return _make_t5_train_fwd_cp(num_heads, eps, gated, interpret)(*args)
         return _t5_layer_call(*args, num_heads=num_heads, eps=eps, gated=gated,
                               interpret=interpret, save_x1=True)
     if _auto_partition_wanted():
@@ -902,6 +906,44 @@ def _make_t5_layer_cp(num_heads, eps, gated, interpret):
 
         def lower(*args):
             return _t5_layer_call(*args, **kw)
+
+        return mesh, lower, out_sh, arg_sh
+
+    fn.def_partition(infer_sharding_from_operands=infer, partition=part,
+                     sharding_rule=rule)
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _make_t5_train_fwd_cp(num_heads, eps, gated, interpret):
+    """GSPMD batch partitioning for the TRAIN forward (save_x1=True): same
+    shape as _make_t5_layer_cp with a second batch-sharded output (the
+    attention-residual sum the handwritten backward consumes)."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_w = 7 if gated else 6
+    kw = dict(num_heads=num_heads, eps=eps, gated=gated, interpret=interpret,
+              save_x1=True)
+    fn = custom_partitioning(lambda *args: tuple(_t5_layer_call(*args, **kw)))
+    w_rule = ", ".join(f"c{i} d{i}" for i in range(n_w))
+    rule = f"b t d, b u t, h t2 t3, {w_rule} -> b t d, b t d"
+
+    def _shardings(mesh, arg_infos):
+        b = _batch_axis_of(mesh, arg_infos[0])
+        xs = NamedSharding(mesh, P(b, None, None))
+        rep3 = NamedSharding(mesh, P(None, None, None))
+        rep2 = NamedSharding(mesh, P(None, None))
+        return (xs, xs, rep3) + (rep2,) * n_w, (xs, xs)
+
+    def infer(mesh, arg_infos, result_infos):
+        return _shardings(mesh, arg_infos)[1]
+
+    def part(mesh, arg_infos, result_infos):
+        arg_sh, out_sh = _shardings(mesh, arg_infos)
+
+        def lower(*args):
+            return tuple(_t5_layer_call(*args, **kw))
 
         return mesh, lower, out_sh, arg_sh
 

@@ -180,6 +180,18 @@ def t5_ffn_bwd(x1, g, ln1, ffn_ws, *, eps: float, gated: bool,
     dx1_total includes the residual path (out = x1 + FFN(LN(x1)))."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    from rag_docvqa_tpu.ops.flash_attention import _auto_partition_wanted
+
+    if _auto_partition_wanted():
+        outs = _make_ffn_bwd_cp(eps, gated, interpret)(x1, g, ln1, *ffn_ws)
+    else:
+        outs = _t5_ffn_bwd_impl(x1, g, ln1, *ffn_ws, eps=eps, gated=gated,
+                                interpret=interpret)
+    return outs[0], outs[1], tuple(outs[2:])
+
+
+def _t5_ffn_bwd_impl(x1, g, ln1, *ffn_ws, eps: float, gated: bool,
+                     interpret: bool):
     B, T, d = x1.shape
     d_ff = ffn_ws[0].shape[1]
     rows = _pick_rows_ffn_bwd(B, T, d, d_ff, gated, x1.dtype.itemsize)
@@ -222,8 +234,7 @@ def t5_ffn_bwd(x1, g, ln1, ffn_ws, *, eps: float, gated: bool,
         ),
         interpret=interpret,
     )(x1, g, ln1, *ffn_ws)
-    dx1, dln1, *dffn = outs
-    return dx1, dln1, tuple(dffn)
+    return tuple(outs)  # (dx1, dln1, *dffn) — flat for the GSPMD wrapper
 
 
 # --------------------------------------------------------------------------- #
@@ -365,6 +376,20 @@ def t5_attn_bwd(x, dy, key_mask, bias, wqkv, wo, ln0, *,
     dbias is None when bias is None."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    from rag_docvqa_tpu.ops.flash_attention import _auto_partition_wanted
+
+    if _auto_partition_wanted():
+        cp = _make_attn_bwd_cp(bias is not None, num_heads, eps, interpret)
+        args = (x, dy, key_mask) + ((bias,) if bias is not None else ()) + (wqkv, wo, ln0)
+        outs = cp(*args)
+    else:
+        outs = _t5_attn_bwd_impl(x, dy, key_mask, bias, wqkv, wo, ln0,
+                                 num_heads=num_heads, eps=eps, interpret=interpret)
+    return tuple(outs) if bias is not None else (*outs, None)
+
+
+def _t5_attn_bwd_impl(x, dy, key_mask, bias, wqkv, wo, ln0, *,
+                      num_heads: int, eps: float, interpret: bool):
     B, T, d = x.shape
     inner = wo.shape[0]
     dk = inner // num_heads
@@ -415,12 +440,110 @@ def t5_attn_bwd(x, dy, key_mask, bias, wqkv, wo, ln0, *,
         ),
         interpret=interpret,
     )(*args)
-    if bias is not None:
-        dx, dln0, dwqkv, dwo, dbias = outs
+    # (dx, dln0, dwqkv, dwo[, dbias]) — flat arrays only (GSPMD-wrappable);
+    # t5_attn_bwd appends the None dbias in the bias-free case
+    return tuple(outs)
+
+
+# --------------------------------------------------------------------------- #
+# GSPMD batch partitioning for the backward kernels: each device runs the
+# pallas call on its local batch shard; the weight/LN/bias gradients (which
+# the kernels reduce over their LOCAL batch in resident f32 blocks) complete
+# with ONE psum per output. Tensor-parallel weight shardings replicate here
+# — the fused-train path targets data-parallel meshes.
+# --------------------------------------------------------------------------- #
+@functools.lru_cache(maxsize=None)
+def _make_ffn_bwd_cp(eps, gated, interpret):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rag_docvqa_tpu.ops.fused_encoder import _batch_axis_of
+
+    n_wi = 2 if gated else 1
+    kw = dict(eps=eps, gated=gated, interpret=interpret)
+    fn = custom_partitioning(
+        lambda x1, g, ln1, *ws: _t5_ffn_bwd_impl(x1, g, ln1, *ws, **kw))
+    w_rule = ", ".join(f"c{i} e{i}" for i in range(n_wi + 1))
+    rule = f"b t d, b t d, o d, {w_rule} -> b t d, o d, {w_rule}"
+
+    def _shardings(mesh, arg_infos):
+        b = _batch_axis_of(mesh, arg_infos[0])
+        bt = NamedSharding(mesh, P(b, None, None))
+        rep = NamedSharding(mesh, P(None, None))
+        args = (bt, bt, rep) + (rep,) * (n_wi + 1)
+        outs = (bt, rep) + (rep,) * (n_wi + 1)
+        return b, args, outs
+
+    def infer(mesh, arg_infos, result_infos):
+        return _shardings(mesh, arg_infos)[2]
+
+    def part(mesh, arg_infos, result_infos):
+        b, arg_sh, out_sh = _shardings(mesh, arg_infos)
+
+        def lower(x1, g, ln1, *ws):
+            res = _t5_ffn_bwd_impl(x1, g, ln1, *ws, **kw)
+            if b is not None:
+                res = (res[0],) + tuple(jax.lax.psum(r, b) for r in res[1:])
+            return res
+
+        return mesh, lower, out_sh, arg_sh
+
+    fn.def_partition(infer_sharding_from_operands=infer, partition=part,
+                     sharding_rule=rule)
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _make_attn_bwd_cp(has_bias, num_heads, eps, interpret):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rag_docvqa_tpu.ops.fused_encoder import _batch_axis_of
+
+    kw = dict(num_heads=num_heads, eps=eps, interpret=interpret)
+    if has_bias:
+        fn = custom_partitioning(
+            lambda x, dy, km, bias, wqkv, wo, ln0:
+                _t5_attn_bwd_impl(x, dy, km, bias, wqkv, wo, ln0, **kw))
+        rule = ("b t d, b t d, b t, h q k, d w, i d, o d -> "
+                "b t d, o d, d w, i d, h q k")
     else:
-        dx, dln0, dwqkv, dwo = outs
-        dbias = None
-    return dx, dln0, dwqkv, dwo, dbias
+        fn = custom_partitioning(
+            lambda x, dy, km, wqkv, wo, ln0:
+                _t5_attn_bwd_impl(x, dy, km, None, wqkv, wo, ln0, **kw))
+        rule = "b t d, b t d, b t, d w, i d, o d -> b t d, o d, d w, i d"
+
+    def _shardings(mesh, arg_infos):
+        b = _batch_axis_of(mesh, arg_infos[0])
+        bt = NamedSharding(mesh, P(b, None, None))
+        bm = NamedSharding(mesh, P(b, None))
+        rep2 = NamedSharding(mesh, P(None, None))
+        rep3 = NamedSharding(mesh, P(None, None, None))
+        args = (bt, bt, bm) + ((rep3,) if has_bias else ()) + (rep2, rep2, rep2)
+        outs = (bt, rep2, rep2, rep2) + ((rep3,) if has_bias else ())
+        return b, args, outs
+
+    def infer(mesh, arg_infos, result_infos):
+        return _shardings(mesh, arg_infos)[2]
+
+    def part(mesh, arg_infos, result_infos):
+        b, arg_sh, out_sh = _shardings(mesh, arg_infos)
+
+        def lower(*args):
+            if has_bias:
+                res = _t5_attn_bwd_impl(*args, **kw)
+            else:
+                x, dy, km, wqkv, wo, ln0 = args
+                res = _t5_attn_bwd_impl(x, dy, km, None, wqkv, wo, ln0, **kw)
+            if b is not None:
+                res = (res[0],) + tuple(jax.lax.psum(r, b) for r in res[1:])
+            return res
+
+        return mesh, lower, out_sh, arg_sh
+
+    fn.def_partition(infer_sharding_from_operands=infer, partition=part,
+                     sharding_rule=rule)
+    return fn
 
 
 # --------------------------------------------------------------------------- #
@@ -478,16 +601,16 @@ def make_fused_t5_layer_train(num_heads: int, eps: float, gated: bool,
 
 def fused_t5_train_wanted(cfg, B: int, T: int, itemsize: int = 2) -> bool:
     """Whether the fused whole-layer TRAIN path (forward kernel + handwritten
-    backward kernels) applies: TPU backend, no auto-partitioning (the
-    backward kernels have no GSPMD wrappers — sharded train steps keep
-    flash), and every kernel's working set fits VMEM."""
+    backward kernels) applies: TPU backend and every kernel's working set
+    fits VMEM. Under GSPMD auto-partitioning the forward and both backward
+    kernels carry custom_partitioning wrappers that shard the batch and
+    psum the weight gradients, so data-parallel train steps keep this path
+    (tensor-parallel weight shardings replicate through it — prefer flash
+    for TP-dominant meshes)."""
     if jax.default_backend() != "tpu":
         return False
-    from rag_docvqa_tpu.ops.flash_attention import _auto_partition_wanted
     from rag_docvqa_tpu.ops.fused_encoder import _pick_rows_t5
 
-    if _auto_partition_wanted():
-        return False
     inner = cfg.num_heads * cfg.d_kv
     Tp = -(-T // 8) * 8
     return (

@@ -129,3 +129,32 @@ def test_fused_train_step_matches_flash_step(monkeypatch):
                                rtol=2e-3)
     for a, b in zip(jax.tree.leaves(s_fused.params), jax.tree.leaves(s_plain.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3)
+
+
+def test_fused_train_gspmd_batch_sharded_grads():
+    """Data-parallel GSPMD: the fused-train layer stack under plain jit with
+    the batch sharded over the 8-device mesh must produce the same loss and
+    gradients as the unsharded run — the custom_partitioning wrappers shard
+    the batch through all three kernels and one psum completes each
+    weight/LN/bias gradient."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rag_docvqa_tpu.parallel import create_mesh
+
+    cfg, stacked, x, mask, bias = _mk(False)
+    B = x.shape[0]  # 4; shard over a 4-way slice of the 8-device mesh
+    mesh = create_mesh((4, 2), ("data", "model"))
+
+    def loss(s, x_, b):
+        out = t5m._fused_t5_stack_train(cfg)(s, x_, mask, b)
+        return jnp.sum(jnp.where(mask[..., None], out, 0.0) ** 2)
+
+    vg = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2)))
+    v_ref, g_ref = vg(stacked, x, bias)
+
+    sh = lambda a: jax.device_put(a, NamedSharding(mesh, P("data")))
+    v_sh, g_sh = vg(stacked, sh(x), bias)
+
+    np.testing.assert_allclose(float(v_sh), float(v_ref), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_sh), jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
