@@ -129,8 +129,12 @@ class MPIngestor:
         shared caps; arrays concatenate along the batch axis)."""
         docs = list(docs)
         B = len(docs)
-        W = min(self.num_workers, B)
-        if W <= 1 or B < 2 * self.num_workers:
+        # effective worker count: at least 2 docs per shard so the per-task
+        # pickling overhead amortizes; shrink W rather than no-op the pool
+        # (with W pinned to num_workers, typical eval batches of 8 docs would
+        # silently run in-parent forever)
+        W = min(self.num_workers, B // 2)
+        if W <= 1:
             return self._local.ingest(docs)
         bounds = np.linspace(0, B, W + 1).astype(int)
         futs = [

@@ -177,7 +177,9 @@ class RAGPix2StructEngine:
         # concatenated and abs().sum()-scanned for ~10 real chunks/doc) and
         # made the device encode 5x the real patch sets
         n_per_doc = [min(len(chunks), cfg.max_chunks) for chunks, _, _, _ in per_doc]
-        mc = min(cfg.max_chunks, max(16, 1 << (max(max(n_per_doc), 1) - 1).bit_length()))
+        # floor at chunk_num too: _score_topk's lax.top_k needs k <= mc
+        floor = max(16, cfg.chunk_num, max(n_per_doc), 1)
+        mc = min(cfg.max_chunks, 1 << (floor - 1).bit_length())
 
         # chunks and questions share one (B*mc + B, T, F) array, filled in
         # place (no concat copy); token masks come from the row-id column

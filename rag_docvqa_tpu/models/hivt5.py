@@ -172,15 +172,11 @@ def forward_train(
 
     total = LM CE + retrieval_loss_weight * page CE (train.py:69,
     _modules.py:173)."""
-    # fused="train" (whole-layer fwd + handwritten Pallas bwd) when the
-    # kernels fit at the pages-in-batch shape; else the flash fwd+bwd pair
-    from rag_docvqa_tpu.ops.fused_encoder_bwd import fused_t5_train_wanted
-
-    B, P = batch.batch_size, cfg.max_doc_pages
-    seq = cfg.page_tokens + cfg.page_seq_len + (page_visual.shape[2] if page_visual is not None else 0)
-    itemsize = params["t5"]["shared"].dtype.itemsize
-    fused = "train" if fused_t5_train_wanted(cfg.t5, B * P, seq, itemsize) else False
-    doc_emb, doc_mask = encode_document(params, cfg, batch, page_visual, page_visual_valid, fused=fused)
+    # fused="train" (whole-layer fwd + handwritten Pallas bwd); t5m.encode
+    # gates it against the EXACT pages-in-batch sequence it assembles
+    # (K + T + Tv) and falls back to the flash fwd+bwd pair when the
+    # kernels don't fit
+    doc_emb, doc_mask = encode_document(params, cfg, batch, page_visual, page_visual_valid, fused="train")
     dec_in = t5m.shift_tokens_right(labels, cfg.t5.pad_id, cfg.t5.decoder_start_token_id)
     logits = t5m.decode_train(params["t5"], cfg.t5, dec_in, doc_emb, doc_mask)
     valid = labels != -100

@@ -248,6 +248,16 @@ def encode(
         # layer forward + handwritten Pallas backward, fused_encoder_bwd) or
         # fused=False (flash fwd+bwd pair) explicitly
         fused = fused_t5_encoder_wanted(cfg, B, Tp, x.dtype.itemsize)
+    elif fused == "train":
+        # the AUTHORITATIVE train-path gate runs here, against the exact
+        # assembled (B, Tp) the kernels will see — callers request "train"
+        # without re-deriving the encoder layout (hivt5's K+T+Tv concat
+        # made caller-side estimates fragile); fall back to the flash
+        # fwd+bwd pair when the kernels don't fit
+        from rag_docvqa_tpu.ops.fused_encoder_bwd import fused_t5_train_wanted
+
+        if not fused_t5_train_wanted(cfg, B, Tp, x.dtype.itemsize):
+            fused = False
     if fused:
         pad = Tp - T
         am = attention_mask

@@ -120,15 +120,12 @@ def forward_train(
     """
     deterministic = rng is None
     embeds, mask = input_embeds(params, cfg, gen, visual, visual_mask, deterministic, rng)
-    # fused="train" (whole-layer forward + handwritten Pallas backward,
-    # ops/fused_encoder_bwd.py) when the kernels fit; else fused=False for
-    # the flash fwd+bwd pair (the fused-INFERENCE kernel's VJP recomputes
-    # the whole forward through flash — strictly slower than flash alone)
-    from rag_docvqa_tpu.ops.fused_encoder_bwd import fused_t5_train_wanted
-
-    B, T = embeds.shape[:2]
-    fused = "train" if fused_t5_train_wanted(cfg.t5, B, T, embeds.dtype.itemsize) else False
-    enc = t5m.encode(params["t5"], cfg.t5, embeds, mask, deterministic, rng, fused=fused)
+    # fused="train": whole-layer forward + handwritten Pallas backward
+    # (ops/fused_encoder_bwd.py) — t5m.encode itself falls back to the
+    # flash fwd+bwd pair when the kernels don't fit (the fused-INFERENCE
+    # kernel's VJP would recompute the whole forward through flash —
+    # strictly slower than flash alone, hence never fused=None here)
+    enc = t5m.encode(params["t5"], cfg.t5, embeds, mask, deterministic, rng, fused="train")
     dec_in = t5m.shift_tokens_right(labels, cfg.t5.pad_id, cfg.t5.decoder_start_token_id)
     logits = t5m.decode_train(params["t5"], cfg.t5, dec_in, enc, mask, deterministic, rng)
     valid = labels != -100

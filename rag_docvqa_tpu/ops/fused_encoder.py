@@ -498,7 +498,8 @@ def _t5_layer_kernel(
 
 
 def _pick_rows_t5(B, T, d, inner, d_ff, H, gated, itemsize: int = 2,
-                  budget: int = 52 * 2**20, has_bias: bool = True):
+                  budget: int = 52 * 2**20, has_bias: bool = True,
+                  save_x1: bool = False):
     """Returns (rows, ffn_chunk, attn_stream); (0, 0, 0) when nothing fits.
     The unchunked FFN (ffn_chunk=0) is preferred at any row count — chunking
     only buys entry for shapes whose (R, d_ff) f32 FFN temporaries dominate
@@ -533,6 +534,9 @@ def _pick_rows_t5(B, T, d, inner, d_ff, H, gated, itemsize: int = 2,
             # resident bias (always bf16 by construction); bias-free layers
             # (Pix2Struct's patch encoder) skip it
             + (H * T * Tl * 2 if has_bias else 0)
+            # train forward (save_x1): the second double-buffered
+            # (rows, T, d) output block (the attention-residual sum)
+            + (2 * rows * T * d * itemsize if save_x1 else 0)
         )
 
     streams = (0, 512) if not has_bias else (0,)
@@ -745,7 +749,7 @@ def _t5_layer_call(x, maskB, bias, wqkv, wo, ln0, ln1, *ffn_ws,
     d_ff = ffn_ws[0].shape[1]
     rows, ffn_chunk, attn_stream = _pick_rows_t5(
         B, T, d, inner, d_ff, num_heads, gated,
-        x.dtype.itemsize, has_bias=bias is not None)
+        x.dtype.itemsize, has_bias=bias is not None, save_x1=save_x1)
     if not rows and bias is None and not save_x1:
         TQ, kc, qc = _pick_qtile_t5(B, T, d, inner, d_ff, num_heads, gated,
                                     x.dtype.itemsize)

@@ -285,7 +285,14 @@ def _attn_bwd_kernel(
 
     # forward recompute: per-head softmax probs (stored in compute dtype —
     # the forward casts p before the p@v dot, so backward matches) + the
-    # attention output a (needed for dwo)
+    # attention output a (needed for dwo).
+    # NUMERICS CONTRACT shared by all four attention loops — this recompute,
+    # fused_encoder.py::_t5_layer_kernel (materialized + attn_stream paths)
+    # and _t5_layer_kernel_qtiled: scores accumulate f32, masked keys fill
+    # with -1e9, max/sum run in f32, and p casts to the compute dtype BEFORE
+    # the p@v dot. A cast-order change in any copy desynchronizes this
+    # backward from its forward; the grad-parity tests in
+    # tests/test_fused_encoder_bwd.py pin the pairing.
     for hh in range(H):
         q = qkv_scr[:, pl.ds(hh * dk, dk)].reshape(rows, T, dk)
         k = qkv_scr[:, pl.ds(inner + hh * dk, dk)].reshape(rows, T, dk)
@@ -615,7 +622,7 @@ def fused_t5_train_wanted(cfg, B: int, T: int, itemsize: int = 2) -> bool:
     Tp = -(-T // 8) * 8
     return (
         _pick_rows_t5(B, Tp, cfg.d_model, inner, cfg.d_ff, cfg.num_heads,
-                      cfg.gated_ffn, itemsize)[0] > 0
+                      cfg.gated_ffn, itemsize, save_x1=True)[0] > 0
         and _pick_rows_ffn_bwd(B, Tp, cfg.d_model, cfg.d_ff, cfg.gated_ffn,
                                itemsize) > 0
         and _pick_rows_attn_bwd(B, Tp, cfg.d_model, inner, cfg.num_heads,

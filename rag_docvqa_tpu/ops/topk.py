@@ -246,9 +246,11 @@ def cosine_topk_twophase(
     Phase 2 (XLA):    lax.top_k over the (B, N/(group*sgroups)) supermaxima
                       selects k supergroups; a take_along_axis gathers their
                       k*sgroups segment maxima and a second (tiny) top_k
-                      selects the k winning segments. vs the flat variant
-                      this shrinks the big top_k 16x (32768 -> 2048 lanes at
-                      N=512k) — measured 4.66 -> ~4.0 ms/batch at B=256.
+                      selects the k winning segments. At the defaults
+                      (group=8, sgroups=16, N=512k) the big top_k runs over
+                      4096 lanes vs the flat group=16 variant's 32768 (8x);
+                      combined with group=8 halving the phase-3 gather:
+                      measured 5.14 -> 4.65 ms/batch at B=256 (PERF.md §1).
     Phase 3 (XLA):    re-score only the k winning segments' k*group
                       candidates and take the final top-k.
 

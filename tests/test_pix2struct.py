@@ -244,3 +244,24 @@ def test_rag_pix2struct_layout_mode_end_to_end(p2s_params):
     assert len(gids_page0) == 2
     out = eng.inference(docs)
     assert len(out["pred_answers"]) == 1
+
+
+def test_engine_chunk_num_above_bucket_floor(p2s_params):
+    """Regression (round-4 review): chunk_num > the 16-chunk bucket floor
+    must not crash _score_topk's lax.top_k (mc floors at chunk_num too)."""
+    from rag_docvqa_tpu.data import HashTokenizer
+    from rag_docvqa_tpu.data.contract import RawDocument
+    from rag_docvqa_tpu.engine.rag_pix2struct import P2SRAGConfig, RAGPix2StructEngine
+
+    rng = np.random.RandomState(5)
+    docs = [
+        RawDocument(
+            question="what is here?", words=[[]], boxes=[[]], answers=["x"],
+            images=[rng.randint(0, 255, (128, 96, 3), np.uint8) for _ in range(2)],
+        )
+    ]
+    cfg = P2SRAGConfig(chunk_num=20, image_patch_size=96, patches_per_chunk=24,
+                       max_chunks=64, max_total_patches=64, max_new_tokens=2)
+    eng = RAGPix2StructEngine(cfg, TINY_P2S, p2s_params, HashTokenizer(vocab_size=300))
+    out = eng.inference(docs)
+    assert len(out["pred_answers"]) == 1
