@@ -551,7 +551,27 @@ def main():
 
     _sync(big_query_int8(iq, iscale, qv, TOP_K))
     int8_qps = N_QUERIES / _time_min(lambda: big_query_int8(iq, iscale, qv, TOP_K), 10)
-    del iq, iscale, big_index, qv1k
+
+    # int4-packed index: 8x capacity (ops/quant.py; nibble pairs unpack
+    # in-kernel). The capacity extreme — top-10 agreement vs the bf16 exact
+    # retrieval is reported next to it (worst-case random data; real
+    # corpora cluster and agree better)
+    from rag_docvqa_tpu.ops.quant import cosine_topk_int4_auto, quantize_rows_int4
+
+    ip4, is4 = jax.jit(lambda ix: quantize_rows_int4(ix.astype(jnp.float32)))(big_index)
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def big_query_int4(ip, isc, q, k):
+        return cosine_topk_int4_auto(ip, isc, q, jnp.int32(BIG_N), k)
+
+    _, i4_idx, _ = big_query_int4(ip4, is4, qv, TOP_K)
+    _, ibf_idx, _ = big_query(big_index, qv, TOP_K)
+    i4_idx, ibf_idx = np.asarray(i4_idx), np.asarray(ibf_idx)
+    int4_agree = float(np.mean([
+        len(set(i4_idx[b]) & set(ibf_idx[b])) / TOP_K for b in range(N_QUERIES)
+    ]))
+    int4_qps = N_QUERIES / _time_min(lambda: big_query_int4(ip4, is4, qv, TOP_K)[0], 10)
+    del ip4, is4, iq, iscale, big_index, qv1k
 
     # ---- int8 capacity at scale: 2M-chunk index --------------------------------
     # The 4x-capacity claim, exercised end-to-end: 2M chunks x 768 = 1.6 GB
@@ -617,6 +637,8 @@ def main():
                     "big_index_query_qps_b1024": round(big_qps_b1024, 1),
                     "big_index_query_ms_per_batch": round(big_time * 1e3, 2),
                     "big_index_int8_query_qps": round(int8_qps, 1),
+                    "big_index_int4_query_qps": round(int4_qps, 1),
+                    "big_index_int4_top10_agreement": round(int4_agree, 4),
                     "big_index_int8_2m_chunks": BIG2,
                     "big_index_int8_2m_qps": round(int8_2m_qps, 1),
                     "big_index_int8_2m_ms_per_batch": round(int8_2m_time * 1e3, 2),

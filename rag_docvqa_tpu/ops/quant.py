@@ -170,3 +170,173 @@ def cosine_topk_int8_auto(index_q, index_scale, queries, n_valid, k: int, tile_n
     if jax.default_backend() != "tpu" or queries.shape[0] <= 16 or index_q.shape[0] % tile_n != 0:
         return cosine_topk_int8(index_q, index_scale, queries, n_valid, k)
     return cosine_topk_int8_twophase(index_q, index_scale, queries, n_valid, k, tile_n=tile_n)
+
+
+# --------------------------------------------------------------------------- #
+# int4-packed index: 8x corpus capacity per chip (2x over int8)
+# --------------------------------------------------------------------------- #
+# Packing layout: element d pairs with element d + D/2 in one byte
+# (lo nibble = x[:, :D/2], hi nibble = x[:, D/2:]). Unpacking then yields two
+# CONTIGUOUS (N, D/2) halves — no lane interleave, which Mosaic's reshape
+# rules make hostile — and the cosine numerator is lo @ q[:, :D/2] +
+# hi @ q[:, D/2:]. The backend's jnp.int4 dtype is unusable (device_put
+# recurses, PERF.md §6), so nibbles ride in int8 bytes.
+
+
+def quantize_rows_int4(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """(N, D) f32 (D even) -> ((N, D/2) int8 packed nibbles, (N, 1) f32
+    scales). Symmetric per-row, values in [-7, 7], scale clipped at the
+    99th |x| percentile — with only 15 levels, spending them on the outlier
+    tail costs more recall than clipping it (worst-case random-gaussian
+    top-10 agreement 0.80 -> 0.83 measured; tests/test_quant.py).
+
+    Accuracy expectation: int4 is the CAPACITY extreme (8x f32). On
+    worst-case random normalized data top-10 agreement vs exact is ~0.73-
+    0.83 (vs int8's ~0.97); real embedding distributions cluster with
+    larger score margins and agree better — validate per corpus before
+    choosing int4 over int8."""
+    N, D = x.shape
+    assert D % 2 == 0, "int4 packing needs an even feature dim"
+    clip = jnp.percentile(jnp.abs(x), 99.0, axis=-1, keepdims=True)
+    scale = jnp.maximum(clip, 1e-12) / 7.0
+    q = jnp.clip(jnp.round(x / scale), -7, 7).astype(jnp.int32)
+    lo = q[:, : D // 2] & 0xF
+    hi = q[:, D // 2 :] & 0xF
+    packed = (lo | (hi << 4)).astype(jnp.uint8)
+    return jax.lax.bitcast_convert_type(packed, jnp.int8), scale
+
+
+def unpack_int4(packed: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """(N, D/2) int8 -> (lo, hi) int8 halves, each (N, D/2), sign-extended."""
+    b32 = packed.astype(jnp.int32)
+    lo = jax.lax.shift_right_arithmetic(jax.lax.shift_left(b32, 28), 28)
+    hi = jax.lax.shift_right_arithmetic(jax.lax.shift_left(b32, 24), 28)
+    return lo.astype(jnp.int8), hi.astype(jnp.int8)
+
+
+def build_int4_index(embeddings: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Normalize + int4-quantize a raw (N, D) embedding matrix."""
+    return quantize_rows_int4(l2_normalize(embeddings.astype(jnp.float32)))
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def cosine_topk_int4(
+    index_p: jax.Array,  # (N, D/2) int8 packed nibbles
+    index_scale: jax.Array,  # (N, 1) f32
+    queries: jax.Array,  # (B, D) f32 unnormalized
+    n_valid: jax.Array,
+    k: int,
+):
+    """Masked top-k cosine over an int4-packed index (XLA unpack + int8 MXU
+    dots; reference path for tests and CPU)."""
+    D = queries.shape[1]
+    qn = l2_normalize(queries.astype(jnp.float32))
+    q8, qs = quantize_rows(qn)
+    lo, hi = unpack_int4(index_p)
+    dot = lambda a, b: jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    acc = dot(q8[:, : D // 2], lo) + dot(q8[:, D // 2 :], hi)  # (B, N) int32
+    scores = acc.astype(jnp.float32) * qs * index_scale[:, 0][None, :]
+    row = jnp.arange(index_p.shape[0])[None, :]
+    scores = jnp.where(row < n_valid, scores, NEG_INF)
+    return masked_topk(scores, None, k)
+
+
+def _segmax_int4_kernel(n_valid_ref, qlo_ref, qhi_ref, scale_ref, packed_ref,
+                        segmax_ref, tile_n: int, group: int):
+    """In-kernel nibble unpack (widen -> two arithmetic shifts per half) +
+    two int8 MXU dots + rescale + masked segment max, (tile_n, B) oriented
+    like the int8 kernel."""
+    import jax
+    from jax.experimental import pallas as pl
+
+    t = pl.program_id(0)
+    n_valid = n_valid_ref[0]
+    b32 = packed_ref[:].astype(jnp.int32)
+    lo = jax.lax.shift_right_arithmetic(jax.lax.shift_left(b32, 28), 28).astype(jnp.int8)
+    hi = jax.lax.shift_right_arithmetic(jax.lax.shift_left(b32, 24), 28).astype(jnp.int8)
+    dot = lambda a, b: jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    acc = dot(lo, qlo_ref[:]) + dot(hi, qhi_ref[:])  # (tile_n, B) int32
+    scores = acc.astype(jnp.float32) * scale_ref[:]
+    B = scores.shape[1]
+    global_idx = t * tile_n + jax.lax.broadcasted_iota(jnp.int32, (tile_n, B), 0)
+    scores = jnp.where(global_idx < n_valid, scores, NEG_INF)
+    segmax_ref[:] = jnp.max(scores.reshape(tile_n // group, group, B), axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_n", "group", "interpret"))
+def cosine_topk_int4_twophase(
+    index_p: jax.Array,  # (N, D/2) int8 packed, N % tile_n == 0
+    index_scale: jax.Array,
+    queries: jax.Array,  # (B, D) f32
+    n_valid: jax.Array,
+    k: int,
+    tile_n: int = 2048,
+    group: int = 16,
+    interpret=None,
+):
+    """Exact int4 top-k: fused unpack+segment-max preselect, then integer
+    re-score of the k winning segments (same structure and tie handling as
+    the int8 two-phase kernel)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    N, Dh = index_p.shape
+    D = queries.shape[1]
+    B = queries.shape[0]
+    assert N % tile_n == 0 and tile_n % group == 0
+    if k * group >= N:
+        return cosine_topk_int4(index_p, index_scale, queries, n_valid, k)
+
+    qn = l2_normalize(queries.astype(jnp.float32))
+    q8, qs = quantize_rows(qn)
+    S = N // group
+    kernel = functools.partial(_segmax_int4_kernel, tile_n=tile_n, group=group)
+    segmax = pl.pallas_call(
+        kernel,
+        grid=(N // tile_n,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, Dh), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, Dh), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, 1), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, Dh), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_n // group, B), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, B), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * D,
+            bytes_accessed=N * Dh + B * D + N * 4 + B * S * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray([n_valid], jnp.int32).reshape(1),
+      q8[:, : D // 2], q8[:, D // 2 :], index_scale, index_p).T  # (B, S)
+
+    _, seg_idx = jax.lax.top_k(segmax, k)
+    seg_idx = jnp.sort(seg_idx, axis=1)
+    cand_idx = seg_idx[:, :, None] * group + jnp.arange(group)[None, None, :]
+    cand_rows = index_p[cand_idx]  # (B, k, G, D/2) int8 packed
+    lo, hi = unpack_int4(cand_rows.reshape(B, k * group, Dh))
+    acc = jnp.einsum("bnd,bd->bn", lo.astype(jnp.int32), q8[:, : D // 2].astype(jnp.int32)) \
+        + jnp.einsum("bnd,bd->bn", hi.astype(jnp.int32), q8[:, D // 2 :].astype(jnp.int32))
+    cand_scores = (acc.astype(jnp.float32) * qs) * index_scale[
+        cand_idx.reshape(B, -1), 0
+    ]
+    flat_idx = cand_idx.reshape(B, k * group)
+    flat = jnp.where(flat_idx < n_valid, cand_scores, NEG_INF)
+    vals, pos = jax.lax.top_k(flat, k)
+    idx = jnp.take_along_axis(flat_idx, pos, axis=1)
+    valid = vals > NEG_INF / 2
+    return jnp.where(valid, vals, NEG_INF), idx.astype(jnp.int32), valid
+
+
+def cosine_topk_int4_auto(index_p, index_scale, queries, n_valid, k: int, tile_n: int = 2048):
+    if jax.default_backend() != "tpu" or queries.shape[0] <= 16 or index_p.shape[0] % tile_n != 0:
+        return cosine_topk_int4(index_p, index_scale, queries, n_valid, k)
+    return cosine_topk_int4_twophase(index_p, index_scale, queries, n_valid, k, tile_n=tile_n)

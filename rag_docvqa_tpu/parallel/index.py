@@ -35,7 +35,9 @@ class ShardedIndex:
     """A pre-normalized (N_pad, D) embedding matrix sharded over `axis`.
 
     dtype options: "f32" / "bf16" (halved HBM) / "int8" (quartered HBM via
-    symmetric per-row quantization, ~98% top-10 agreement — see ops/quant.py).
+    symmetric per-row quantization, ~98% top-10 agreement) / "int4"
+    (eighth HBM, packed nibbles — the capacity extreme; agreement is
+    corpus-dependent, see ops/quant.py::quantize_rows_int4).
     """
 
     embeddings: jax.Array  # (N_pad, D), sharded P(axis, None)
@@ -44,7 +46,8 @@ class ShardedIndex:
     axis: str = "data"
     tile_n: int = 512
     use_pallas: bool = True
-    scales: Optional[jax.Array] = None  # (N_pad, 1) f32, int8 mode only
+    scales: Optional[jax.Array] = None  # (N_pad, 1) f32, int8/int4 modes
+    packed: bool = False  # int4 mode: embeddings hold packed nibble pairs
     # per-shard kernel: "merge" = running-merge Pallas (bit-exact ties, best
     # at tiny batch); "twophase" = segment-max preselect kernel (fastest for
     # B > ~16 on TPU; on-TPU adjacent ranks may swap within float-accumulation
@@ -68,12 +71,14 @@ class ShardedIndex:
         n_pad = ((n + mult - 1) // mult) * mult
         sharding = NamedSharding(mesh, P(axis, None))
 
-        if dtype == "int8":
-            from rag_docvqa_tpu.ops.quant import quantize_rows
+        if dtype in ("int8", "int4"):
+            from rag_docvqa_tpu.ops.quant import quantize_rows, quantize_rows_int4
+
+            qfn = quantize_rows_int4 if dtype == "int4" else quantize_rows
 
             @functools.partial(jax.jit, out_shardings=(sharding, sharding))
             def _prepare_q(x):
-                q, s = quantize_rows(l2_normalize(x.astype(jnp.float32)))
+                q, s = qfn(l2_normalize(x.astype(jnp.float32)))
                 return (
                     jnp.pad(q, ((0, n_pad - n), (0, 0))),
                     jnp.pad(s, ((0, n_pad - n), (0, 0))),
@@ -82,7 +87,7 @@ class ShardedIndex:
             q, s = _prepare_q(embeddings)
             return ShardedIndex(
                 embeddings=q, scales=s, n_valid=n, mesh=mesh, axis=axis,
-                tile_n=tile_n, use_pallas=False,
+                tile_n=tile_n, use_pallas=False, packed=dtype == "int4",
             )
 
         out_dtype = jnp.bfloat16 if dtype == "bf16" else jnp.float32
@@ -109,9 +114,10 @@ class ShardedIndex:
         (unpadded) row space, sorted descending, replicated on every device.
         """
         if self.scales is not None:
-            return _sharded_query_int8(
+            return _sharded_query_quant(
                 self.embeddings, self.scales, queries,
                 mesh=self.mesh, axis=self.axis, n_valid=self.n_valid, k=k,
+                packed=self.packed,
             )
         return _sharded_query(
             self.embeddings,
@@ -170,10 +176,12 @@ def _sharded_query(index, queries, *, mesh, axis, n_valid, k, tile_n, use_pallas
     )(index, queries)
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "axis", "n_valid", "k"))
-def _sharded_query_int8(index_q, scales, queries, *, mesh, axis, n_valid, k):
-    from rag_docvqa_tpu.ops.quant import cosine_topk_int8_auto
+@functools.partial(jax.jit, static_argnames=("mesh", "axis", "n_valid", "k", "packed"))
+def _sharded_query_quant(index_q, scales, queries, *, mesh, axis, n_valid, k,
+                         packed: bool = False):
+    from rag_docvqa_tpu.ops.quant import cosine_topk_int4_auto, cosine_topk_int8_auto
 
+    score_auto = cosine_topk_int4_auto if packed else cosine_topk_int8_auto
     n_shards = mesh.shape[axis]
     shard_len = index_q.shape[0] // n_shards
 
@@ -182,7 +190,7 @@ def _sharded_query_int8(index_q, scales, queries, *, mesh, axis, n_valid, k):
         local_valid = jnp.clip(n_valid - sid * shard_len, 0, shard_len)
         # auto-dispatch: flat at tiny batch, two-phase beyond (one policy
         # shared with the single-device path)
-        vals, idx, _ = cosine_topk_int8_auto(iq, sc, q, local_valid, k)
+        vals, idx, _ = score_auto(iq, sc, q, local_valid, k)
         gidx = idx + sid * shard_len
         cand_vals = jax.lax.all_gather(vals, axis)
         cand_idx = jax.lax.all_gather(gidx, axis)

@@ -131,3 +131,22 @@ def test_sharded_maxsim_duplicate_rows_tie_order(mesh):
     vals, idx, _ = sharded_maxsim_topk(p_sh, pm_sh, q, mesh=mesh, n_valid=N, k=N)
     got = list(np.asarray(idx))
     assert got.index(2) < got.index(17)
+
+
+def test_int4_sharded_index(mesh):
+    """dtype='int4': packed nibbles shard over the mesh; retrieval overlaps
+    the exact single-device result on clustered-ish data."""
+    rng = np.random.RandomState(21)
+    emb = jnp.asarray(rng.randn(2048, 128).astype(np.float32))
+    q = emb[jnp.asarray([5, 77, 400, 1500])] + 0.05 * jnp.asarray(
+        rng.randn(4, 128).astype(np.float32))
+    idx4 = ShardedIndex.build(emb, mesh, tile_n=128, dtype="int4")
+    assert idx4.embeddings.shape == (2048, 64) and idx4.packed
+    _, i4, ok = idx4.query(q, 5)
+    _, ix, _ = single_device_query(emb, q, 5)
+    # near-duplicate self-queries: rank-1 must match exactly, the rest overlap
+    assert (np.asarray(i4)[:, 0] == np.asarray(ix)[:, 0]).all()
+    overlap = np.mean([len(set(np.asarray(i4)[b]) & set(np.asarray(ix)[b])) / 5
+                       for b in range(4)])
+    assert overlap >= 0.6, overlap
+    assert np.asarray(ok).all()
