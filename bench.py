@@ -564,8 +564,12 @@ def main():
     def big_query_int4(ip, isc, q, k):
         return cosine_topk_int4_auto(ip, isc, q, jnp.int32(BIG_N), k)
 
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def big_query_idx(index, q, k):
+        return cosine_topk_auto(index, q, jnp.int32(BIG_N), k, tile_n=2048)[1]
+
     _, i4_idx, _ = big_query_int4(ip4, is4, qv, TOP_K)
-    _, ibf_idx, _ = big_query(big_index, qv, TOP_K)
+    ibf_idx = big_query_idx(big_index, qv, TOP_K)
     i4_idx, ibf_idx = np.asarray(i4_idx), np.asarray(ibf_idx)
     int4_agree = float(np.mean([
         len(set(i4_idx[b]) & set(ibf_idx[b])) / TOP_K for b in range(N_QUERIES)
