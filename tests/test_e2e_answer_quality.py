@@ -104,3 +104,55 @@ def test_trained_hivt5_answers_and_retrieves_pages():
     out = evaluate(eng, docs, ing, Evaluator(), batch_size=8)
     assert out["anls"] == 1.0, f"anls {out['anls']}: {out['pred_answers']}"
     assert out["retrieval_precision"] == 1.0
+
+
+def test_sft_qwen_answers_correctly():
+    """The decoder-only SFT path learns at the answer level: a tiny Qwen
+    trained with masked-label SFT (build_sft_batch -> sft_step_loss) answers
+    every planted-fact question through the full RAGQwenEngine loop
+    (retrieve -> ChatML prompt -> flash-prefill/cached-decode -> extract).
+
+    Retrieval-drift gotcha this test pins: RAGQwenEngine defaults its
+    bi-encoder to the LM's OWN embedding table — SFT trains that table, so
+    post-training retrieval diverges from the contexts the SFT batch was
+    built with (observed: half the answers collapse onto one doc's value).
+    Production fine-tunes must pass a FROZEN `embed_shared` (or a separate
+    embedder), exactly as here."""
+    import optax
+
+    from rag_docvqa_tpu.engine.rag_qwen import QwenRAGConfig, RAGQwenEngine, sft_step_loss
+    from rag_docvqa_tpu.models import causal_lm as clm
+
+    lm = clm.CausalLMConfig(vocab_size=2048, d_model=64, num_layers=2,
+                            num_heads=4, num_kv_heads=2, d_ff=128)
+    docs = make_corpus(8, n_pages=2, words_per_page=30, seed=42)
+    ing = DocVQAIngestor(TOK, ChunkSpec(chunk_size=10, overlap=2), CAPS)
+    batch, aux = ing.ingest(docs)
+    params = clm.init_causal_lm_params(jax.random.PRNGKey(0), lm)
+    frozen_embed = jnp.array(params["embed"])
+    rag = QwenRAGConfig(chunk_num=3, max_prompt_tokens=128,
+                        answer_max_tokens=8, max_new_tokens=8)
+    eng = RAGQwenEngine(rag, lm, params, TOK, embed_shared=frozen_embed)
+    ids, mask, labels = eng.build_sft_batch(batch, aux, seed=0)
+
+    tx = optax.adamw(3e-3)
+    opt = tx.init(params)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("cfg",))
+    def step(params, opt, cfg, i, m, l):
+        loss, g = jax.value_and_grad(sft_step_loss)(params, cfg, i, m, l)
+        up, opt = tx.update(g, opt, params)
+        return optax.apply_updates(params, up), opt, loss
+
+    loss = None
+    for _ in range(500):
+        params, opt, loss = step(params, opt, lm, ids, mask, labels)
+    assert float(loss) < 0.05
+
+    eng = RAGQwenEngine(rag, lm, params, TOK, embed_shared=frozen_embed)
+    out = eng.inference(batch, aux)
+    m = Evaluator().get_metrics(aux["answers"], out["pred_answers"])
+    assert float(np.mean(m["anls"])) == 1.0, out["pred_answers"]
+    assert float(np.mean(m["accuracy"])) == 1.0
