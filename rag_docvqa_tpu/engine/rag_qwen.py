@@ -92,7 +92,11 @@ class RAGQwenEngine:
         self.params = params
         self.tokenizer = tokenizer
         self.vision_cfg = vision_cfg
-        # default: reuse the LM's own token embedding table as the bi-encoder
+        # default: reuse the LM's own token embedding table as the bi-encoder.
+        # SFT CAVEAT: training updates params["embed"], so retrieval drifts
+        # from the contexts the SFT batch was built with — fine-tunes must
+        # pass a FROZEN embed_shared (or a separate embedder); pinned by
+        # tests/test_e2e_answer_quality.py::test_sft_qwen_answers_correctly
         self.embed_shared = embed_shared if embed_shared is not None else params["embed"]
         self.image_pad_id = tokenizer.encode(CHATML_IMAGE_PAD)[0]
 

