@@ -181,7 +181,8 @@ def cmd_query(args):
 
     mesh = create_mesh((len(jax.devices()), 1), ("data", "model"))
     index = ShardedIndex.build(jnp.asarray(embeddings), mesh, tile_n=args.tile_n,
-                               use_pallas=jax.default_backend() == "tpu")
+                               use_pallas=jax.default_backend() == "tpu",
+                               dtype=args.index_dtype)
 
     ids = tokenizer.encode(args.question)[:64]
     q = np.zeros((1, 64), np.int32)
@@ -224,6 +225,11 @@ def main(argv=None):
     p_query.add_argument("-q", "--question", required=True)
     p_query.add_argument("--k", type=int, default=5)
     p_query.add_argument("--tile-n", type=int, default=512)
+    p_query.add_argument("--index-dtype", choices=("f32", "bf16", "int8", "int4"),
+                         default="f32",
+                         help="resident index precision: bf16 halves HBM, int8 "
+                              "quarters it (~98%% top-10 agreement), int4 is the "
+                              "8x capacity extreme (agreement corpus-dependent)")
     p_query.add_argument("overrides", nargs="*")
 
     for p in (p_index, p_query, p_lay):
