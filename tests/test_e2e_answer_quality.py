@@ -156,3 +156,60 @@ def test_sft_qwen_answers_correctly():
     m = Evaluator().get_metrics(aux["answers"], out["pred_answers"])
     assert float(np.mean(m["anls"])) == 1.0, out["pred_answers"]
     assert float(np.mean(m["accuracy"])) == 1.0
+
+
+def test_lora_adapters_answer_correctly():
+    """Adapter-only fine-tuning (train_lora.py's exact recipe: r=8 LoRA on
+    q/v, frozen base) reaches ANLS 1.0 through the full RAGQwenEngine loop.
+    Notably the CE loss stays HIGH (~6.3 — q/v-only adapters cannot sharpen
+    the output distribution of a frozen random base) while greedy answers
+    are exact: the adapters learn the attention COPY circuit that lifts the
+    answer out of the retrieved context, which is precisely the behavior a
+    RAG fine-tune needs (reference train_lora.py:267-275)."""
+    import optax
+
+    from rag_docvqa_tpu.engine.rag_qwen import QwenRAGConfig, RAGQwenEngine
+    from rag_docvqa_tpu.models import causal_lm as clm
+    from rag_docvqa_tpu.models.lora import init_lora, merge_lora
+
+    lm = clm.CausalLMConfig(vocab_size=2048, d_model=64, num_layers=2,
+                            num_heads=4, num_kv_heads=2, d_ff=128)
+    docs = make_corpus(8, n_pages=2, words_per_page=30, seed=42)
+    ing = DocVQAIngestor(TOK, ChunkSpec(chunk_size=10, overlap=2), CAPS)
+    batch, aux = ing.ingest(docs)
+    params = clm.init_causal_lm_params(jax.random.PRNGKey(0), lm)
+    frozen_embed = jnp.array(params["embed"])
+    rag = QwenRAGConfig(chunk_num=3, max_prompt_tokens=128,
+                        answer_max_tokens=8, max_new_tokens=8)
+    eng = RAGQwenEngine(rag, lm, params, TOK, embed_shared=frozen_embed)
+    ids, mask, labels = eng.build_sft_batch(batch, aux, seed=0)
+
+    lora = init_lora(jax.random.PRNGKey(1), params, targets=("q", "v"), rank=8)
+    tx = optax.adamw(1e-2)
+    opt = tx.init(lora)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("cfg",))
+    def step(l, o, cfg, i, m, lb):
+        def loss_fn(l_):
+            from rag_docvqa_tpu.engine.rag_qwen import sft_step_loss
+
+            return sft_step_loss(merge_lora(params, l_), cfg, i, m, lb)
+
+        loss, g = jax.value_and_grad(loss_fn)(l)
+        up, o = tx.update(g, o, l)
+        return optax.apply_updates(l, up), o, loss
+
+    loss0 = loss = None
+    for i in range(1000):
+        lora, opt, loss = step(lora, opt, lm, ids, mask, labels)
+        if i == 0:
+            loss0 = float(loss)
+    assert float(loss) < loss0  # learning, even though CE stays high
+
+    merged = merge_lora(params, lora)
+    eng = RAGQwenEngine(rag, lm, merged, TOK, embed_shared=frozen_embed)
+    out = eng.inference(batch, aux)
+    m = Evaluator().get_metrics(aux["answers"], out["pred_answers"])
+    assert float(np.mean(m["anls"])) == 1.0, out["pred_answers"]
