@@ -199,9 +199,12 @@ def main():
         for i in range(N_PIPE)
     ]
 
+    from rag_docvqa_tpu.data.transfer import device_put_batch
+
     def _ingest_put(docs_):
+        # int16 token transfer (halves the dominant bytes; widened on device)
         b, _ = ing.ingest(docs_)
-        return jax.device_put(b)
+        return device_put_batch(b, VOCAB)
 
     _sync(e2e(vt5_params, _ingest_put(corpora[0])))  # warm shapes
     t0 = time.perf_counter()

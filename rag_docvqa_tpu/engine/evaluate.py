@@ -62,14 +62,21 @@ def evaluate(
             pad = mesh.shape["data"] - n_real % mesh.shape["data"]
             chunk = chunk + [chunk[-1]] * pad
         batch, aux = ingestor.ingest(chunk)
+        # explicit transfer on the producer thread (overlapped with device
+        # compute); token ids travel int16 when the vocab fits — the
+        # serving loop is transfer-bound once ingest outruns the device
+        from rag_docvqa_tpu.data.transfer import device_put_batch
+
+        sharding = None
         if mesh is not None:
             # data-parallel eval: shard the batch over the mesh; the engine's
             # jitted pipelines then run SPMD (the reference's data_parallel
             # flag was an unused nn.DataParallel, src/HiVT5.py:643-645)
-            import jax as _jax
             from jax.sharding import NamedSharding, PartitionSpec as _P
 
-            batch = _jax.device_put(batch, NamedSharding(mesh, _P("data")))
+            sharding = NamedSharding(mesh, _P("data"))
+        batch = device_put_batch(batch, getattr(ingestor.tokenizer, "vocab_size", 1 << 30),
+                                 sharding)
         return chunk, n_real, batch, aux, time.time() - t0
 
     # async input pipeline: batch N+1 ingests (and lands on device) on a
