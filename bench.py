@@ -528,20 +528,22 @@ def main():
 
     @functools.partial(jax.jit, static_argnames=("k",))
     def big_query(index, q, k):
-        # auto-select running-merge Pallas (tiny batch) vs two-phase Pallas
-        return cosine_topk_auto(index, q, jnp.int32(BIG_N), k, tile_n=2048)[0]
+        # auto-select running-merge Pallas (tiny batch) vs two-phase Pallas;
+        # (vals, idx) so the int4 agreement check reuses this sweep
+        vals, idx, _ = cosine_topk_auto(index, q, jnp.int32(BIG_N), k, tile_n=2048)
+        return vals, idx
 
     qv = mean_pool(shared[q_tokens], q_mask).astype(jnp.float32)
-    _sync(big_query(big_index, qv, TOP_K))
-    big_time = _time_min(lambda: big_query(big_index, qv, TOP_K), 10)
+    _sync(big_query(big_index, qv, TOP_K)[0])
+    big_time = _time_min(lambda: big_query(big_index, qv, TOP_K)[0], 10)
     big_qps = N_QUERIES / big_time
 
     # throughput-optimal batch: the same 805 MB index read amortizes over 4x
     # the queries (PERF.md §6 — the kernel is read-bound at ~230 GB/s
     # effective on this chip, so bigger query batches raise QPS ~25%)
     qv1k = jnp.tile(qv, (4, 1))
-    _sync(big_query(big_index, qv1k, TOP_K))
-    big_qps_b1024 = 4 * N_QUERIES / _time_min(lambda: big_query(big_index, qv1k, TOP_K), 5)
+    _sync(big_query(big_index, qv1k, TOP_K)[0])
+    big_qps_b1024 = 4 * N_QUERIES / _time_min(lambda: big_query(big_index, qv1k, TOP_K)[0], 5)
 
     # int8-quantized index: 4x corpus capacity per chip (ops/quant.py)
     from rag_docvqa_tpu.ops.quant import cosine_topk_int8_auto, quantize_rows
@@ -567,12 +569,8 @@ def main():
     def big_query_int4(ip, isc, q, k):
         return cosine_topk_int4_auto(ip, isc, q, jnp.int32(BIG_N), k)
 
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def big_query_idx(index, q, k):
-        return cosine_topk_auto(index, q, jnp.int32(BIG_N), k, tile_n=2048)[1]
-
     _, i4_idx, _ = big_query_int4(ip4, is4, qv, TOP_K)
-    ibf_idx = big_query_idx(big_index, qv, TOP_K)
+    ibf_idx = big_query(big_index, qv, TOP_K)[1]  # reuse the exact sweep
     i4_idx, ibf_idx = np.asarray(i4_idx), np.asarray(ibf_idx)
     int4_agree = float(np.mean([
         len(set(i4_idx[b]) & set(ibf_idx[b])) / TOP_K for b in range(N_QUERIES)

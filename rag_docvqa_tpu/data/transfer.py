@@ -41,11 +41,20 @@ def device_put_batch(
     vocabulary fits (halving the dominant transfer bytes), widened back to
     int32 on device. Passes `sharding` through when given (data-parallel
     eval)."""
-    if vocab_size < (1 << 15):
-        batch = batch.replace(
-            **{f: np.asarray(getattr(batch, f)).astype(np.int16) for f in _TOKEN_FIELDS}
-        )
+    narrow = vocab_size < (1 << 15)
+    if narrow:
+        fields = [np.asarray(getattr(batch, f)) for f in _TOKEN_FIELDS]
+        # ids are < vocab_size by construction, but a tokenizer that lies
+        # about its vocab (HF added-specials beyond config vocab_size) must
+        # degrade to passthrough, not silently wrap negative (~2 ms scan per
+        # 32 MB batch vs a 265 ms transfer)
+        narrow = all(int(a.max(initial=0)) < (1 << 15) and int(a.min(initial=0)) >= 0
+                     for a in fields)
+        if narrow:
+            batch = batch.replace(
+                **{f: a.astype(np.int16) for f, a in zip(_TOKEN_FIELDS, fields)}
+            )
     dev = jax.device_put(batch, sharding) if sharding is not None else jax.device_put(batch)
-    if vocab_size < (1 << 15):
+    if narrow:
         dev = _widen(dev)
     return dev

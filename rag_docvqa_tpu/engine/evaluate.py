@@ -65,18 +65,23 @@ def evaluate(
         # explicit transfer on the producer thread (overlapped with device
         # compute); token ids travel int16 when the vocab fits — the
         # serving loop is transfer-bound once ingest outruns the device
+        import jax as _jax
+
         from rag_docvqa_tpu.data.transfer import device_put_batch
 
-        sharding = None
+        vocab = getattr(ingestor.tokenizer, "vocab_size", 1 << 30)
         if mesh is not None:
             # data-parallel eval: shard the batch over the mesh; the engine's
             # jitted pipelines then run SPMD (the reference's data_parallel
             # flag was an unused nn.DataParallel, src/HiVT5.py:643-645)
             from jax.sharding import NamedSharding, PartitionSpec as _P
 
-            sharding = NamedSharding(mesh, _P("data"))
-        batch = device_put_batch(batch, getattr(ingestor.tokenizer, "vocab_size", 1 << 30),
-                                 sharding)
+            batch = device_put_batch(batch, vocab, NamedSharding(mesh, _P("data")))
+        elif len(_jax.devices()) == 1:
+            batch = device_put_batch(batch, vocab)
+        # else (multi-device, no mesh): keep the batch uncommitted host-side
+        # so an engine with its own device placement decides — committing to
+        # the default device would conflict or add per-batch copies
         return chunk, n_real, batch, aux, time.time() - t0
 
     # async input pipeline: batch N+1 ingests (and lands on device) on a

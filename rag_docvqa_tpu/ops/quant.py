@@ -253,9 +253,7 @@ def _segmax_int4_kernel(n_valid_ref, qlo_ref, qhi_ref, scale_ref, packed_ref,
 
     t = pl.program_id(0)
     n_valid = n_valid_ref[0]
-    b32 = packed_ref[:].astype(jnp.int32)
-    lo = jax.lax.shift_right_arithmetic(jax.lax.shift_left(b32, 28), 28).astype(jnp.int8)
-    hi = jax.lax.shift_right_arithmetic(jax.lax.shift_left(b32, 24), 28).astype(jnp.int8)
+    lo, hi = unpack_int4(packed_ref[:])  # pure jnp/lax — traceable in-kernel
     dot = lambda a, b: jax.lax.dot_general(
         a, b, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32)

@@ -62,7 +62,7 @@ class ShardedIndex:
         axis: str = "data",
         tile_n: int = 512,
         use_pallas: bool = True,
-        dtype: str = "f32",  # "f32" | "bf16" | "int8"
+        dtype: str = "f32",  # "f32" | "bf16" | "int8" | "int4"
     ) -> "ShardedIndex":
         """Normalize once, pad to shard x tile multiples, lay out over the mesh."""
         n, d = embeddings.shape
