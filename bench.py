@@ -81,6 +81,41 @@ def _time_min(call, reps: int, windows: int = 3) -> float:
     return best
 
 
+def _device_health_tflops() -> float:
+    """Attained bf16 MXU rate on an 8192^2 matmul (best of 6, scalar fetch)."""
+    a = jax.random.normal(jax.random.PRNGKey(0), (8192, 8192), dtype=jnp.bfloat16)
+    b = jax.random.normal(jax.random.PRNGKey(1), (8192, 8192), dtype=jnp.bfloat16)
+    mm = jax.jit(lambda a, b: (a @ b).sum())
+    _sync(mm(a, b))
+    best = float("inf")
+    for _ in range(6):
+        t0 = time.perf_counter()
+        _sync(mm(a, b))
+        best = min(best, time.perf_counter() - t0)
+    return 2 * 8192**3 / best / 1e12
+
+
+def _wait_for_healthy_device(min_tflops: float = 80.0, max_wait_s: float = 900.0):
+    """The tunneled chip has DEGRADED WINDOWS: hours-scale periods where the
+    SAME programs run uniformly 7-25x slower (measured back to back within
+    one hour: 8k bf16 matmul 150+ vs 29 TFLOP/s, 1 GB f32 reduction 230 vs
+    9.6 GB/s, two-phase 512k query 4.6 vs 31.5 ms). best-of-N windows dodge
+    transient stalls but not a persistent window, so a bench that starts
+    inside one would record the tunnel's state, not the framework's. Wait
+    (bounded) for a healthy probe; proceed regardless after max_wait_s and
+    let `device_health_tflops` in the detail record the chip state."""
+    import sys as _sys
+
+    t0 = time.perf_counter()
+    health = _device_health_tflops()
+    while health < min_tflops and time.perf_counter() - t0 < max_wait_s:
+        print(f"device degraded ({health:.0f} TFLOP/s bf16) — waiting for a "
+              "healthy window", file=_sys.stderr, flush=True)
+        time.sleep(60)
+        health = _device_health_tflops()
+    return health, time.perf_counter() - t0
+
+
 def main():
     from rag_docvqa_tpu.data import DocVQAIngestor, HashTokenizer
     from rag_docvqa_tpu.data.synthetic import make_corpus
@@ -95,6 +130,9 @@ def main():
 
     rng = np.random.RandomState(0)
     backend = jax.default_backend()
+    health_tflops, health_wait_s = (
+        _wait_for_healthy_device() if backend == "tpu" else (0.0, 0.0)
+    )
 
     # ---- end-to-end retrieve -> generate (t5-base VT5) ------------------------
     # FIRST on purpose: the decode's ~2.4 GB contiguous cross-KV needs a clean
@@ -631,6 +669,8 @@ def main():
                 "detail": {
                     "backend": backend,
                     "device": str(jax.devices()[0]),
+                    "device_health_tflops": round(health_tflops, 1),
+                    "device_health_wait_s": round(health_wait_s, 1),
                     "fused_ms_per_batch": round(fused_time * 1e3, 2),
                     "baseline_pages_per_sec": round(base_pages_per_sec, 1),
                     "n_pages": N_PAGES,
