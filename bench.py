@@ -659,6 +659,10 @@ def main():
     int8_2m_qps = N_QUERIES / int8_2m_time
     del iq2, isc2
 
+    # the chip can enter a degraded window MID-run; a closing probe makes
+    # that visible (start healthy + end degraded => later sections tainted)
+    health_end_tflops = _device_health_tflops() if backend == "tpu" else 0.0
+
     print(
         json.dumps(
             {
@@ -670,6 +674,7 @@ def main():
                     "backend": backend,
                     "device": str(jax.devices()[0]),
                     "device_health_tflops": round(health_tflops, 1),
+                    "device_health_end_tflops": round(health_end_tflops, 1),
                     "device_health_wait_s": round(health_wait_s, 1),
                     "fused_ms_per_batch": round(fused_time * 1e3, 2),
                     "baseline_pages_per_sec": round(base_pages_per_sec, 1),
