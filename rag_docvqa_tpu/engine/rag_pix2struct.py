@@ -27,7 +27,6 @@ from rag_docvqa_tpu.data.contract import RawDocument
 from rag_docvqa_tpu.models import pix2struct as p2s
 from rag_docvqa_tpu.ops.late_interaction import late_interaction
 from rag_docvqa_tpu.ops.patches import (
-    adaptive_normalize,
     divide_image_into_patches,
     extract_flattened_patches,
     pack_multi_image_patches,
@@ -183,19 +182,24 @@ class RAGPix2StructEngine:
 
         # chunks and questions share one (B*mc + B, T, F) array, filled in
         # place (no concat copy); token masks come from the row-id column
-        # (real patches have 1-based row ids, padding rows are all-zero)
+        # (real patches have 1-based row ids, padding rows are all-zero).
+        # Per-chunk scalar extraction with normalize=True (the fold through
+        # the resize) is deliberate: a stacked-batch variant measured ~6x
+        # SLOWER on host — the batch's hundreds-of-MB gather temps stream
+        # through DRAM while the per-image loop stays cache-resident
+        # (PERF.md §7, host-preprocessing paragraph)
         stacked = np.zeros((B * mc + B, T, F), np.float32)
         stacked_mask = np.zeros((B * mc + B, T), np.float32)
         chunk_valid = np.zeros((B, mc), bool)
         for b, (chunks, _, _, _) in enumerate(per_doc):
             n = n_per_doc[b]
             for i in range(n):
-                flat, _ = extract_flattened_patches(adaptive_normalize(chunks[i]), T, pad=True)
+                flat, _ = extract_flattened_patches(chunks[i], T, pad=True, normalize=True)
                 stacked[b * mc + i] = flat
                 stacked_mask[b * mc + i] = flat[:, 0] > 0
             chunk_valid[b, :n] = True
             q_img = render_text(questions[b])
-            q_flat, _ = extract_flattened_patches(adaptive_normalize(q_img), T, pad=True)
+            q_flat, _ = extract_flattened_patches(q_img, T, pad=True, normalize=True)
             stacked[B * mc + b] = q_flat
             stacked_mask[B * mc + b] = q_flat[:, 0] > 0
 

@@ -167,20 +167,48 @@ def _resize_weight_mat(in_size: int, out_size: int) -> np.ndarray:
     return (w / w.sum(axis=1, keepdims=True)).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=256)
+def _resize_weight_sparse(in_size: int, out_size: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(out, K) tap indices + weights of _resize_weight_mat's rows — the
+    triangle kernel touches only ~ceil(2·kscale)+1 inputs per output pixel,
+    so the dense (out, in) matmul wastes ~in/K the FLOPs. Measured on this
+    host: resize 2.9 -> 1.6 ms at (256,512)->(176,352) (the bench strip
+    shape) and 26 -> 8.5 ms at (1024,768)->(512,384) — the win grows with
+    image size because BLAS absorbs less of the waste at larger kscale."""
+    dense = _resize_weight_mat(in_size, out_size)
+    counts = (dense > 0).sum(axis=1)
+    K = max(int(counts.max()), 1)
+    idx = np.zeros((out_size, K), np.int64)
+    wgt = np.zeros((out_size, K), np.float32)
+    for o in range(out_size):
+        nz = np.nonzero(dense[o])[0]
+        idx[o, : nz.size] = nz
+        wgt[o, : nz.size] = dense[o, nz]
+    return idx, wgt
+
+
+def _resize_axis0_sparse(img: np.ndarray, out: int) -> np.ndarray:
+    """Resample axis 0 of (h, ...) via the K-tap sparse kernel."""
+    idx, wgt = _resize_weight_sparse(img.shape[0], out)
+    gathered = img[idx]  # (out, K, ...)
+    w = wgt.reshape(wgt.shape + (1,) * (img.ndim - 1))
+    return np.einsum("ok...,ok...->o...", w, gathered)
+
+
 def _resize_bilinear(image: np.ndarray, h: int, w: int) -> np.ndarray:
-    """Host resize, pure numpy. This runs in every engine's host
-    preprocessing loop; the previous jax.image.resize implementation
-    dispatched a device program PER CALL — on the tunneled TPU that is a
-    full RTT per page crop, which made the RAGPix2Struct host stage ~30x
-    slower than the device generate it feeds (BENCH r4: 0.49 docs/s)."""
+    """Host resize, pure numpy, antialiased-bilinear (same weights as
+    jax.image.resize(..., antialias=True)). This runs in every engine's host
+    preprocessing loop; a jax.image.resize implementation dispatched a device
+    program PER CALL — on the tunneled TPU that is a full RTT per page crop,
+    which made the RAGPix2Struct host stage ~30x slower than the device
+    generate it feeds. The K-tap sparse form replaced the dense weight-matrix
+    tensordot (see _resize_weight_sparse)."""
     img = image.astype(np.float32)
     ih, iw = img.shape[:2]
     if ih != h:
-        img = np.tensordot(_resize_weight_mat(ih, h), img, axes=(1, 0))
+        img = _resize_axis0_sparse(img, h)
     if iw != w:
-        img = np.moveaxis(
-            np.tensordot(_resize_weight_mat(iw, w), img, axes=(1, 1)), 0, 1
-        )
+        img = np.moveaxis(_resize_axis0_sparse(np.moveaxis(img, 1, 0), w), 0, 1)
     return img
 
 
@@ -192,21 +220,65 @@ def adaptive_normalize(image: np.ndarray) -> np.ndarray:
     return (image - mean) / std
 
 
+def _adaptive_moments(image: np.ndarray) -> Tuple[float, float]:
+    """(mean, std-with-floor) of adaptive_normalize, without materializing
+    the normalized image. uint8 inputs use exact histogram moments (one
+    cheap pass over 1-byte pixels instead of three over the f32 copy)."""
+    n = image.size
+    if image.dtype == np.uint8:
+        hist = np.bincount(image.reshape(-1), minlength=256).astype(np.float64)
+        vals = np.arange(256, dtype=np.float64)
+        mean = float(hist @ vals) / n
+        var = float(hist @ (vals - mean) ** 2) / n
+        std = math.sqrt(var)
+    else:
+        x = image.astype(np.float32)
+        mean = float(x.mean())
+        std = float(x.std())
+    return mean, max(std, 1.0 / math.sqrt(n))
+
+
+def patch_grid_shape(
+    h: int, w: int, max_patches: int, patch_size: int = 16
+) -> Tuple[int, int]:
+    """(rows, cols) of the Pix2Struct patch grid an (h, w) image resizes
+    into at a given patch budget — rows*cols <= max_patches by construction
+    (floor on both axes of the area-preserving scale). Pure function of the
+    shape, so packers can chain row offsets without extracting."""
+    scale = math.sqrt(max_patches * (patch_size / h) * (patch_size / w))
+    rows = max(min(math.floor(scale * h / patch_size), max_patches), 1)
+    cols = max(min(math.floor(scale * w / patch_size), max_patches), 1)
+    return rows, cols
+
+
 def extract_flattened_patches(
-    image: np.ndarray,  # (H, W, 3) float (normalized)
+    image: np.ndarray,  # (H, W, 3) float (normalized), or raw with normalize=True
     max_patches: int,
     patch_size: int = 16,
     row_offset: int = 0,
     pad: bool = True,
+    normalize: bool = False,
 ) -> Tuple[np.ndarray, int]:
     """Resize so ~max_patches fit, cut non-overlapping patch_size grid, prepend
-    (row, col) ids (1-based + row_offset). Returns ((N, 2 + 3*p*p), max_row)."""
+    (row, col) ids (1-based + row_offset). Returns ((N, 2 + 3*p*p), max_row).
+
+    normalize=True applies adaptive_normalize FOLDED THROUGH the resize:
+    the kernel rows sum to 1, so resize((x-m)/s) == (resize(x)-m)/s — the
+    affine runs on the ~2x-smaller resized image, the full-size normalized
+    f32 copy is never written, and uint8 inputs take an exact histogram
+    moment pass instead of three f32 passes. Fold + sparse resize together:
+    328 -> 249 ms per 64 bench strips vs the unfolded dense path (parity
+    1e-6; PERF.md §7)."""
     h, w = image.shape[:2]
-    scale = math.sqrt(max_patches * (patch_size / h) * (patch_size / w))
-    rows = max(min(math.floor(scale * h / patch_size), max_patches), 1)
-    cols = max(min(math.floor(scale * w / patch_size), max_patches), 1)
+    rows, cols = patch_grid_shape(h, w, max_patches, patch_size)
     rh, rw = max(rows * patch_size, 1), max(cols * patch_size, 1)
-    image = _resize_bilinear(image, rh, rw)
+    if normalize:
+        mean, std = _adaptive_moments(image)
+        image = _resize_bilinear(image, rh, rw)
+        image -= mean
+        image /= std
+    else:
+        image = _resize_bilinear(image, rh, rw)
 
     x = image.reshape(rows, patch_size, cols, patch_size, 3)
     x = x.transpose(0, 2, 1, 3, 4).reshape(rows * cols, patch_size * patch_size * 3)
@@ -244,10 +316,9 @@ def pack_multi_image_patches(
     out = []
     row_offset = 0
     for img in images:
-        if normalize:
-            img = adaptive_normalize(img)
         patches, row_offset = extract_flattened_patches(
-            img, per_image, patch_size=patch_size, row_offset=row_offset, pad=False
+            img, per_image, patch_size=patch_size, row_offset=row_offset,
+            pad=False, normalize=normalize,
         )
         out.append(patches)
     cat = np.concatenate(out, axis=0)
@@ -259,7 +330,6 @@ def pack_multi_image_patches(
         cat = cat[:max_total_patches]
     mask = (np.abs(cat).sum(axis=-1) != 0).astype(np.float32)
     return cat, mask
-
 
 # --------------------------------------------------------------------------- #
 # text rendering (question header / question-as-image)

@@ -77,6 +77,57 @@ def test_adaptive_normalize():
     assert np.allclose(out, 0.0)  # std floor prevents div-by-zero
 
 
+def test_normalize_fold_matches_unfolded():
+    """extract_flattened_patches(normalize=True) folds adaptive_normalize
+    through the (row-stochastic) resize kernel: resize((x-m)/s) ==
+    (resize(x)-m)/s with moments taken on the FULL-SIZE image, so the
+    full-size normalized copy is never materialized. Must match the
+    unfolded normalize-then-extract composition the reference computes
+    (custom_pix2struct_processor.py:33-132 after its normalize)."""
+    from rag_docvqa_tpu.ops.patches import patch_grid_shape
+
+    rng = np.random.RandomState(3)
+    # uint8 input like real page renders; odd non-multiple-of-16 size
+    for shape in [(70, 122, 3), (256, 512, 3)]:
+        img = rng.randint(0, 255, shape, np.uint8)
+        unfolded, row_u = extract_flattened_patches(
+            adaptive_normalize(img), max_patches=24, pad=True
+        )
+        folded, row_f = extract_flattened_patches(img, 24, pad=True, normalize=True)
+        np.testing.assert_allclose(folded, unfolded, rtol=1e-4, atol=1e-5)
+        assert row_u == row_f
+        # grid-shape helper agrees with the extractor's id columns
+        rows, cols = patch_grid_shape(shape[0], shape[1], 24)
+        assert rows == row_u and cols == int(unfolded[:, 1].max())
+        assert rows * cols <= 24
+
+    # float input takes the non-histogram moment path
+    fimg = rng.rand(64, 80, 3).astype(np.float32) * 11.0
+    a, _ = extract_flattened_patches(adaptive_normalize(fimg), 16, pad=True)
+    b, _ = extract_flattened_patches(fimg, 16, pad=True, normalize=True)
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+    # multi-image pack routes normalize through the fold: parity vs the
+    # explicit normalize-first composition (header stacking changes the
+    # first image's moments, so normalize must happen AFTER stacking)
+    docs = [rng.randint(0, 255, (64, 96, 3), np.uint8),
+            rng.randint(0, 255, (40, 64, 3), np.uint8)]
+    header = render_text("q?")
+    packed, mask = pack_multi_image_patches(docs, 48, normalize=True, header=header)
+    from rag_docvqa_tpu.ops.patches import stack_header
+
+    imgs = [stack_header(header, docs[0]), docs[1]]
+    out, off = [], 0
+    for im in imgs:
+        p, off = extract_flattened_patches(adaptive_normalize(im), 48 // 2,
+                                           row_offset=off, pad=False)
+        out.append(p)
+    cat = np.concatenate(out)
+    np.testing.assert_allclose(packed[: cat.shape[0]], cat, rtol=1e-4, atol=1e-5)
+    assert np.all(packed[cat.shape[0]:] == 0)
+    np.testing.assert_array_equal(mask, (np.abs(packed).sum(-1) != 0).astype(np.float32))
+
+
 def test_render_text_deterministic():
     a = render_text("what is the total?")
     b = render_text("what is the total?")
