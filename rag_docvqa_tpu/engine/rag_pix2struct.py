@@ -92,6 +92,19 @@ class RAGPix2StructEngine:
             from dataclasses import replace as _replace
 
             p2s_cfg = _replace(p2s_cfg, vision=_replace(p2s_cfg.vision, flash_encoder=True))
+        # patch-transfer dtype: with bf16 weights vision_encode casts host
+        # patches to bf16 on device anyway, so shipping f16 halves the
+        # dominant host->device transfer (~107 MB/batch f32 at the bench
+        # retrieval shapes on the tunneled TPU). f16 keeps 3 more mantissa
+        # bits than bf16, so the double rounding perturbs each pixel by at
+        # most half a bf16 ulp — the same noise class as the bf16 cast the
+        # tower already performs; row/col ids stay exact as long as they
+        # fit f16's 2048 integer range, guaranteed because the row-offset
+        # chain is bounded by the patch budget. f32 weights (tests / CPU
+        # parity) keep exact f32 transfers.
+        bf16_weights = params["vision"]["patch_proj"]["kernel"].dtype == jnp.bfloat16
+        budgets_ok = max(cfg.max_total_patches, cfg.patches_per_chunk) <= 2048
+        self._xfer = np.float16 if (bf16_weights and budgets_ok) else np.float32
         self.cfg = cfg
         self.p2s_cfg = p2s_cfg
         self.params = params
@@ -204,7 +217,11 @@ class RAGPix2StructEngine:
             stacked_mask[B * mc + b] = q_flat[:, 0] > 0
 
         # one dispatch: all docs' chunks + all questions through the encoder
-        emb = _encode_patch_sets(self.params, self.p2s_cfg, jnp.asarray(stacked), jnp.asarray(stacked_mask))
+        emb = _encode_patch_sets(
+            self.params, self.p2s_cfg,
+            jnp.asarray(stacked.astype(self._xfer, copy=False)),
+            jnp.asarray(stacked_mask),
+        )
         patch_emb = emb[: B * mc].reshape(B, mc, T, -1)
         q_emb = emb[B * mc :]
         tok_mask = stacked_mask[: B * mc].reshape(B, mc, T)
@@ -276,7 +293,7 @@ class RAGPix2StructEngine:
             all_patches.append(flat)
             all_masks.append(mask)
 
-        patches = jnp.asarray(np.stack(all_patches))
+        patches = jnp.asarray(np.stack(all_patches).astype(self._xfer, copy=False))
         masks = jnp.asarray(np.stack(all_masks))
         tokens, conf = _generate_device(self.params, self.p2s_cfg, patches, masks, cfg.max_new_tokens)
         answers = self._decode(tokens)
@@ -299,7 +316,7 @@ class RAGPix2StructEngine:
             )
             flats.append(flat)
             masks.append(mask)
-        patches = jnp.asarray(np.stack(flats))
+        patches = jnp.asarray(np.stack(flats).astype(self._xfer, copy=False))
         m = jnp.asarray(np.stack(masks))
         tokens, conf = _generate_device(self.params, self.p2s_cfg, patches, m, cfg.max_new_tokens)
         conf = np.asarray(conf)

@@ -216,6 +216,45 @@ def test_rag_pix2struct_engine_end_to_end(p2s_params):
     assert isinstance(ans, str) and 0 <= conf <= 1 + 1e-6
 
 
+def test_f16_patch_transfer_gate_and_parity(p2s_params):
+    """bf16-weight engines ship patches f16 (half the dominant transfer);
+    f32-weight engines keep exact f32. With bf16 weights the f16 path's
+    answers/pages match the f32-transfer path on the same weights — the
+    double rounding stays inside the bf16 noise the tower adds anyway."""
+    from rag_docvqa_tpu.data import HashTokenizer
+    from rag_docvqa_tpu.data.contract import RawDocument
+    from rag_docvqa_tpu.engine.rag_pix2struct import P2SRAGConfig, RAGPix2StructEngine
+
+    cfg = P2SRAGConfig(chunk_num=3, image_patch_size=96, patches_per_chunk=24,
+                       max_chunks=16, max_total_patches=64, max_new_tokens=3)
+    tok = HashTokenizer(vocab_size=300)
+    # f32 weights -> exact f32 transfers (the parity-test configuration)
+    eng32 = RAGPix2StructEngine(cfg, TINY_P2S, p2s_params, tok)
+    assert eng32._xfer == np.float32
+
+    bf16_params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, p2s_params)
+    eng16 = RAGPix2StructEngine(cfg, TINY_P2S, bf16_params, tok)
+    assert eng16._xfer == np.float16
+    # oversized budgets would overflow f16's exact-integer row ids -> f32
+    big = P2SRAGConfig(chunk_num=3, max_total_patches=4096)
+    assert RAGPix2StructEngine(big, TINY_P2S, bf16_params, tok)._xfer == np.float32
+
+    rng = np.random.RandomState(3)
+    docs = [
+        RawDocument(question=f"what is item {i}?", words=[[]], boxes=[[]], answers=["x"],
+                    images=[rng.randint(0, 255, (200, 160, 3), np.uint8) for _ in range(2)])
+        for i in range(2)
+    ]
+    out16 = eng16.inference(docs)
+    eng16._xfer = np.float32  # same bf16 weights, f32 transfers
+    out32 = eng16.inference(docs)
+    assert out16["pred_answers"] == out32["pred_answers"]
+    assert out16["pred_answer_pages"] == out32["pred_answer_pages"]
+    np.testing.assert_allclose(out16["confidences"], out32["confidences"],
+                               rtol=2e-2, atol=1e-3)
+
+
 # ---------------------------------------------------------------------- #
 # layout-region ImageChunker mode (src/_modules.py:1246-1305,1379-1394)
 # ---------------------------------------------------------------------- #
