@@ -201,7 +201,9 @@ class RAGPix2StructEngine:
         # SLOWER on host — the batch's hundreds-of-MB gather temps stream
         # through DRAM while the per-image loop stays cache-resident
         # (PERF.md §7, host-preprocessing paragraph)
-        stacked = np.zeros((B * mc + B, T, F), np.float32)
+        # allocated straight in the wire dtype (see __init__._xfer): each
+        # row-write casts once, so no whole-array astype pass before transfer
+        stacked = np.zeros((B * mc + B, T, F), self._xfer)
         stacked_mask = np.zeros((B * mc + B, T), np.float32)
         chunk_valid = np.zeros((B, mc), bool)
         for b, (chunks, _, _, _) in enumerate(per_doc):
@@ -218,9 +220,7 @@ class RAGPix2StructEngine:
 
         # one dispatch: all docs' chunks + all questions through the encoder
         emb = _encode_patch_sets(
-            self.params, self.p2s_cfg,
-            jnp.asarray(stacked.astype(self._xfer, copy=False)),
-            jnp.asarray(stacked_mask),
+            self.params, self.p2s_cfg, jnp.asarray(stacked), jnp.asarray(stacked_mask)
         )
         patch_emb = emb[: B * mc].reshape(B, mc, T, -1)
         q_emb = emb[B * mc :]
