@@ -1,6 +1,7 @@
 """Image patch math for the Pix2Struct visual path.
 
-Host-side ports (pure numpy + jax.image.resize, no torch):
+Host-side ports (pure numpy — no torch, and no per-call device dispatches;
+see _resize_bilinear for why resize must stay on host):
   * divide_image_into_patches — ImageChunker patch grids
     (src/_modules.py:1146-1244: square / horizontal / page modes with
     half-patch overlap and edge re-alignment)
