@@ -30,6 +30,7 @@ from __future__ import annotations
 import functools
 import json
 import time
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -81,18 +82,45 @@ def _time_min(call, reps: int, windows: int = 3) -> float:
     return best
 
 
-def _device_health_tflops() -> float:
-    """Attained bf16 MXU rate on an 8192^2 matmul (best of 6, scalar fetch)."""
+def _device_health_tflops() -> Tuple[float, float]:
+    """(attained bf16 MXU TFLOP/s, per-dispatch overhead ms), RTT-cancelled.
+
+    Times a 4-chain and a 12-chain of 8192^2 bf16 matmuls (single dispatch
+    each, tiny tap fetched) and reports the MARGINAL rate over the extra 8
+    matmuls — the difference cancels the tunnel's dispatch+fetch overhead.
+    The previous single-matmul probe divided ~7 ms of MXU work by
+    (work + RTT): in a window where dispatch overhead inflated to ~20 ms it
+    read 32 "TFLOP/s" while the marginal rate was 189 and every bench
+    section (100s-of-ms programs, reps pipelined before one sync) measured
+    healthy — a 15-minute false-negative wait. Windows that slow the device
+    itself still read slow here; RTT-only windows no longer do. The
+    dispatch overhead rides along as taint info for the few reps=1
+    sections whose programs run <100 ms."""
     a = jax.random.normal(jax.random.PRNGKey(0), (8192, 8192), dtype=jnp.bfloat16)
     b = jax.random.normal(jax.random.PRNGKey(1), (8192, 8192), dtype=jnp.bfloat16)
-    mm = jax.jit(lambda a, b: (a @ b).sum())
-    _sync(mm(a, b))
-    best = float("inf")
-    for _ in range(6):
-        t0 = time.perf_counter()
-        _sync(mm(a, b))
-        best = min(best, time.perf_counter() - t0)
-    return 2 * 8192**3 / best / 1e12
+
+    def chain(n):
+        def f(a, b):
+            x = a
+            for _ in range(n):
+                x = x @ b
+            return x[0, :8].astype(jnp.float32)
+        return jax.jit(f)
+
+    times = {}
+    for n in (4, 12):
+        f = chain(n)
+        _sync(f(a, b))
+        best = float("inf")
+        for _ in range(6):
+            t0 = time.perf_counter()
+            _sync(f(a, b))
+            best = min(best, time.perf_counter() - t0)
+        times[n] = best
+    marginal = max(times[12] - times[4], 1e-6)
+    tflops = 8 * 2 * 8192**3 / marginal / 1e12
+    dispatch_ms = max(times[4] - 4 * 2 * 8192**3 / (tflops * 1e12), 0.0) * 1e3
+    return tflops, dispatch_ms
 
 
 def _wait_for_healthy_device(min_tflops: float = 80.0, max_wait_s: float = 900.0):
@@ -107,13 +135,14 @@ def _wait_for_healthy_device(min_tflops: float = 80.0, max_wait_s: float = 900.0
     import sys as _sys
 
     t0 = time.perf_counter()
-    health = _device_health_tflops()
+    health, dispatch_ms = _device_health_tflops()
     while health < min_tflops and time.perf_counter() - t0 < max_wait_s:
-        print(f"device degraded ({health:.0f} TFLOP/s bf16) — waiting for a "
-              "healthy window", file=_sys.stderr, flush=True)
+        print(f"device degraded ({health:.0f} TFLOP/s bf16 marginal, "
+              f"{dispatch_ms:.0f} ms/dispatch) — waiting for a healthy window",
+              file=_sys.stderr, flush=True)
         time.sleep(60)
-        health = _device_health_tflops()
-    return health, time.perf_counter() - t0
+        health, dispatch_ms = _device_health_tflops()
+    return health, dispatch_ms, time.perf_counter() - t0
 
 
 def main():
@@ -130,8 +159,8 @@ def main():
 
     rng = np.random.RandomState(0)
     backend = jax.default_backend()
-    health_tflops, health_wait_s = (
-        _wait_for_healthy_device() if backend == "tpu" else (0.0, 0.0)
+    health_tflops, dispatch_ms, health_wait_s = (
+        _wait_for_healthy_device() if backend == "tpu" else (0.0, 0.0, 0.0)
     )
 
     # ---- end-to-end retrieve -> generate (t5-base VT5) ------------------------
@@ -674,7 +703,8 @@ def main():
 
     # the chip can enter a degraded window MID-run; a closing probe makes
     # that visible (start healthy + end degraded => later sections tainted)
-    health_end_tflops = _device_health_tflops() if backend == "tpu" else 0.0
+    health_end_tflops, dispatch_end_ms = (
+        _device_health_tflops() if backend == "tpu" else (0.0, 0.0))
 
     print(
         json.dumps(
@@ -688,6 +718,8 @@ def main():
                     "device": str(jax.devices()[0]),
                     "device_health_tflops": round(health_tflops, 1),
                     "device_health_end_tflops": round(health_end_tflops, 1),
+                    "device_dispatch_ms": round(dispatch_ms, 1),
+                    "device_dispatch_end_ms": round(dispatch_end_ms, 1),
                     "device_health_wait_s": round(health_wait_s, 1),
                     "fused_ms_per_batch": round(fused_time * 1e3, 2),
                     "baseline_pages_per_sec": round(base_pages_per_sec, 1),
