@@ -117,7 +117,14 @@ def _device_health_tflops() -> Tuple[float, float]:
             _sync(f(a, b))
             best = min(best, time.perf_counter() - t0)
         times[n] = best
-    marginal = max(times[12] - times[4], 1e-6)
+    marginal = times[12] - times[4]
+    if marginal <= 0.1 * times[4]:
+        # A 12-chain cannot legitimately cost less than ~3x a 4-chain of the
+        # same matmul: an inverted/compressed pair means timing noise swamped
+        # the probe (exactly the unstable windows the gate exists to detect).
+        # Report "indeterminate, unhealthy" so the caller re-measures instead
+        # of clamping the marginal to 1e-6 and reading ~9e6 "TFLOP/s".
+        return 0.0, times[4] * 1e3
     tflops = 8 * 2 * 8192**3 / marginal / 1e12
     dispatch_ms = max(times[4] - 4 * 2 * 8192**3 / (tflops * 1e12), 0.0) * 1e3
     return tflops, dispatch_ms

@@ -404,5 +404,11 @@ def _merge_overlapping(surround, xyxy, coords, images) -> List[np.ndarray]:
             x2 = max(r[2] for r in cluster)
             y2 = max(r[3] for r in cluster)
             img = np.asarray(images[page_idx])
-            crops.append(img[int(y1) : int(y2), int(x1) : int(x2)])
+            # clamp to >=1px: a degenerate (zero-area) union would otherwise
+            # flow an empty crop into patch_grid_shape, which rejects it
+            y2 = min(max(int(y2), int(y1) + 1), img.shape[0])
+            x2 = min(max(int(x2), int(x1) + 1), img.shape[1])
+            y1 = min(int(y1), y2 - 1)
+            x1 = min(int(x1), x2 - 1)
+            crops.append(img[y1:y2, x1:x2])
     return crops

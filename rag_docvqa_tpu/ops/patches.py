@@ -246,6 +246,8 @@ def patch_grid_shape(
     into at a given patch budget — rows*cols <= max_patches by construction
     (floor on both axes of the area-preserving scale). Pure function of the
     shape, so packers can chain row offsets without extracting."""
+    if h < 1 or w < 1:
+        raise ValueError(f"patch_grid_shape needs a non-empty image, got h={h} w={w}")
     scale = math.sqrt(max_patches * (patch_size / h) * (patch_size / w))
     rows = max(min(math.floor(scale * h / patch_size), max_patches), 1)
     cols = max(min(math.floor(scale * w / patch_size), max_patches), 1)

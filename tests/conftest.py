@@ -23,7 +23,38 @@ jax.config.update("jax_enable_x64", False)
 # clock compiling (the 15 slowest tests are all first-compile dominated —
 # 25 min cold vs minutes warm). Cache survives across runs in the repo's
 # .pytest_cache; delete it to force cold compiles.
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), ".xla_cache"))
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), ".xla_cache")
+
+
+def _evict_corrupt_cache_entries(cache_dir: str) -> None:
+    """jax's file-system cache writes entries NON-atomically
+    (lru_cache.put -> Path.write_bytes, no temp+rename), so a run killed
+    mid-write leaves a truncated file — and XLA's executable deserializer
+    ABORTS the whole interpreter on first use of such an entry (observed
+    once at 85% of a full suite run: fatal abort inside
+    compilation_cache.get_executable_and_time). Validate each entry's
+    compressed container up front with jax's own decompressor and evict
+    failures, so a bad entry costs one recompile instead of the run."""
+    import pathlib
+
+    try:
+        from jax._src.compilation_cache import decompress_executable
+    except ImportError:  # private API moved: fall back to no validation
+        return
+    for p in pathlib.Path(cache_dir).glob("*cache*"):
+        if not p.is_file():
+            continue
+        try:
+            decompress_executable(p.read_bytes())
+        except Exception:
+            p.unlink(missing_ok=True)
+
+
+_evict_corrupt_cache_entries(_CACHE_DIR)
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# Belt-and-braces: cache read/write errors that DO surface as Python
+# exceptions should log-and-recompile, never raise (default in jax 0.9,
+# pinned here so a version bump can't flip it).
+jax.config.update("jax_raise_persistent_cache_errors", False)
