@@ -182,7 +182,8 @@ def cmd_query(args):
     mesh = create_mesh((len(jax.devices()), 1), ("data", "model"))
     index = ShardedIndex.build(jnp.asarray(embeddings), mesh, tile_n=args.tile_n,
                                use_pallas=jax.default_backend() == "tpu",
-                               dtype=args.index_dtype)
+                               dtype=args.index_dtype,
+                               refine=args.refine and args.index_dtype in ("int8", "int4"))
 
     ids = tokenizer.encode(args.question)[:64]
     q = np.zeros((1, 64), np.int32)
@@ -230,6 +231,12 @@ def main(argv=None):
                          help="resident index precision: bf16 halves HBM, int8 "
                               "quarters it (~98%% top-10 agreement), int4 is the "
                               "8x capacity extreme (agreement corpus-dependent)")
+    p_query.add_argument("--refine", action="store_true",
+                         help="int8/int4: keep the npz's full-precision rows in "
+                              "host RAM and rescore the device's exact-quantized "
+                              "top-k' shortlist per query — top-10 agreement "
+                              "becomes shortlist recall (~0.998 at k'=48) "
+                              "instead of quantized ordering (~0.78 for int4)")
     p_query.add_argument("overrides", nargs="*")
 
     for p in (p_index, p_query, p_lay):

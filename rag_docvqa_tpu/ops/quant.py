@@ -338,3 +338,143 @@ def cosine_topk_int4_auto(index_p, index_scale, queries, n_valid, k: int, tile_n
     if jax.default_backend() != "tpu" or queries.shape[0] <= 16 or index_p.shape[0] % tile_n != 0:
         return cosine_topk_int4(index_p, index_scale, queries, n_valid, k)
     return cosine_topk_int4_twophase(index_p, index_scale, queries, n_valid, k, tile_n=tile_n)
+
+
+# --------------------------------------------------------------------------- #
+# refined int4: device shortlist + host full-precision rescore
+# --------------------------------------------------------------------------- #
+# Pure int4 residency cannot order the top-10 on worst-case random data: 15
+# levels leave a per-score error ~0.10 sigma_elem, and the top of a 512k-score
+# distribution is denser than that, so agreement plateaus ~0.73-0.81 no matter
+# the quantizer (design study, PERF.md §1: per-row amax 0.730, p99 clip 0.786,
+# per-group-32 scales 0.8125, Lloyd-max-15 codebook 0.783). What int4 IS good
+# at is the SHORTLIST: the true top-10 sits inside the int4 top-40 with
+# recall 0.998+ (measured, same study), because rank displacement — unlike
+# exact order — only needs the error to be small vs the rank-40 score gap.
+#
+# The refined query therefore keeps the 8x-capacity int4 index in HBM for the
+# corpus stream (the expensive part), takes the EXACT int4 top-k' (the
+# existing two-phase kernel at k=k'), and rescores those k' candidates per
+# query on the HOST against the builder's full-precision matrix — which the
+# index builder always has (precompute.py writes it to the .npz), lives in
+# host RAM where capacity is cheap, and costs only k'/N of its bytes per
+# query (~19 MB gather per 256-query batch at k'=48 vs the 805 MB the device
+# would need resident). `refined_query_batches` pipelines the host rescore of
+# batch i under the device shortlist of batch i+1 (dispatch is async), so
+# throughput is max(device, host), not the sum.
+
+
+def normalize_host_rows(host_rows: "np.ndarray") -> "np.ndarray":
+    """Pre-normalize the rescore source ONCE at build time. Per-query row
+    normalization measured 18 ms/256-query batch (3 extra passes over the
+    37 MB gather); pre-normalized f32 rows bring the whole rescore to
+    ~8 ms. f32 over f16 is deliberate: the f16->f32 astype of the gathered
+    block alone measured 25 ms (numpy converts at ~1.5 GB/s) while the f32
+    gather costs 6.8 ms — host RAM is the cheap resource here."""
+    import numpy as np
+
+    rows = np.asarray(host_rows, np.float32)
+    return rows / np.maximum(np.linalg.norm(rows, axis=1, keepdims=True), 1e-12)
+
+
+def cosine_topk_int4_refined(
+    index_p: jax.Array,  # (N, D/2) int8 packed nibbles (device)
+    index_scale: jax.Array,  # (N, 1) f32 (device)
+    queries,  # (B, D) f32 unnormalized (host or device)
+    n_valid,
+    k: int,
+    host_rows: "np.ndarray",  # (N, D) float — full-precision rescore source
+    kprime: int = 48,
+    rows_normalized: bool = False,
+):
+    """Two-stage top-k: exact-int4 shortlist of k' candidates on device, then
+    exact cosine rescore of the gathered candidates on host. Top-10 agreement
+    vs the exact f32 index is bounded by shortlist recall (~0.998 worst-case
+    random at k'=48, N=512k) instead of int4 ordering (~0.78)."""
+    import numpy as np
+
+    vals, idx, valid = cosine_topk_int4_auto(
+        index_p, index_scale, queries, n_valid, kprime)
+    return _rescore_host(np.asarray(idx), np.asarray(valid),
+                         np.asarray(queries), host_rows, k,
+                         rows_normalized=rows_normalized)
+
+
+def _rescore_host(idx, valid, queries, host_rows, k: int,
+                  rows_normalized: bool = False):
+    """Host stage: gather (B, k') candidate rows, exact cosine, final top-k.
+    Ties break toward the lower index (matching masked_topk's stable
+    jax.lax.top_k order after candidates are index-sorted). Hot path
+    (rows_normalized f32 source): gather 6.8 ms + batched matmul 1.4 ms per
+    (B=256, k'=48) batch — see normalize_host_rows for the measured variants."""
+    import numpy as np
+
+    B, kprime = idx.shape
+    qn = queries.astype(np.float32)
+    qn /= np.maximum(np.linalg.norm(qn, axis=1, keepdims=True), 1e-12)
+    # sort candidates by index so equal scores resolve to the lower index,
+    # like the flat path's stable top_k over an index-ordered score row
+    order = np.argsort(idx, axis=1, kind="stable")
+    idx = np.take_along_axis(idx, order, axis=1)
+    valid = np.take_along_axis(valid, order, axis=1)
+    rows = host_rows[idx.reshape(-1)]
+    if rows.dtype != np.float32:
+        rows = rows.astype(np.float32)
+    rows = rows.reshape(B, kprime, -1)
+    if not rows_normalized:
+        rows = rows / np.maximum(np.linalg.norm(rows, axis=2, keepdims=True), 1e-12)
+    scores = np.matmul(rows, qn[:, :, None])[..., 0]
+    scores = np.where(valid, scores, NEG_INF)
+    part = np.argpartition(-scores, min(k, kprime - 1), axis=1)[:, :k]
+    pvals = np.take_along_axis(scores, part, axis=1)
+    order2 = np.argsort(-pvals, axis=1, kind="stable")
+    pos = np.take_along_axis(part, order2, axis=1)
+    out_vals = np.take_along_axis(scores, pos, axis=1)
+    out_idx = np.take_along_axis(idx, pos, axis=1)
+    out_valid = out_vals > NEG_INF / 2
+    return (out_vals.astype(np.float32),
+            out_idx.astype(np.int32),
+            out_valid)
+
+
+def refined_query_batches(
+    index_p: jax.Array,
+    index_scale: jax.Array,
+    query_batches,  # iterable of (B, D) f32 host arrays
+    n_valid,
+    k: int,
+    host_rows: "np.ndarray",
+    kprime: int = 48,
+    rows_normalized: bool = False,
+):
+    """Pipelined refined queries: the device shortlist for batch i+1 is
+    dispatched (async) before the host rescores batch i, so the host gather/
+    GEMM hides under the device stream. Yields (vals, idx, valid) per batch."""
+    import numpy as np
+
+    def _dispatch(q):
+        handles = cosine_topk_int4_auto(index_p, index_scale, q, n_valid, kprime)
+        # start the device->host copies now (they queue behind the compute):
+        # the later np.asarray then finds the bytes already landed instead of
+        # paying a fresh fetch round-trip per batch
+        for h in handles:
+            try:
+                h.copy_to_host_async()
+            except AttributeError:  # non-array (tracer/CPU fallback paths)
+                pass
+        return handles
+
+    pending = None  # (device handles, host queries)
+    for q in query_batches:
+        handles = _dispatch(q)
+        if pending is not None:
+            (pv, pi, pvd), pq = pending
+            yield _rescore_host(np.asarray(pi), np.asarray(pvd),
+                                np.asarray(pq), host_rows, k,
+                                rows_normalized=rows_normalized)
+        pending = (handles, q)
+    if pending is not None:
+        (pv, pi, pvd), pq = pending
+        yield _rescore_host(np.asarray(pi), np.asarray(pvd),
+                            np.asarray(pq), host_rows, k,
+                            rows_normalized=rows_normalized)

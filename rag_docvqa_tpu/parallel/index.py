@@ -53,6 +53,13 @@ class ShardedIndex:
     # B > ~16 on TPU; on-TPU adjacent ranks may swap within float-accumulation
     # epsilon — see ops/topk.py)
     kernel: str = "merge"
+    # refined int4 tier: full-precision rows in HOST RAM. The device keeps
+    # only the 8x-capacity int4 stream; queries take the exact-int4 top-k'
+    # shortlist on device and rescore those k' rows per query on host —
+    # top-10 agreement becomes shortlist recall (~0.998 at k'=48) instead of
+    # int4 ordering (~0.78). See ops/quant.py refined-int4 block.
+    host_rows: Optional["object"] = None  # np.ndarray (n_valid, D) float
+    refine_kprime: int = 48
 
     # ------------------------------------------------------------------ #
     @staticmethod
@@ -63,6 +70,12 @@ class ShardedIndex:
         tile_n: int = 512,
         use_pallas: bool = True,
         dtype: str = "f32",  # "f32" | "bf16" | "int8" | "int4"
+        refine: bool = False,  # int4/int8: keep host rows + rescore queries
+        refine_dtype: str = "float32",  # host-copy precision. f32 default:
+        # the f16->f32 astype of the gathered block costs 25 ms/batch vs the
+        # 6.8 ms f32 gather (ops/quant.py::normalize_host_rows) — pass
+        # "float16" only when host RAM is the binding constraint
+        refine_kprime: int = 48,
     ) -> "ShardedIndex":
         """Normalize once, pad to shard x tile multiples, lay out over the mesh."""
         n, d = embeddings.shape
@@ -72,6 +85,8 @@ class ShardedIndex:
         sharding = NamedSharding(mesh, P(axis, None))
 
         if dtype in ("int8", "int4"):
+            import numpy as np
+
             from rag_docvqa_tpu.ops.quant import quantize_rows, quantize_rows_int4
 
             qfn = quantize_rows_int4 if dtype == "int4" else quantize_rows
@@ -85,9 +100,16 @@ class ShardedIndex:
                 )
 
             q, s = _prepare_q(embeddings)
+            host_rows = None
+            if refine:
+                from rag_docvqa_tpu.ops.quant import normalize_host_rows
+
+                host_rows = normalize_host_rows(
+                    np.asarray(jax.device_get(embeddings))).astype(refine_dtype)
             return ShardedIndex(
                 embeddings=q, scales=s, n_valid=n, mesh=mesh, axis=axis,
                 tile_n=tile_n, use_pallas=False, packed=dtype == "int4",
+                host_rows=host_rows, refine_kprime=refine_kprime,
             )
 
         out_dtype = jnp.bfloat16 if dtype == "bf16" else jnp.float32
@@ -114,6 +136,23 @@ class ShardedIndex:
         (unpadded) row space, sorted descending, replicated on every device.
         """
         if self.scales is not None:
+            if self.host_rows is not None:
+                import numpy as np
+
+                from rag_docvqa_tpu.ops.quant import _rescore_host
+
+                # per-shard top-k' caps at the shard length (the merge then
+                # covers the global top-k' by the usual per-shard argument)
+                shard_len = self.embeddings.shape[0] // self.mesh.shape[self.axis]
+                kprime = max(min(self.refine_kprime, self.n_valid, shard_len), k)
+                sv, si, sok = _sharded_query_quant(
+                    self.embeddings, self.scales, queries,
+                    mesh=self.mesh, axis=self.axis, n_valid=self.n_valid,
+                    k=kprime, packed=self.packed,
+                )
+                return _rescore_host(np.asarray(si), np.asarray(sok),
+                                     np.asarray(queries), self.host_rows, k,
+                                     rows_normalized=True)
             return _sharded_query_quant(
                 self.embeddings, self.scales, queries,
                 mesh=self.mesh, axis=self.axis, n_valid=self.n_valid, k=k,

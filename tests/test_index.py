@@ -150,3 +150,41 @@ def test_int4_sharded_index(mesh):
                        for b in range(4)])
     assert overlap >= 0.6, overlap
     assert np.asarray(ok).all()
+
+
+def test_int4_refined_sharded_index_exact(mesh):
+    """dtype='int4' + refine: the host full-precision rescore of the sharded
+    int4 shortlist reproduces the exact single-device top-k. k' saturates at
+    the shard length (128 here), an eighth of the index — far beyond any
+    plausible int4 rank displacement for k=7 at N=1024, so the comparison is
+    exact including tie order (fixed seed pins it)."""
+    rng = np.random.RandomState(22)
+    emb = jnp.asarray(rng.randn(1024, 64).astype(np.float32))
+    q = jnp.asarray(rng.randn(6, 64).astype(np.float32))
+    idx4 = ShardedIndex.build(emb, mesh, tile_n=64, dtype="int4",
+                              refine=True, refine_dtype="float32",
+                              refine_kprime=1024)
+    assert idx4.host_rows is not None and idx4.host_rows.shape == (1024, 64)
+    vals, i4, ok = idx4.query(q, 7)
+    ev, ei, _ = single_device_query(emb, q, 7)
+    np.testing.assert_array_equal(np.asarray(i4), np.asarray(ei))
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ev), atol=3e-6)
+    assert np.asarray(ok).all()
+
+
+def test_int4_refined_sharded_realistic_kprime(mesh):
+    """Realistic shortlist (k'=48): refined agreement must beat raw int4 on
+    worst-case random data and clear 0.95."""
+    rng = np.random.RandomState(23)
+    emb = jnp.asarray(rng.randn(8192, 128).astype(np.float32))
+    q = jnp.asarray(rng.randn(8, 128).astype(np.float32))
+    refined = ShardedIndex.build(emb, mesh, tile_n=128, dtype="int4", refine=True)
+    raw = ShardedIndex.build(emb, mesh, tile_n=128, dtype="int4")
+    _, ir, _ = refined.query(q, 10)
+    _, i4, _ = raw.query(q, 10)
+    _, ei, _ = single_device_query(emb, q, 10)
+    ir, i4, ei = np.asarray(ir), np.asarray(i4), np.asarray(ei)
+    ref_agree = np.mean([len(set(ir[b]) & set(ei[b])) / 10 for b in range(8)])
+    raw_agree = np.mean([len(set(i4[b]) & set(ei[b])) / 10 for b in range(8)])
+    assert ref_agree >= 0.95, (ref_agree, raw_agree)
+    assert ref_agree >= raw_agree

@@ -171,3 +171,85 @@ def test_int4_top10_agreement_vs_f32():
     ])
     assert overlap >= 0.5, overlap  # random data is the worst case; real
     # embeddings (clustered) agree far better — measured in bench detail
+
+
+def test_int4_refined_matches_exact_f32():
+    """Refined two-stage (int4 shortlist + host full-precision rescore):
+    with k' covering the whole index the result must EQUAL the exact f32
+    top-k including tie-toward-lower-index behavior."""
+    from rag_docvqa_tpu.ops.quant import build_int4_index, cosine_topk_int4_refined
+    from rag_docvqa_tpu.ops.topk import cosine_topk_xla, l2_normalize
+
+    rng = np.random.RandomState(5)
+    N, D, B, K = 512, 128, 8, 10
+    emb = jnp.asarray(rng.randn(N, D).astype(np.float32))
+    # duplicate a few rows so exact ties exist
+    emb = emb.at[100].set(emb[40]).at[101].set(emb[40])
+    q = jnp.asarray(rng.randn(B, D).astype(np.float32))
+    packed, scale = build_int4_index(emb)
+    vals, idx, valid = cosine_topk_int4_refined(
+        packed, scale, q, jnp.int32(N), K, host_rows=np.asarray(emb), kprime=N)
+    ev, ei, _ = cosine_topk_xla(l2_normalize(emb), q, K)
+    np.testing.assert_array_equal(idx, np.asarray(ei))
+    np.testing.assert_allclose(vals, np.asarray(ev), atol=2e-6)
+    assert valid.all()
+
+
+def test_int4_refined_agreement_beats_raw_int4():
+    """Worst-case random data at a realistic k': the refined top-10 should be
+    near-exact while raw int4 ordering is not (the design premise measured in
+    PERF.md §1: shortlist recall ~0.998 at k'=48 vs ~0.78 raw agreement)."""
+    from rag_docvqa_tpu.ops.quant import (
+        build_int4_index, cosine_topk_int4, cosine_topk_int4_refined)
+    from rag_docvqa_tpu.ops.topk import cosine_topk_xla, l2_normalize
+
+    rng = np.random.RandomState(6)
+    N, D, B, K = 16384, 256, 16, 10
+    emb_np = rng.randn(N, D).astype(np.float32)
+    emb = jnp.asarray(emb_np)
+    q = jnp.asarray(rng.randn(B, D).astype(np.float32))
+    packed, scale = build_int4_index(emb)
+    _, ei, _ = cosine_topk_xla(l2_normalize(emb), q, K)
+    _, ir, _ = cosine_topk_int4_refined(
+        packed, scale, q, jnp.int32(N), K, host_rows=emb_np, kprime=48)
+    _, i4, _ = cosine_topk_int4(packed, scale, q, jnp.int32(N), K)
+    ei, ir, i4 = np.asarray(ei), np.asarray(ir), np.asarray(i4)
+    ref_agree = np.mean([len(set(ir[b]) & set(ei[b])) / K for b in range(B)])
+    raw_agree = np.mean([len(set(i4[b]) & set(ei[b])) / K for b in range(B)])
+    assert ref_agree >= 0.95, ref_agree
+    assert ref_agree > raw_agree, (ref_agree, raw_agree)
+
+
+def test_int4_refined_respects_n_valid():
+    from rag_docvqa_tpu.ops.quant import build_int4_index, cosine_topk_int4_refined
+
+    rng = np.random.RandomState(7)
+    emb = rng.randn(256, 64).astype(np.float32)
+    q = jnp.asarray(rng.randn(4, 64).astype(np.float32))
+    packed, scale = build_int4_index(jnp.asarray(emb))
+    _, idx, valid = cosine_topk_int4_refined(
+        packed, scale, q, jnp.int32(100), 8, host_rows=emb, kprime=32)
+    assert (idx[valid] < 100).all()
+
+
+def test_refined_pipelined_driver_matches_serial():
+    """refined_query_batches (dispatch-ahead pipelining) must return exactly
+    what per-batch cosine_topk_int4_refined returns."""
+    from rag_docvqa_tpu.ops.quant import (
+        build_int4_index, cosine_topk_int4_refined, refined_query_batches)
+
+    rng = np.random.RandomState(8)
+    N, D, K = 4096, 128, 10
+    emb = rng.randn(N, D).astype(np.float32)
+    packed, scale = build_int4_index(jnp.asarray(emb))
+    batches = [rng.randn(8, D).astype(np.float32) for _ in range(3)]
+    piped = list(refined_query_batches(
+        packed, scale, batches, jnp.int32(N), K, host_rows=emb, kprime=32))
+    assert len(piped) == len(batches)
+    for qb, (pv, pi, pok) in zip(batches, piped):
+        sv, si, sok = cosine_topk_int4_refined(
+            packed, scale, jnp.asarray(qb), jnp.int32(N), K,
+            host_rows=emb, kprime=32)
+        np.testing.assert_array_equal(pi, si)
+        np.testing.assert_allclose(pv, sv, atol=1e-6)
+        np.testing.assert_array_equal(pok, sok)
