@@ -289,6 +289,7 @@ def build_p2s_config(c: Dict[str, Any], vocab_size: int):
             dropout_rate=c.get("dropout_rate", 0.0),
             gated_ffn=True,
             tie_word_embeddings=False,
+            decode_kv_int8=bool(c.get("decode_kv_int8", False)),
         ),
     )
 
