@@ -137,14 +137,76 @@ def _attend_causal(cfg: "CausalLMConfig", q, k, v, mask, key_mask):
 
 
 def _proj(x, p):
-    return dense(x, p["kernel"], p.get("bias"))
+    k = p["kernel"]
+    if isinstance(k, dict):  # int8-quantized weights (quantize_weights_int8)
+        # per-output-channel scale factors OUT of the dot: the MXU reads the
+        # int8 bytes (convert fused into the dot operand) and one VPU
+        # multiply rescales the (.., out) result — w == q8 * scale exactly
+        # up to the quantizer's rounding
+        y = jnp.dot(x, k["q8"].astype(x.dtype), preferred_element_type=x.dtype)
+        y = y * k["scale"][..., 0, :].astype(x.dtype)
+        b = p.get("bias")
+        return y + b.astype(x.dtype) if b is not None else y
+    return dense(x, k, p.get("bias"))
 
 
 def _embed_tokens(params, cfg: CausalLMConfig, ids: jax.Array) -> jax.Array:
-    x = params["embed"][ids]
+    e = params["embed"]
+    if isinstance(e, dict):  # int8 table: per-row scales gather alongside
+        x = e["q8"][ids].astype(e["scale"].dtype) * e["scale"][ids]
+    else:
+        x = e[ids]
     if cfg.arch == "gemma":
         x = x * jnp.asarray(cfg.d_model**0.5, x.dtype)  # Gemma input scale
     return x
+
+
+def _lm_logits(params, cfg: CausalLMConfig, x: jax.Array) -> jax.Array:
+    """LM head for (.., D) hidden states; handles int8-quantized tables."""
+    if cfg.tie_word_embeddings:
+        e = params["embed"]
+        if isinstance(e, dict):
+            y = jnp.dot(x, jnp.swapaxes(e["q8"], -1, -2).astype(x.dtype),
+                        preferred_element_type=x.dtype)
+            return y * e["scale"][:, 0].astype(x.dtype)
+        return jnp.dot(x, jnp.swapaxes(e, -1, -2).astype(x.dtype),
+                       preferred_element_type=x.dtype)
+    k = params["lm_head"]
+    if isinstance(k, dict):
+        return jnp.dot(x, k["q8"].astype(x.dtype),
+                       preferred_element_type=x.dtype) * k["scale"][..., 0, :].astype(x.dtype)
+    return dense(x, k)
+
+
+def quantize_weights_int8(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Symmetric per-output-channel int8 quantization of every matmul weight
+    (block kernels, embedding table, untied LM head); norms/biases stay in
+    their original dtype. Halves the decode step's dominant cost — the
+    per-token re-read of ALL weights (~6.2 GB bf16 at Qwen2.5-3B dims) — IF
+    the backend's int8 HBM read rate holds up: bulk int8 reads through
+    Pallas/XLA streams measured HALF the bf16 byte rate on the tunneled v5e,
+    while the Qwen decode's scan-pipelined weight stream measured ~626 GB/s
+    effective (PERF.md §6) — this path exists to answer which regime wins,
+    measured in bench detail. Standard W8 quality (~0.4% per-channel RMS
+    rounding); parity bounds in tests/test_causal_lm.py."""
+
+    def qmat(w, per_row: bool = False):
+        axis = -1 if per_row else -2  # reduce over the input dim
+        w32 = w.astype(jnp.float32)
+        scale = jnp.maximum(jnp.max(jnp.abs(w32), axis=axis, keepdims=True), 1e-12) / 127.0
+        q8 = jnp.clip(jnp.round(w32 / scale), -127, 127).astype(jnp.int8)
+        return {"q8": q8, "scale": scale.astype(w.dtype)}
+
+    out = dict(params)
+    out["blocks"] = {
+        name: ({**p, "kernel": qmat(p["kernel"])}
+               if isinstance(p, dict) and "kernel" in p else p)
+        for name, p in params["blocks"].items()
+    }
+    out["embed"] = qmat(params["embed"], per_row=True)
+    if "lm_head" in params:
+        out["lm_head"] = qmat(params["lm_head"])
+    return out
 
 
 def _ln(x: jax.Array, w: jax.Array, cfg: CausalLMConfig) -> jax.Array:
@@ -202,9 +264,7 @@ def forward(
 ) -> jax.Array:
     """Full teacher-forced forward; returns (B, T, V) logits."""
     x = forward_hidden(params, cfg, input_ids, attention_mask, visual_embeds, visual_mask)
-    if cfg.tie_word_embeddings:
-        return jnp.einsum("btd,vd->btv", x, params["embed"].astype(x.dtype))
-    return dense(x, params["lm_head"])
+    return _lm_logits(params, cfg, x)
 
 
 def sft_loss(
@@ -276,12 +336,7 @@ def prefill(
     x, (kc, vc) = jax.lax.scan(block, x, params["blocks"])
     x = _ln(x, params["final_ln"], cfg)
     last = x[jnp.arange(B), jnp.sum(attention_mask, axis=1) - 1]
-    logits = (
-        last @ params["embed"].T.astype(last.dtype)
-        if cfg.tie_word_embeddings
-        else dense(last, params["lm_head"])
-    )
-    return logits, LMCache(k=kc, v=vc)
+    return _lm_logits(params, cfg, last), LMCache(k=kc, v=vc)
 
 
 def _attend_gqa_one(q, kc, vc, mask, hd):
@@ -349,12 +404,7 @@ def decode_step(
     x, (kc, vc) = jax.lax.scan(block, x, (params["blocks"], (cache.k, cache.v)),
                                unroll=cfg.num_layers)
     x = _ln(x, params["final_ln"], cfg)
-    logits = (
-        x @ params["embed"].T.astype(x.dtype)
-        if cfg.tie_word_embeddings
-        else dense(x, params["lm_head"])
-    )
-    return logits, LMCache(k=kc, v=vc)
+    return _lm_logits(params, cfg, x), LMCache(k=kc, v=vc)
 
 
 def generate(

@@ -440,7 +440,7 @@ def _rescore_host(idx, valid, queries, host_rows, k: int,
 def refined_query_batches(
     index_p: jax.Array,
     index_scale: jax.Array,
-    query_batches,  # iterable of (B, D) f32 host arrays
+    query_batches,  # iterable of (B, D) f32 host arrays, or (device, host) pairs
     n_valid,
     k: int,
     host_rows: "np.ndarray",
@@ -449,15 +449,21 @@ def refined_query_batches(
 ):
     """Pipelined refined queries: the device shortlist for batch i+1 is
     dispatched (async) before the host rescores batch i, so the host gather/
-    GEMM hides under the device stream. Yields (vals, idx, valid) per batch."""
+    GEMM hides under the device stream. Yields (vals, idx, valid) per batch.
+
+    Each element of query_batches is either a host (B, D) array (shipped to
+    the device per batch) or a (device_array, host_array) pair of the same
+    queries — pass the pair when the queries are already device-resident
+    (e.g. they came out of the question embedder): on a high-latency link
+    the per-batch ship otherwise dominates the loop."""
     import numpy as np
 
-    def _dispatch(q):
-        handles = cosine_topk_int4_auto(index_p, index_scale, q, n_valid, kprime)
+    def _dispatch(q_dev):
+        handles = cosine_topk_int4_auto(index_p, index_scale, q_dev, n_valid, kprime)
         # start the device->host copies now (they queue behind the compute):
         # the later np.asarray then finds the bytes already landed instead of
         # paying a fresh fetch round-trip per batch
-        for h in handles:
+        for h in handles[1:]:  # vals are never fetched — only idx + valid
             try:
                 h.copy_to_host_async()
             except AttributeError:  # non-array (tracer/CPU fallback paths)
@@ -466,15 +472,16 @@ def refined_query_batches(
 
     pending = None  # (device handles, host queries)
     for q in query_batches:
-        handles = _dispatch(q)
+        q_dev, q_np = q if isinstance(q, tuple) else (q, None)
+        handles = _dispatch(q_dev)
         if pending is not None:
             (pv, pi, pvd), pq = pending
             yield _rescore_host(np.asarray(pi), np.asarray(pvd),
-                                np.asarray(pq), host_rows, k,
+                                pq, host_rows, k,
                                 rows_normalized=rows_normalized)
-        pending = (handles, q)
+        pending = (handles, np.asarray(q_dev) if q_np is None else q_np)
     if pending is not None:
         (pv, pi, pvd), pq = pending
         yield _rescore_host(np.asarray(pi), np.asarray(pvd),
-                            np.asarray(pq), host_rows, k,
+                            pq, host_rows, k,
                             rows_normalized=rows_normalized)

@@ -231,3 +231,39 @@ def test_hf_qwen2_ragged_prompt_generate_parity():
                     assert want[t] == TINY.eos_id
                     break
                 assert got[b, t] == want[t], (b, t, got[b], want)
+
+
+def test_int8_weight_quantization_parity():
+    """quantize_weights_int8: per-output-channel W8 keeps generate faithful —
+    logits within the quantizer's rounding envelope and greedy tokens almost
+    always identical on a tiny model."""
+    from rag_docvqa_tpu.models.causal_lm import (
+        CausalLMConfig, forward, generate, init_causal_lm_params,
+        quantize_weights_int8)
+
+    cfg = CausalLMConfig(vocab_size=128, d_model=64, num_layers=2, num_heads=4,
+                         num_kv_heads=2, d_ff=128)
+    params = init_causal_lm_params(jax.random.PRNGKey(0), cfg)
+    params8 = quantize_weights_int8(params)
+    rng = np.random.RandomState(0)
+    ids = jnp.asarray(rng.randint(3, 128, size=(2, 12)), jnp.int32)
+    am = jnp.ones((2, 12), bool)
+
+    lf = np.asarray(forward(params, cfg, ids, am))
+    l8 = np.asarray(forward(params8, cfg, ids, am))
+    scale = np.abs(lf).max()
+    assert np.abs(l8 - lf).max() / scale < 0.05, "int8-weight logits drifted"
+
+    t_f, c_f = generate(params, cfg, ids, am, max_new_tokens=6)
+    t_8, c_8 = generate(params8, cfg, ids, am, max_new_tokens=6)
+    agree = float(np.mean(np.asarray(t_f) == np.asarray(t_8)))
+    assert agree >= 0.8, f"greedy tokens diverged: {agree}"
+
+    # untied head variant exercises the lm_head quantization branch
+    cfg_u = CausalLMConfig(vocab_size=128, d_model=64, num_layers=2, num_heads=4,
+                           num_kv_heads=2, d_ff=128, tie_word_embeddings=False)
+    params_u = init_causal_lm_params(jax.random.PRNGKey(1), cfg_u)
+    params_u8 = quantize_weights_int8(params_u)
+    lu = np.asarray(forward(params_u, cfg_u, ids, am))
+    lu8 = np.asarray(forward(params_u8, cfg_u, ids, am))
+    assert np.abs(lu8 - lu).max() / np.abs(lu).max() < 0.05
