@@ -113,6 +113,13 @@ def bert_encode(
 
         fused = fused_encoder_wanted(cfg, B, T, x.dtype.itemsize)
     if fused:
+        from rag_docvqa_tpu.ops.fused_encoder_bwd import fused_bert_train_wanted
+
+        if fused_bert_train_wanted(cfg, B, T, x.dtype.itemsize):
+            # layer-level custom_vjp: fused forward (saving x1 only under
+            # differentiation) + handwritten Pallas backward kernels — the
+            # contrastive embedder fine-tune's hot path (PERF.md §4)
+            return _fused_train_blocks(cfg)(params["blocks"], x, attention_mask)
         return _fused_blocks(cfg)(params["blocks"], x, attention_mask)
     return _xla_blocks(params["blocks"], cfg, x, attention_mask)
 
@@ -155,11 +162,37 @@ def _xla_blocks(blocks, cfg: BertConfig, x: jax.Array, attention_mask: jax.Array
 
 
 @_functools.lru_cache(maxsize=None)
+def _fused_train_blocks(cfg: BertConfig):
+    """Layer stack through the layer-level custom_vjp pair: fused whole-layer
+    forward + handwritten Pallas backward (ops/fused_encoder_bwd.py BERT
+    kernels). Inference runs the same forward kernel with no extra writes;
+    under differentiation each layer saves (x, x1) and the backward keeps the
+    whole layer's gradient math resident in VMEM — the treatment that took
+    the VT5 train step 0.31 -> 0.40 MFU (PERF.md §4), applied to the
+    contrastive embedder's BERT block."""
+    from rag_docvqa_tpu.ops.fused_encoder import fuse_bert_blocks
+    from rag_docvqa_tpu.ops.fused_encoder_bwd import make_fused_bert_layer_train
+
+    layer = make_fused_bert_layer_train(cfg.num_heads, cfg.layer_norm_eps)
+
+    def run(blocks, x, key_mask):
+        pre = fuse_bert_blocks(blocks)  # differentiable concats/stacks
+
+        def body(x, l):
+            return layer(x, key_mask, l), None
+
+        x, _ = jax.lax.scan(body, x, pre)
+        return x
+
+    return run
+
+
+@_functools.lru_cache(maxsize=None)
 def _fused_blocks(cfg: BertConfig):
     """Layer stack through ops/fused_encoder.py's whole-layer TPU kernel.
     custom_vjp: forward runs the kernel; backward recomputes through the XLA
-    blocks (the embedder's hot path is inference — contrastive fine-tunes pay
-    one recompute)."""
+    blocks — the FALLBACK when the handwritten backward kernels don't fit
+    (see _fused_train_blocks for the fast train path)."""
     from rag_docvqa_tpu.ops.fused_encoder import fuse_bert_blocks, fused_bert_layer_parts
 
     if cfg.use_alibi or cfg.glu_mlp:

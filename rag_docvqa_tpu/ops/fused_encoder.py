@@ -77,17 +77,20 @@ def _layer_kernel(
     w2_ref,     # (d_ff, d)
     b2_ref,     # (1, d)
     ln2_ref,    # (2, d)
-    o_ref,      # (rows, T, d)
-    qkv_ref,    # scratch (R, 3d) compute dtype
-    attn_ref,   # scratch (R, d) compute dtype
-    *,
+    *out_and_scratch,  # o_ref [, x1_ref] + (qkv, attn) scratch
     rows: int,
     T: int,
     d: int,
     H: int,
     scale: float,
     eps: float,
+    save_x1: bool = False,  # also write the post-LN1 activation (train bwd)
 ):
+    if save_x1:
+        o_ref, x1_ref, qkv_ref, attn_ref = out_and_scratch
+    else:
+        o_ref, qkv_ref, attn_ref = out_and_scratch
+        x1_ref = None
     R = rows * T
     dh = d // H
     cdt = x_ref.dtype
@@ -136,6 +139,8 @@ def _layer_kernel(
         + bo_ref[...].astype(jnp.float32)
     )
     x1 = _ln(x.astype(jnp.float32) + ao, ln1_ref).astype(cdt)
+    if x1_ref is not None:
+        x1_ref[...] = x1.reshape(rows, T, d).astype(x1_ref.dtype)
 
     h1 = (
         jax.lax.dot_general(x1, w1_ref[...],
@@ -158,7 +163,7 @@ def _layer_kernel(
 
 
 def _pick_rows(B: int, T: int, d: int, d_ff: int, itemsize: int = 2,
-               budget: int = 26 * 2**20) -> int:
+               budget: int = 26 * 2**20, save_x1: bool = False) -> int:
     # budget tuned on v5e (64 MB scoped-vmem limit requested): rows=8 at the
     # bge chunk shape measured 0.42 MFU vs 0.35 at rows=4 and 0.41 at rows=16.
     # Wide-and-long shapes (XLM-R-base reranker: d=768, T=512) exceed it at
@@ -173,6 +178,8 @@ def _pick_rows(B: int, T: int, d: int, d_ff: int, itemsize: int = 2,
         Tl = max(T, 128)  # lane padding of the (rows, T, T) tiles
         est = (
             2 * 2 * rows * T * d * itemsize      # x in + out blocks, double-buffered
+            # train forward: the x1 output block is double-buffered too
+            + (2 * rows * T * d * itemsize if save_x1 else 0)
             + R * 3 * d * itemsize + R * d * itemsize   # qkv + attn scratch
             + 3 * rows * T * Tl * 4       # s/p f32 tiles
             + 2 * R * d_ff * 4            # h1 f32 (+ gelu temporary)
@@ -185,10 +192,10 @@ def _pick_rows(B: int, T: int, d: int, d_ff: int, itemsize: int = 2,
 
 
 def _layer_call(x, maskB, wqkv, bqkv, wo, bo, ln1, w1, b1, w2, b2, ln2,
-                *, num_heads, eps, interpret):
+                *, num_heads, eps, interpret, save_x1=False):
     B, T, d = x.shape
     d_ff = w1.shape[1]
-    rows = _pick_rows(B, T, d, d_ff, x.dtype.itemsize)
+    rows = _pick_rows(B, T, d, d_ff, x.dtype.itemsize, save_x1=save_x1)
     if not rows:
         raise ValueError(
             f"fused layer does not fit VMEM at (B={B}, T={T}, d={d}, d_ff={d_ff}, "
@@ -196,10 +203,12 @@ def _layer_call(x, maskB, wqkv, bqkv, wo, bo, ln1, w1, b1, w2, b2, ln2,
     dh = d // num_heads
 
     full = lambda *shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape), memory_space=pltpu.VMEM)
+    out_blk = pl.BlockSpec((rows, T, d), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    out_sh = jax.ShapeDtypeStruct((B, T, d), x.dtype)
     return pl.pallas_call(
         functools.partial(
             _layer_kernel, rows=rows, T=T, d=d, H=num_heads,
-            scale=dh**-0.5, eps=eps,
+            scale=dh**-0.5, eps=eps, save_x1=save_x1,
         ),
         grid=(B // rows,),
         in_specs=[
@@ -209,8 +218,8 @@ def _layer_call(x, maskB, wqkv, bqkv, wo, bo, ln1, w1, b1, w2, b2, ln2,
             full(d, d), full(1, d), full(2, d),
             full(d, d_ff), full(1, d_ff), full(d_ff, d), full(1, d), full(2, d),
         ],
-        out_specs=pl.BlockSpec((rows, T, d), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, T, d), x.dtype),
+        out_specs=[out_blk, out_blk] if save_x1 else out_blk,
+        out_shape=[out_sh, out_sh] if save_x1 else out_sh,
         scratch_shapes=[
             pltpu.VMEM((rows * T, 3 * d), x.dtype),
             pltpu.VMEM((rows * T, d), x.dtype),
@@ -245,25 +254,27 @@ def _batch_axis_of(mesh, x_info):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_layer_cp(num_heads, eps, interpret):
+def _make_layer_cp(num_heads, eps, interpret, save_x1=False):
     """custom_partitioning wrapper: under plain jit with GSPMD-sharded
     operands the Mosaic call is opaque and XLA would replicate it; declare it
     partitionable over the batch dim (weights replicated). Same pattern as
-    ops/flash_attention.py."""
+    ops/flash_attention.py. save_x1 adds the (b t d) x1 output (train fwd)."""
     from jax.experimental.custom_partitioning import custom_partitioning
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    kw = dict(num_heads=num_heads, eps=eps, interpret=interpret)
+    kw = dict(num_heads=num_heads, eps=eps, interpret=interpret, save_x1=save_x1)
     fn = custom_partitioning(lambda *args: _layer_call(*args, **kw))
+    out_rule = "b t d, b t d" if save_x1 else "b t d"
     rule = ("b t d, b u t, c0 c1, c2 c3, c4 c5, c6 c7, c8 c9, d0 d1, d2 d3, "
-            "d4 d5, d6 d7, d8 d9 -> b t d")
+            f"d4 d5, d6 d7, d8 d9 -> {out_rule}")
 
     def _shardings(mesh, arg_infos):
         b = _batch_axis_of(mesh, arg_infos[0])
         xs = NamedSharding(mesh, P(b, None, None))
         ms = NamedSharding(mesh, P(b, None, None))
         rep2 = NamedSharding(mesh, P(None, None))
-        return (xs, ms) + (rep2,) * 10, xs
+        outs = (xs, xs) if save_x1 else xs
+        return (xs, ms) + (rep2,) * 10, outs
 
     def infer(mesh, arg_infos, result_infos):
         return _shardings(mesh, arg_infos)[1]
@@ -303,8 +314,10 @@ def fuse_bert_blocks(blocks: Dict[str, Any]) -> Dict[str, jax.Array]:
 
 def fused_bert_layer_parts(x, key_mask, l: Dict[str, jax.Array], *,
                            num_heads: int, eps: float,
-                           interpret: bool | None = None) -> jax.Array:
-    """One fused layer from a fuse_bert_blocks-style per-layer dict."""
+                           interpret: bool | None = None,
+                           save_x1: bool = False):
+    """One fused layer from a fuse_bert_blocks-style per-layer dict.
+    save_x1=True also returns the post-LN1 activation (train backward)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     args = (x, key_mask[:, None, :], l["wqkv"], l["bqkv"], l["wo"], l["bo"],
@@ -313,8 +326,9 @@ def fused_bert_layer_parts(x, key_mask, l: Dict[str, jax.Array], *,
     from rag_docvqa_tpu.ops.flash_attention import _auto_partition_wanted
 
     if _auto_partition_wanted():
-        return _make_layer_cp(num_heads, eps, interpret)(*args)
-    return _layer_call(*args, num_heads=num_heads, eps=eps, interpret=interpret)
+        return _make_layer_cp(num_heads, eps, interpret, save_x1)(*args)
+    return _layer_call(*args, num_heads=num_heads, eps=eps, interpret=interpret,
+                       save_x1=save_x1)
 
 
 def fused_bert_layer(

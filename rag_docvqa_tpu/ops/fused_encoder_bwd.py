@@ -628,3 +628,497 @@ def fused_t5_train_wanted(cfg, B: int, T: int, itemsize: int = 2) -> bool:
         and _pick_rows_attn_bwd(B, Tp, cfg.d_model, inner, cfg.num_heads,
                                 itemsize) > 0
     )
+
+
+# =========================================================================== #
+# BERT (post-LN) whole-layer backward — the contrastive embedder's train path
+# =========================================================================== #
+# Same design as the T5 pair above, adapted to the vanilla-BERT block the
+# forward kernel implements (ops/fused_encoder.py::_layer_kernel):
+#
+#   x1  = LN1(x + Attn(x))          # post-norm; attention input is x itself
+#   out = LN2(x1 + FFN(x1))         # exact-erf GELU; biases everywhere
+#
+# The split point is x1 (post-LN1), which the train forward saves
+# (save_x1=True). The reference fine-tunes this exact model family as its
+# retriever (/root/reference/train_CL_embs.py:15-50); round 4 measured the
+# XLA backward at 0.14 MFU — the same inter-op HBM round-trips the forward
+# fusion removed (PERF.md §2), now removed from the backward too.
+
+
+def _ln_parts(y32, eps):
+    mean = jnp.mean(y32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(y32 - mean), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    n = (y32 - mean) * rstd
+    return n, rstd
+
+
+def _ln_bwd(dh, n, rstd, w32, d):
+    """Backward of out = n * w + b, n = (y - mean) * rstd.
+    Returns (dy, dw_rowsum, db_rowsum)."""
+    dn = dh * w32
+    dy = rstd * (dn - jnp.mean(dn, axis=-1, keepdims=True)
+                 - n * jnp.mean(dn * n, axis=-1, keepdims=True))
+    dw = jnp.sum(dh * n, axis=0, keepdims=True)
+    db = jnp.sum(dh, axis=0, keepdims=True)
+    return dy, dw, db
+
+
+def _gelu_erf_and_grad(x32):
+    """Exact-erf GELU value and derivative, f32 — matches the forward
+    kernel's _erf32 rational (fused_encoder.py)."""
+    from rag_docvqa_tpu.ops.fused_encoder import _erf32
+
+    inv_sqrt2 = 2.0 ** -0.5
+    cdf = 0.5 * (1.0 + _erf32(x32 * inv_sqrt2))
+    pdf = jnp.exp(-0.5 * x32 * x32) * (2.0 * jnp.pi) ** -0.5
+    return x32 * cdf, cdf + x32 * pdf
+
+
+def _bert_ffn_bwd_kernel(
+    x1_ref,   # (rows, T, d) saved post-LN1 activation
+    g_ref,    # (rows, T, d) output cotangent
+    ln2_ref,  # (2, d) [scale; bias]
+    w1_ref,   # (d, d_ff)
+    b1_ref,   # (1, d_ff)
+    w2_ref,   # (d_ff, d)
+    b2_ref,   # (1, d)
+    dx1_ref,  # (rows, T, d) out
+    dln2_ref,  # (2, d) f32 accumulator [dscale; dbias]
+    dw1_ref,  # (d, d_ff) f32 accumulator
+    db1_ref,  # (1, d_ff) f32 accumulator
+    dw2_ref,  # (d_ff, d) f32 accumulator
+    db2_ref,  # (1, d) f32 accumulator
+    *, rows: int, T: int, d: int, eps: float,
+):
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for r in (dln2_ref, dw1_ref, db1_ref, dw2_ref, db2_ref):
+            r[...] = jnp.zeros_like(r)
+
+    R = rows * T
+    cdt = x1_ref.dtype
+    x1 = x1_ref[...].reshape(R, d)
+    g = g_ref[...].reshape(R, d)
+    x132 = x1.astype(jnp.float32)
+    w32 = ln2_ref[0, :].astype(jnp.float32)[None, :]
+
+    # forward recompute (numerics contract with _layer_kernel: h1 pre-act and
+    # GELU in f32; the second dot consumes the GELU output cast to cdt)
+    h1 = _dot(x1, w1_ref[...]) + b1_ref[...].astype(jnp.float32)
+    ge, dge = _gelu_erf_and_grad(h1)
+    ge_c = ge.astype(cdt)
+    x2 = _dot(ge_c, w2_ref[...]) + b2_ref[...].astype(jnp.float32)
+    y2 = x132 + x2
+    n2, rstd2 = _ln_parts(y2, eps)
+
+    g32 = g.astype(jnp.float32)
+    dy2, dw_ln2, db_ln2 = _ln_bwd(g32, n2, rstd2, w32, d)
+    dln2_ref[...] += jnp.concatenate([dw_ln2, db_ln2], axis=0)
+
+    dy2_c = dy2.astype(cdt)
+    dw2_ref[...] += _outer(ge_c, dy2_c)
+    db2_ref[...] += jnp.sum(dy2, axis=0, keepdims=True)
+    dge32 = _dot_t(dy2_c, w2_ref[...])  # f32 (R, d_ff)
+    dpre = (dge32 * dge).astype(cdt)
+    dw1_ref[...] += _outer(x1, dpre)
+    db1_ref[...] += jnp.sum(dge32 * dge, axis=0, keepdims=True)
+    dx1 = dy2 + _dot_t(dpre, w1_ref[...])  # residual + FFN input path
+    dx1_ref[...] = dx1.astype(cdt).reshape(rows, T, d)
+
+
+def _pick_rows_bert_ffn_bwd(B, T, d, d_ff, itemsize: int = 2,
+                            budget: int = 64 * 2**20) -> int:
+    def est(rows):
+        R = rows * T
+        return (
+            3 * R * d * itemsize          # x1, g in; dx1 out
+            + 2 * d * d_ff * itemsize     # resident weights
+            + 2 * d * d_ff * 4            # f32 grad accumulators
+            + 4 * R * d_ff * 4            # h1/ge/dge/dge32 f32
+            + 5 * R * d * 4               # y2/n2/dy2/dx1 + LN temporaries
+        )
+
+    for rows in (8, 4, 2, 1):
+        if B % rows == 0 and est(rows) <= budget:
+            return rows
+    return 0
+
+
+def bert_ffn_bwd(x1, g, ln2, w1, b1, w2, b2, *, eps: float,
+                 interpret: bool | None = None):
+    """FFN + LN2 backward. Returns (dx1, dln2 (2, d), dw1, db1, dw2, db2) —
+    dx1 includes the residual path (out = LN2(x1 + FFN(x1)))."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    from rag_docvqa_tpu.ops.flash_attention import _auto_partition_wanted
+
+    if _auto_partition_wanted():
+        return tuple(_make_bert_ffn_bwd_cp(eps, interpret)(x1, g, ln2, w1, b1, w2, b2))
+    return _bert_ffn_bwd_impl(x1, g, ln2, w1, b1, w2, b2, eps=eps,
+                              interpret=interpret)
+
+
+def _bert_ffn_bwd_impl(x1, g, ln2, w1, b1, w2, b2, *, eps: float,
+                       interpret: bool):
+    B, T, d = x1.shape
+    d_ff = w1.shape[1]
+    rows = _pick_rows_bert_ffn_bwd(B, T, d, d_ff, x1.dtype.itemsize)
+    if not rows:
+        raise ValueError(
+            f"fused BERT FFN backward does not fit VMEM at (B={B}, T={T}, "
+            f"d={d}, d_ff={d_ff}, dtype={x1.dtype})")
+
+    full = lambda *shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    blk = pl.BlockSpec((rows, T, d), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_bert_ffn_bwd_kernel, rows=rows, T=T, d=d, eps=eps),
+        grid=(B // rows,),
+        in_specs=[blk, blk, full(2, d), full(d, d_ff), full(1, d_ff),
+                  full(d_ff, d), full(1, d)],
+        out_specs=[blk, full(2, d), full(d, d_ff), full(1, d_ff),
+                   full(d_ff, d), full(1, d)],
+        out_shape=[jax.ShapeDtypeStruct((B, T, d), x1.dtype),
+                   jax.ShapeDtypeStruct((2, d), jnp.float32),
+                   jax.ShapeDtypeStruct((d, d_ff), jnp.float32),
+                   jax.ShapeDtypeStruct((1, d_ff), jnp.float32),
+                   jax.ShapeDtypeStruct((d_ff, d), jnp.float32),
+                   jax.ShapeDtypeStruct((1, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * T * (4 * d * d_ff),
+            bytes_accessed=3 * B * T * d * x1.dtype.itemsize,
+            transcendentals=2 * B * T * d_ff,
+        ),
+        interpret=interpret,
+    )(x1, g, ln2, w1, b1, w2, b2)
+    return tuple(outs)
+
+
+def _bert_attn_bwd_kernel(
+    x_ref,     # (rows, T, d) saved layer input
+    dy_ref,    # (rows, T, d) cotangent at x1 (the LN1 OUTPUT)
+    mask_ref,  # (rows, 1, T) bool key mask
+    wqkv_ref,  # (d, 3d)
+    bqkv_ref,  # (1, 3d)
+    wo_ref,    # (d, d)
+    bo_ref,    # (1, d)
+    ln1_ref,   # (2, d)
+    dx_ref,    # (rows, T, d) out
+    dln1_ref,  # (2, d) f32 accumulator
+    dwqkv_ref,  # (d, 3d) f32 accumulator
+    dbqkv_ref,  # (1, 3d) f32 accumulator
+    dwo_ref,   # (d, d) f32 accumulator
+    dbo_ref,   # (1, d) f32 accumulator
+    qkv_scr,   # (R, 3d) cdt
+    p_scr,     # (H, R, T) cdt
+    a_scr,     # (R, d) cdt
+    dqkv_scr,  # (R, 3d) cdt
+    *, rows: int, T: int, d: int, H: int, scale: float, eps: float,
+):
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for r in (dln1_ref, dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref):
+            r[...] = jnp.zeros_like(r)
+
+    R = rows * T
+    dh_dim = d // H
+    cdt = x_ref.dtype
+    x = x_ref[...].reshape(R, d)
+    dy = dy_ref[...].reshape(R, d)
+    x32 = x.astype(jnp.float32)
+    w32 = ln1_ref[0, :].astype(jnp.float32)[None, :]
+
+    # forward recompute — same numerics as _layer_kernel: qkv f32 + bias cast
+    # to cdt; scores f32 scaled with -1e30 fill; p cast to cdt before p@v
+    qkv_scr[...] = (_dot(x, wqkv_ref[...])
+                    + bqkv_ref[...].astype(jnp.float32)).astype(cdt)
+    valid = jnp.broadcast_to(
+        mask_ref[...][:, :, None, :], (rows, 1, T, T)).reshape(rows, T, T)
+    for hh in range(H):
+        q = qkv_scr[:, pl.ds(hh * dh_dim, dh_dim)].reshape(rows, T, dh_dim)
+        k = qkv_scr[:, pl.ds(d + hh * dh_dim, dh_dim)].reshape(rows, T, dh_dim)
+        v = qkv_scr[:, pl.ds(2 * d + hh * dh_dim, dh_dim)].reshape(rows, T, dh_dim)
+        s = jax.lax.dot_general(q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        if scale != 1.0:
+            s = s * scale
+        s = jnp.where(valid, s, -1e30)
+        mx = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - mx)
+        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(cdt)
+        p_scr[hh] = p.reshape(R, T)
+        o = jax.lax.dot_general(p, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        a_scr[:, pl.ds(hh * dh_dim, dh_dim)] = o.reshape(R, dh_dim).astype(cdt)
+
+    ao = _dot(a_scr[...], wo_ref[...]) + bo_ref[...].astype(jnp.float32)
+    y1 = x32 + ao
+    n1, rstd1 = _ln_parts(y1, eps)
+
+    dy32 = dy.astype(jnp.float32)
+    dy1, dw_ln1, db_ln1 = _ln_bwd(dy32, n1, rstd1, w32, d)
+    dln1_ref[...] += jnp.concatenate([dw_ln1, db_ln1], axis=0)
+
+    dao = dy1.astype(cdt)
+    dwo_ref[...] += _outer(a_scr[...], dao)
+    dbo_ref[...] += jnp.sum(dy1, axis=0, keepdims=True)
+    da = _dot_t(dao, wo_ref[...]).astype(cdt)  # (R, d)
+
+    for hh in range(H):
+        p = p_scr[hh].reshape(rows, T, T)
+        da_h = da[:, hh * dh_dim:(hh + 1) * dh_dim].reshape(rows, T, dh_dim)
+        q = qkv_scr[:, pl.ds(hh * dh_dim, dh_dim)].reshape(rows, T, dh_dim)
+        k = qkv_scr[:, pl.ds(d + hh * dh_dim, dh_dim)].reshape(rows, T, dh_dim)
+        v = qkv_scr[:, pl.ds(2 * d + hh * dh_dim, dh_dim)].reshape(rows, T, dh_dim)
+        dp = jax.lax.dot_general(da_h, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        dv = jax.lax.dot_general(p, da_h, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        p32 = p.astype(jnp.float32)
+        srow = jnp.sum(dp * p32, axis=-1, keepdims=True)
+        # softmax backward; the score scale folds in HERE so dq/dk are plain
+        # dots of the scaled dsc (s = scale * q.k)
+        dsc = (p32 * (dp - srow) * scale).astype(cdt)
+        dq = jax.lax.dot_general(dsc, k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        dkk = jax.lax.dot_general(dsc, q, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                                  preferred_element_type=jnp.float32)
+        dqkv_scr[:, pl.ds(hh * dh_dim, dh_dim)] = dq.reshape(R, dh_dim).astype(cdt)
+        dqkv_scr[:, pl.ds(d + hh * dh_dim, dh_dim)] = dkk.reshape(R, dh_dim).astype(cdt)
+        dqkv_scr[:, pl.ds(2 * d + hh * dh_dim, dh_dim)] = dv.reshape(R, dh_dim).astype(cdt)
+
+    dqkv = dqkv_scr[...]
+    dwqkv_ref[...] += _outer(x, dqkv)
+    dbqkv_ref[...] += jnp.sum(dqkv.astype(jnp.float32), axis=0, keepdims=True)
+    dx = dy1 + _dot_t(dqkv, wqkv_ref[...])  # residual + qkv input path
+    dx_ref[...] = dx.astype(cdt).reshape(rows, T, d)
+
+
+def _pick_rows_bert_attn_bwd(B, T, d, H, itemsize: int = 2,
+                             budget: int = 64 * 2**20) -> int:
+    Tl = max(T, 128)
+
+    def est(rows):
+        R = rows * T
+        return (
+            3 * R * d * itemsize            # x, dy in; dx out
+            + 4 * d * d * itemsize          # resident weights
+            + 4 * d * d * 4                 # f32 grad accumulators
+            + 2 * R * 3 * d * itemsize      # qkv + dqkv scratch
+            + H * R * Tl * itemsize         # stored per-head probs
+            + R * d * itemsize * 2          # a scratch + da
+            + 4 * rows * T * Tl * 4         # per-head dp/dsc/p32 f32 temps
+            + 6 * R * d * 4                 # y1/n1/dy1/ao/dx f32
+        )
+
+    for rows in (8, 4, 2, 1):
+        if B % rows == 0 and est(rows) <= budget:
+            return rows
+    return 0
+
+
+def bert_attn_bwd(x, dy, key_mask, wqkv, bqkv, wo, bo, ln1, *,
+                  num_heads: int, eps: float, interpret: bool | None = None):
+    """Attention + LN1 backward. Returns (dx, dln1 (2, d), dwqkv, dbqkv,
+    dwo, dbo) — dx includes the residual path (x1 = LN1(x + attn(x)))."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    from rag_docvqa_tpu.ops.flash_attention import _auto_partition_wanted
+
+    if _auto_partition_wanted():
+        return tuple(_make_bert_attn_bwd_cp(num_heads, eps, interpret)(
+            x, dy, key_mask, wqkv, bqkv, wo, bo, ln1))
+    return _bert_attn_bwd_impl(x, dy, key_mask, wqkv, bqkv, wo, bo, ln1,
+                               num_heads=num_heads, eps=eps, interpret=interpret)
+
+
+def _bert_attn_bwd_impl(x, dy, key_mask, wqkv, bqkv, wo, bo, ln1, *,
+                        num_heads: int, eps: float, interpret: bool):
+    B, T, d = x.shape
+    rows = _pick_rows_bert_attn_bwd(B, T, d, num_heads, x.dtype.itemsize)
+    if not rows:
+        raise ValueError(
+            f"fused BERT attention backward does not fit VMEM at (B={B}, "
+            f"T={T}, d={d}, dtype={x.dtype})")
+    dh = d // num_heads
+
+    full = lambda *shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    blk = pl.BlockSpec((rows, T, d), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_bert_attn_bwd_kernel, rows=rows, T=T, d=d,
+                          H=num_heads, scale=dh**-0.5, eps=eps),
+        grid=(B // rows,),
+        in_specs=[blk, blk,
+                  pl.BlockSpec((rows, 1, T), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+                  full(d, 3 * d), full(1, 3 * d), full(d, d), full(1, d),
+                  full(2, d)],
+        out_specs=[blk, full(2, d), full(d, 3 * d), full(1, 3 * d),
+                   full(d, d), full(1, d)],
+        out_shape=[jax.ShapeDtypeStruct((B, T, d), x.dtype),
+                   jax.ShapeDtypeStruct((2, d), jnp.float32),
+                   jax.ShapeDtypeStruct((d, 3 * d), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 3 * d), jnp.float32),
+                   jax.ShapeDtypeStruct((d, d), jnp.float32),
+                   jax.ShapeDtypeStruct((1, d), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((rows * T, 3 * d), x.dtype),
+            pltpu.VMEM((num_heads, rows * T, T), x.dtype),
+            pltpu.VMEM((rows * T, d), x.dtype),
+            pltpu.VMEM((rows * T, 3 * d), x.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * T * (8 * d * d) + 10 * B * num_heads * T * T * dh,
+            bytes_accessed=3 * B * T * d * x.dtype.itemsize,
+            transcendentals=B * num_heads * T * T,
+        ),
+        interpret=interpret,
+    )(x, dy, key_mask[:, None, :], wqkv, bqkv, wo, bo, ln1)
+    return tuple(outs)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_bert_ffn_bwd_cp(eps, interpret):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rag_docvqa_tpu.ops.fused_encoder import _batch_axis_of
+
+    kw = dict(eps=eps, interpret=interpret)
+    fn = custom_partitioning(
+        lambda x1, g, ln2, w1, b1, w2, b2:
+            _bert_ffn_bwd_impl(x1, g, ln2, w1, b1, w2, b2, **kw))
+    rule = ("b t d, b t d, l d, c0 c1, u0 c1, c2 c3, u1 c3 -> "
+            "b t d, l d, c0 c1, u0 c1, c2 c3, u1 c3")
+
+    def _shardings(mesh, arg_infos):
+        b = _batch_axis_of(mesh, arg_infos[0])
+        bt = NamedSharding(mesh, P(b, None, None))
+        rep = NamedSharding(mesh, P(None, None))
+        return b, (bt, bt) + (rep,) * 5, (bt,) + (rep,) * 5
+
+    def infer(mesh, arg_infos, result_infos):
+        return _shardings(mesh, arg_infos)[2]
+
+    def part(mesh, arg_infos, result_infos):
+        b, arg_sh, out_sh = _shardings(mesh, arg_infos)
+
+        def lower(*args):
+            res = _bert_ffn_bwd_impl(*args, **kw)
+            if b is not None:
+                res = (res[0],) + tuple(jax.lax.psum(r, b) for r in res[1:])
+            return res
+
+        return mesh, lower, out_sh, arg_sh
+
+    fn.def_partition(infer_sharding_from_operands=infer, partition=part,
+                     sharding_rule=rule)
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _make_bert_attn_bwd_cp(num_heads, eps, interpret):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rag_docvqa_tpu.ops.fused_encoder import _batch_axis_of
+
+    kw = dict(num_heads=num_heads, eps=eps, interpret=interpret)
+    fn = custom_partitioning(
+        lambda x, dy, km, wqkv, bqkv, wo, bo, ln1:
+            _bert_attn_bwd_impl(x, dy, km, wqkv, bqkv, wo, bo, ln1, **kw))
+    rule = ("b t d, b t d, b t, c0 c1, u0 c1, c2 c3, u1 c3, l d -> "
+            "b t d, l d, c0 c1, u0 c1, c2 c3, u1 c3")
+
+    def _shardings(mesh, arg_infos):
+        b = _batch_axis_of(mesh, arg_infos[0])
+        bt = NamedSharding(mesh, P(b, None, None))
+        bm = NamedSharding(mesh, P(b, None))
+        rep = NamedSharding(mesh, P(None, None))
+        return b, (bt, bt, bm) + (rep,) * 5, (bt,) + (rep,) * 5
+
+    def infer(mesh, arg_infos, result_infos):
+        return _shardings(mesh, arg_infos)[2]
+
+    def part(mesh, arg_infos, result_infos):
+        b, arg_sh, out_sh = _shardings(mesh, arg_infos)
+
+        def lower(*args):
+            res = _bert_attn_bwd_impl(*args, **kw)
+            if b is not None:
+                res = (res[0],) + tuple(jax.lax.psum(r, b) for r in res[1:])
+            return res
+
+        return mesh, lower, out_sh, arg_sh
+
+    fn.def_partition(infer_sharding_from_operands=infer, partition=part,
+                     sharding_rule=rule)
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def make_fused_bert_layer_train(num_heads: int, eps: float,
+                                interpret: bool | None = None):
+    """Returns layer(x, key_mask, l) -> out with a handwritten Pallas
+    backward (l: the fuse_bert_blocks per-layer dict). Gradients flow to x
+    and every weight in l; key_mask gets float0."""
+    from rag_docvqa_tpu.ops.fused_encoder import fused_bert_layer_parts
+
+    @jax.custom_vjp
+    def layer(x, key_mask, l):
+        return fused_bert_layer_parts(x, key_mask, l, num_heads=num_heads,
+                                      eps=eps, interpret=interpret)
+
+    def fwd(x, key_mask, l):
+        out, x1 = fused_bert_layer_parts(x, key_mask, l, num_heads=num_heads,
+                                         eps=eps, interpret=interpret,
+                                         save_x1=True)
+        return out, (x, x1, key_mask, l)
+
+    def bwd(res, g):
+        x, x1, key_mask, l = res
+        dx1, dln2, dw1, db1, dw2, db2 = bert_ffn_bwd(
+            x1, g, l["ln2"], l["w1"], l["b1"], l["w2"], l["b2"], eps=eps,
+            interpret=interpret)
+        dx, dln1, dwqkv, dbqkv, dwo, dbo = bert_attn_bwd(
+            x, dx1, key_mask, l["wqkv"], l["bqkv"], l["wo"], l["bo"], l["ln1"],
+            num_heads=num_heads, eps=eps, interpret=interpret)
+        dl = {
+            "wqkv": dwqkv.astype(l["wqkv"].dtype),
+            "bqkv": dbqkv.astype(l["bqkv"].dtype),
+            "wo": dwo.astype(l["wo"].dtype),
+            "bo": dbo.astype(l["bo"].dtype),
+            "ln1": dln1.astype(l["ln1"].dtype),
+            "w1": dw1.astype(l["w1"].dtype),
+            "b1": db1.astype(l["b1"].dtype),
+            "w2": dw2.astype(l["w2"].dtype),
+            "b2": db2.astype(l["b2"].dtype),
+            "ln2": dln2.astype(l["ln2"].dtype),
+        }
+        dmask = np.zeros(key_mask.shape, dtype=jax.dtypes.float0)
+        return dx, dmask, dl
+
+    layer.defvjp(fwd, bwd)
+    return layer
+
+
+def fused_bert_train_wanted(cfg, B: int, T: int, itemsize: int = 2) -> bool:
+    """Whether the fused whole-layer BERT TRAIN path applies: TPU backend,
+    vanilla-BERT block (no ALiBi/GLU), and every kernel fits VMEM."""
+    if jax.default_backend() != "tpu":
+        return False
+    if getattr(cfg, "use_alibi", False) or getattr(cfg, "glu_mlp", False):
+        return False
+    from rag_docvqa_tpu.ops.fused_encoder import _pick_rows
+
+    Tp = -(-T // 8) * 8
+    d, d_ff = cfg.hidden_size, cfg.intermediate_size
+    return (
+        _pick_rows(B, Tp, d, d_ff, itemsize, save_x1=True) > 0
+        and _pick_rows_bert_ffn_bwd(B, Tp, d, d_ff, itemsize) > 0
+        and _pick_rows_bert_attn_bwd(B, Tp, d, cfg.num_heads, itemsize) > 0
+    )
