@@ -209,6 +209,89 @@ def quantize_weights_int8(params: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
+def _largest_divisor_upto(n: int, cap: int) -> int:
+    for d in range(min(cap, n), 0, -1):
+        if n % d == 0:
+            return d
+    return 1
+
+
+def init_causal_lm_params_int8(
+    rng: jax.Array, cfg: CausalLMConfig, dtype=jnp.bfloat16
+) -> Dict[str, Any]:
+    """Random-init int8-quantized params with a BOUNDED device-memory peak.
+
+    Same tree (shapes, dtypes, scale conventions) as
+    ``quantize_weights_int8(init_causal_lm_params(...))``, but every weight is
+    drawn and quantized one layer slice / vocab block at a time inside
+    ``lax.map``, so the transient f32 footprint is a single slice (~272 MB at
+    Qwen2.5-7B dims) instead of the full stacked tensor (~7.6 GB for the 7B
+    gate/up/down stacks). This is what makes REFERENCE-scale serving benchable
+    on one 16 GB v5e: the reference ships Qwen2.5-VL-7B
+    (/root/reference/eval.py:459) — its bf16 weights (15.2 GB) cannot fit,
+    the int8 stack (~7.7 GB) can. The random draw uses per-slice keys, so it
+    matches ``init_causal_lm_params`` in distribution, not in exact values.
+    Norms/biases are created directly in `dtype` (no f32 master copy)."""
+    d, L, hd = cfg.d_model, cfg.num_layers, cfg.head_dim
+    q_dim, kv_dim = cfg.num_heads * hd, cfg.num_kv_heads * hd
+
+    def qslice(w32, axis):
+        scale = jnp.maximum(jnp.max(jnp.abs(w32), axis=axis, keepdims=True), 1e-12) / 127.0
+        q8 = jnp.clip(jnp.round(w32 / scale), -127, 127).astype(jnp.int8)
+        return q8, scale.astype(dtype)
+
+    def qstack(key, din, dout, bias):
+        def body(k):
+            return qslice(jax.random.normal(k, (din, dout), jnp.float32) * din**-0.5, axis=0)
+
+        q8, scale = jax.lax.map(body, jax.random.split(key, L))
+        p = {"kernel": {"q8": q8, "scale": scale}}
+        if bias:
+            p["bias"] = jnp.zeros((L, dout), dtype)
+        return p
+
+    def qrows(key, v, std):  # per-row scales (embedding-table convention)
+        nb = _largest_divisor_upto(v, 16)
+
+        def body(k):
+            return qslice(jax.random.normal(k, (v // nb, d), jnp.float32) * std, axis=-1)
+
+        q8, scale = jax.lax.map(body, jax.random.split(key, nb))
+        return {"q8": q8.reshape(v, d), "scale": scale.reshape(v, 1)}
+
+    def qcols(key, v, std):  # per-output-channel scales for the untied head
+        nb = _largest_divisor_upto(v, 16)
+
+        def body(k):
+            return qslice(jax.random.normal(k, (d, v // nb), jnp.float32) * std, axis=0)
+
+        q8, scale = jax.lax.map(body, jax.random.split(key, nb))
+        return {
+            "q8": jnp.transpose(q8, (1, 0, 2)).reshape(d, v),
+            "scale": scale.reshape(1, v),
+        }
+
+    ks = jax.random.split(rng, 8)
+    params = {
+        "embed": qrows(ks[0], cfg.vocab_size, 0.02),
+        "blocks": {
+            "ln0": jnp.ones((L, d), dtype),
+            "q": qstack(ks[1], d, q_dim, cfg.qkv_bias),
+            "k": qstack(ks[2], d, kv_dim, cfg.qkv_bias),
+            "v": qstack(ks[3], d, kv_dim, cfg.qkv_bias),
+            "o": qstack(ks[4], q_dim, d, False),
+            "ln1": jnp.ones((L, d), dtype),
+            "gate": qstack(ks[5], d, cfg.d_ff, False),
+            "up": qstack(ks[6], d, cfg.d_ff, False),
+            "down": qstack(ks[7], cfg.d_ff, d, False),
+        },
+        "final_ln": jnp.ones((d,), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = qcols(jax.random.fold_in(rng, 9), cfg.vocab_size, d**-0.5)
+    return params
+
+
 def _ln(x: jax.Array, w: jax.Array, cfg: CausalLMConfig) -> jax.Array:
     # Gemma RMSNorm multiplies by (1 + weight)
     return rms_norm(x, 1.0 + w if cfg.arch == "gemma" else w, cfg.rms_eps)

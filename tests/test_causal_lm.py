@@ -267,3 +267,42 @@ def test_int8_weight_quantization_parity():
     lu = np.asarray(forward(params_u, cfg_u, ids, am))
     lu8 = np.asarray(forward(params_u8, cfg_u, ids, am))
     assert np.abs(lu8 - lu).max() / np.abs(lu).max() < 0.05
+
+
+def test_init_int8_matches_quantize_tree_and_serves():
+    """init_causal_lm_params_int8 (the memory-bounded init that makes the
+    reference's 7B model size servable in int8 on a 16 GB chip) produces
+    EXACTLY the tree quantize_weights_int8(init_causal_lm_params(...)) does —
+    same paths, shapes, dtypes — and its quantization axes are right: every
+    per-channel scale is pinned by a |q8|==127 entry. generate() runs on it."""
+    import jax.tree_util as jtu
+
+    from rag_docvqa_tpu.models.causal_lm import (
+        CausalLMConfig, generate, init_causal_lm_params,
+        init_causal_lm_params_int8, quantize_weights_int8)
+
+    cfg = CausalLMConfig(vocab_size=96, d_model=64, num_layers=3, num_heads=4,
+                         num_kv_heads=2, d_ff=80, tie_word_embeddings=False)
+    p8 = init_causal_lm_params_int8(jax.random.PRNGKey(0), cfg)
+    ref = jax.tree.map(lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+                       quantize_weights_int8(init_causal_lm_params(jax.random.PRNGKey(0), cfg)))
+    assert jtu.tree_structure(p8) == jtu.tree_structure(ref)
+    got = [(jtu.keystr(k), v.shape, v.dtype) for k, v in jtu.tree_leaves_with_path(p8)]
+    want = [(jtu.keystr(k), v.shape, v.dtype) for k, v in jtu.tree_leaves_with_path(ref)]
+    assert got == want
+
+    # quantizer-axis invariant: scale = max|w|/127 over the right axis means
+    # each channel's |q8| attains 127 (vocab=96 divides into 16 blocks of 6,
+    # so the blocked draw paths are exercised)
+    def amax_ok(q8, axis):
+        return bool(np.all(np.abs(np.asarray(q8)).max(axis=axis) == 127))
+
+    assert amax_ok(p8["embed"]["q8"], 1)            # per row
+    assert amax_ok(p8["lm_head"]["q8"], 0)          # per output column
+    for name in ("q", "k", "v", "o", "gate", "up", "down"):
+        assert amax_ok(p8["blocks"][name]["kernel"]["q8"], 1), name  # per (layer, out)
+
+    rng = np.random.RandomState(1)
+    ids = jnp.asarray(rng.randint(3, 96, size=(2, 10)), jnp.int32)
+    toks, conf = generate(p8, cfg, ids, jnp.ones((2, 10), bool), max_new_tokens=5)
+    assert toks.shape == (2, 5) and bool(np.all(np.isfinite(np.asarray(conf))))
