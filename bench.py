@@ -1037,7 +1037,7 @@ def main():
                     "qwen_e2e_docs_per_sec": round(qwen_e2e_docs_per_sec, 2),
                     "qwen_e2e_pages_per_sec": round(qwen_e2e_docs_per_sec * QW_E2E_PAGES, 1),
                     "qwen_e2e_ms_per_batch": round(qwen_e2e_time * 1e3, 2),
-                    "qwen_model_proxy": "qwen2.5-3b-dims (16 GB HBM chip; reference ships 7B, eval.py:459)",
+                    "qwen_model_proxy": "qwen2.5-3b-dims for bf16 rows (16 GB HBM; reference ships 7B, eval.py:459) — the qwen7b_int8_* rows serve the reference's 7B dims via W8",
                     "qwen7b_int8_decode_ms_per_step": round(q7_decode_step_ms, 2),
                     "qwen7b_int8_decode_tokens_per_sec": round(q7_decode_tokens_per_sec, 1),
                     "qwen7b_int8_prefill_tokens_per_sec": round(q7_prefill_tokens_per_sec, 1),
