@@ -580,7 +580,7 @@ def main():
         jnp.asarray(ing.answer_labels(hi_tr_aux["answers"], max_len=HI_TR_TD)))
     hi_tx = build_optimizer(lr=1e-4, warmup_steps=10, total_steps=1000)
     hi_state = TrainState.create(hi_tr_params, hi_tx)
-    hi_step_fn = make_hivt5_train_step(hi_cfg, hi_tx, remat="layer")
+    hi_step_fn = make_hivt5_train_step(hi_cfg, hi_tx, remat="layer", bf16_compute=True)
     hi_state, hi_m = hi_step_fn(hi_state, hi_tr_batch, hi_tr_labels)  # compile
     _sync(hi_m["loss"])
 

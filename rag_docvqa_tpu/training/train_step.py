@@ -197,6 +197,7 @@ def make_hivt5_train_step(
     hivt5_cfg,
     tx: optax.GradientTransformation,
     remat: Any = False,  # False | True (whole forward) | "layer" (per layer)
+    bf16_compute: bool = False,
 ):
     """Hi-VT5 training step: LM CE + weighted page-retrieval CE
     (reference train.py:69 adds outputs.ret_loss). Returns
@@ -206,7 +207,15 @@ def make_hivt5_train_step(
     each encoder/decoder layer (T5Config.remat_layers); True checkpoints the
     whole forward. "layer" matters most here: the hierarchical encode runs
     with pages-in-batch (an effective batch of B * n_pages sequences), so the
-    stacked per-layer flash residuals grow with page count."""
+    stacked per-layer flash residuals grow with page count.
+
+    bf16_compute mirrors make_train_step: f32 master weights, forward/
+    backward matmuls in bf16 (params cast inside the loss; the cast's VJP
+    accumulates gradients back to f32). It is also what ENGAGES the fused
+    whole-layer train kernels for the pages-in-batch encode — forward_train
+    requests fused="train", and the kernel gate sizes VMEM from the
+    activation itemsize, so f32 activations fall back to the flash fwd+bwd
+    pair at roughly half the MXU rate."""
     from rag_docvqa_tpu.models import hivt5 as hivt5_mod
 
     if remat == "layer":
@@ -229,6 +238,11 @@ def make_hivt5_train_step(
 
     def step_fn(state: TrainState, batch: ChunkedBatch, labels: jax.Array):
         def loss_fn(params):
+            if bf16_compute:
+                params = jax.tree.map(
+                    lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+                    params,
+                )
             loss, aux = fwd(params, hivt5_cfg, batch, labels)
             return loss, aux
 

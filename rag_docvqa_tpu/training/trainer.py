@@ -142,15 +142,16 @@ class Trainer:
             mask=trainable_mask(self._init_params, trainable),
         )
         self.state = TrainState.create(self._init_params, self.tx)
+        bf16 = self.cfg.bf16_compute
+        if bf16 is None:
+            bf16 = jax.default_backend() == "tpu"
         if self.hivt5_cfg is not None:
             from rag_docvqa_tpu.training.train_step import make_hivt5_train_step
 
             self.step_fn = make_hivt5_train_step(self.hivt5_cfg, self.tx,
-                                                 remat=self.cfg.remat)
+                                                 remat=self.cfg.remat,
+                                                 bf16_compute=bf16)
         else:
-            bf16 = self.cfg.bf16_compute
-            if bf16 is None:
-                bf16 = jax.default_backend() == "tpu"
             self.step_fn = make_train_step(
                 self.vt5_cfg, self.rag_cfg, self.tx,
                 use_nac=self.cfg.use_nac,

@@ -235,6 +235,43 @@ def test_hivt5_remat_layer_matches_plain():
     )
 
 
+def test_hivt5_bf16_compute_step():
+    """Hi-VT5 mixed precision mirrors make_train_step's: f32 masters, bf16
+    compute — loss tracks the f32 step within bf16 tolerance, masters and
+    opt state stay f32, and it learns. (bf16 activations are also what
+    engage the fused whole-layer train kernels on TPU.)"""
+    from rag_docvqa_tpu.config import build_hivt5_config
+    from rag_docvqa_tpu.models import hivt5 as hivt5m
+    from rag_docvqa_tpu.training.train_step import make_hivt5_train_step
+
+    ing = make_ingestor()
+    docs = make_corpus(4, n_pages=2, words_per_page=20, seed=11)
+    batch, aux = ing.ingest(docs)
+    labels = jnp.asarray(ing.answer_labels(aux["answers"], max_len=4))
+    cfg_dict = {"d_model": 32, "d_kv": 8, "num_heads": 4, "d_ff": 64, "num_layers": 2,
+                "dropout_rate": 0.0, "page_tokens": 2, "max_pages": 3, "max_text_tokens": 48}
+    hcfg = build_hivt5_config(cfg_dict, TOK.vocab_size)
+    params = hivt5m.init_hivt5_params(jax.random.PRNGKey(0), hcfg)
+    tx = build_optimizer(lr=3e-3, warmup_steps=2, total_steps=200)
+
+    s32 = TrainState.create(params, tx)
+    s16 = TrainState.create(jax.tree.map(jnp.array, params), tx)
+    step32 = make_hivt5_train_step(hcfg, tx)
+    step16 = make_hivt5_train_step(hcfg, tx, bf16_compute=True)
+    first = last = None
+    for _ in range(20):
+        s32, m32 = step32(s32, batch, labels)
+        s16, m16 = step16(s16, batch, labels)
+        if first is None:
+            first = float(m16["loss"])
+            np.testing.assert_allclose(float(m16["loss"]), float(m32["loss"]), rtol=0.05)
+        last = float(m16["loss"])
+    assert last < first * 0.8, f"hivt5 bf16 loss did not drop: {first} -> {last}"
+    assert s16.params["t5"]["shared"].dtype == jnp.float32
+    for leaf in jax.tree.leaves(s16.opt_state):
+        assert leaf.dtype != jnp.bfloat16
+
+
 @pytest.mark.slow
 def test_remat_step_matches_plain():
     """remat=True changes memory, not math: identical loss and updates."""
