@@ -254,7 +254,141 @@ class DocVQAIngestor:
             chunk_cursor = 0
             texts_b: List[str] = []
             slot_words_b: List[str] = []
-            for p in range(n_pages):
+
+            # ---- doc-level vectorized path --------------------------------
+            # One _word_rows gather and ONE set of numpy ops for the whole
+            # doc instead of per page: at typical page sizes (~120 words,
+            # ~130 chunked slots) the per-page loop's cost is numpy CALL
+            # overhead, not data — batching all pages of a doc through the
+            # same ops amortizes it ~n_pages×. Exact under the same
+            # conditions as the page path (concat-of-encode_word tokenizer,
+            # nothing truncates); page boundaries survive because chunks
+            # never cross pages, so every chunk's slice of the doc-level
+            # concat order stays contiguous. Falls through to the per-page
+            # loop whenever any page/cap condition fails.
+            done_doc = False
+            if (
+                n_pages
+                and not getattr(self, "_force_slow", False)
+                and not getattr(self, "_force_page", False)
+                and type(tk).encode is BaseTokenizer.encode
+            ):
+                pcs = []
+                nw_list = []
+                lens_pp = []
+                cat_pp = []
+                woff = 0
+                for p in range(n_pages):
+                    layout = (doc.layout[p] if doc.layout is not None and p < len(doc.layout) else None) or {}
+                    pc = chunk_page(
+                        doc.words[p], doc.boxes[p], self.spec,
+                        layout_boxes=layout.get("boxes"),
+                        layout_labels=layout.get("labels"),
+                        layout_clusters=layout.get("clusters"),
+                    )
+                    pcs.append(pc)
+                    nw = len(doc.words[p])
+                    nw_list.append(nw)
+                    ncp = len(pc.word_indices)
+                    lp = np.fromiter((len(w) for w in pc.word_indices), np.int32, ncp)
+                    lens_pp.append(lp)
+                    cp = np.fromiter(
+                        itertools.chain.from_iterable(pc.word_indices),
+                        np.int64, int(lp.sum()))
+                    if woff:
+                        cp += woff
+                    cat_pp.append(cp)
+                    woff += nw
+                allwords = [w for p in range(n_pages) for w in doc.words[p]]
+                NW = len(allwords)
+                doc_tok, doc_ntok, _, words_ok = self._word_rows(allwords)
+                n_ch_p = np.fromiter((len(pc.word_indices) for pc in pcs), np.int32, n_pages)
+                n_ch = int(n_ch_p.sum())
+                lens = np.concatenate(lens_pp) if n_pages > 1 else lens_pp[0]
+                total = int(lens.sum())
+                if (
+                    words_ok
+                    and n_ch
+                    and n_ch <= c.max_chunks
+                    and total <= c.max_slots
+                    and NW <= c.max_slots
+                    and int(lens.min()) > 0
+                ):
+                    done_doc = True
+                    chunk_pageid = np.repeat(
+                        np.arange(n_pages, dtype=np.int32), n_ch_p)
+                    cat = np.concatenate(cat_pp) if n_pages > 1 else cat_pp[0]
+                    starts = np.zeros(n_ch, np.int32)
+                    np.cumsum(lens[:-1], out=starts[1:])
+                    doc_box = (
+                        np.concatenate([
+                            np.asarray(doc.boxes[p], np.float32).reshape(nw_list[p], 4)
+                            if nw_list[p] else np.zeros((0, 4), np.float32)
+                            for p in range(n_pages)
+                        ]) if NW else np.zeros((0, 4), np.float32)
+                    )
+                    rows = doc_tok[cat]
+                    nts = doc_ntok[cat]
+                    pb = doc_box[cat]
+                    ch = slice(0, n_ch)
+                    sl = slice(0, total)
+                    labels_arr = np.concatenate(
+                        [np.asarray(pc.labels, np.int32) for pc in pcs]) \
+                        if n_pages > 1 else np.asarray(pcs[0].labels, np.int32)
+                    chunk_mask[b, ch] = True
+                    chunk_page_arr[b, ch] = chunk_pageid
+                    chunk_label[b, ch] = labels_arr
+                    chunk_box[b, ch, :2] = np.minimum.reduceat(pb[:, :2], starts, axis=0)
+                    chunk_box[b, ch, 2:] = np.maximum.reduceat(pb[:, 2:], starts, axis=0)
+                    chunk_slot_start[b, ch] = starts
+                    chunk_slot_len[b, ch] = lens
+                    slot_tokens[b, sl] = rows
+                    slot_ntok[b, sl] = nts
+                    slot_box[b, sl] = pb
+                    slot_page[b, sl] = np.repeat(chunk_pageid, lens)
+                    slot_label[b, sl] = np.repeat(labels_arr, lens)
+                    slot_mask[b, sl] = True
+                    tok_keep = np.arange(c.tokens_per_word, dtype=np.int32)[None, :] < nts[:, None]
+                    flat = rows[tok_keep]
+                    word_chunk = np.repeat(np.arange(n_ch, dtype=np.int32), lens)
+                    tok_chunk = np.repeat(word_chunk, nts)
+                    chunk_ntok = np.add.reduceat(nts, starts)
+                    chunk_tok_start = np.zeros(n_ch, np.int64)
+                    np.cumsum(chunk_ntok[:-1], out=chunk_tok_start[1:])
+                    pos = np.arange(flat.shape[0], dtype=np.int64) - chunk_tok_start[tok_chunk]
+                    keep = pos < c.embed_tokens
+                    chunk_emb_tokens[b, tok_chunk[keep], pos[keep]] = flat[keep]
+                    chunk_emb_mask[b, tok_chunk[keep], pos[keep]] = True
+                    allw = np.asarray(allwords, dtype=object)[cat].tolist()
+                    pos0 = 0
+                    for ln in lens.tolist():
+                        texts_b.append(" ".join(allw[pos0 : pos0 + ln]))
+                        pos0 += ln
+                    slot_words_b.extend(allw)
+                    slot_cursor = total
+                    chunk_cursor = n_ch
+                    # per-page slot spans from the per-page chunk-slot totals
+                    cend = np.cumsum(n_ch_p)
+                    cum_slots = np.concatenate(([0], np.cumsum(lens, dtype=np.int64)))
+                    p_end = cum_slots[cend]
+                    page_slot_end[b, :n_pages] = p_end
+                    page_slot_start[b, 0] = 0
+                    page_slot_start[b, 1:n_pages] = p_end[:-1]
+                    # raw arrays: doc-level concat IS original page order
+                    rl = slice(0, NW)
+                    raw_tokens[b, rl] = doc_tok
+                    raw_ntok[b, rl] = doc_ntok
+                    raw_box[b, rl] = doc_box
+                    raw_label[b, rl] = np.concatenate(
+                        [np.asarray(pc.word_labels, np.int32) for pc in pcs]) \
+                        if n_pages > 1 else np.asarray(pcs[0].word_labels, np.int32)
+                    raw_mask[b, rl] = True
+                    raw_cursor = NW
+                    raw_off = np.concatenate(([0], np.cumsum(np.asarray(nw_list, np.int64))))
+                    page_raw_start[b, :n_pages] = raw_off[:-1]
+                    page_raw_end[b, :n_pages] = raw_off[1:]
+
+            for p in () if done_doc else range(n_pages):
                 words = doc.words[p]
                 boxes = doc.boxes[p]
                 page_slot_start[b, p] = slot_cursor

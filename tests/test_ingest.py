@@ -113,14 +113,65 @@ def test_vectorized_page_path_matches_slow_loop():
     ing = DocVQAIngestor(tok, ChunkSpec(chunk_size=5, overlap=2))
     ing.caps = ing.plan_caps(docs)
     fast, aux_f = ing.ingest(docs)
+    ing._force_page = True
+    page, aux_p = ing.ingest(docs)
+    ing._force_page = False
     ing._force_slow = True
     slow, aux_s = ing.ingest(docs)
     for f in dataclasses.fields(fast):
         np.testing.assert_array_equal(
+            np.asarray(getattr(fast, f.name)), np.asarray(getattr(page, f.name)), err_msg=f.name
+        )
+        np.testing.assert_array_equal(
             np.asarray(getattr(fast, f.name)), np.asarray(getattr(slow, f.name)), err_msg=f.name
         )
-    assert aux_f["chunk_texts"] == aux_s["chunk_texts"]
-    assert aux_f["slot_words"] == aux_s["slot_words"]
+    assert aux_f["chunk_texts"] == aux_p["chunk_texts"] == aux_s["chunk_texts"]
+    assert aux_f["slot_words"] == aux_p["slot_words"] == aux_s["slot_words"]
+
+
+def test_doc_vectorized_path_matches_on_edges():
+    """The doc-level vectorized path (one numpy pass per DOC) must match the
+    per-page path byte-for-byte on edge shapes: empty pages mid-doc, a
+    whitespace-containing word (falls back), uneven page sizes, and caps
+    tight enough to force truncation (falls back to the per-page/slow loop,
+    which handles overflow)."""
+    import dataclasses
+    import warnings as _w
+
+    from rag_docvqa_tpu.data.tokenizer import HashTokenizer
+
+    docs = [make_doc(n_pages=4, words_per_page=17), make_doc(n_pages=1, words_per_page=3)]
+    docs[0].words[1] = []  # empty page mid-doc
+    docs[0].boxes[1] = []
+    docs[0].words[2][0] = "two words"  # re-splitting word: doc path must bail
+    tok = HashTokenizer(vocab_size=4096)
+    ing = DocVQAIngestor(tok, ChunkSpec(chunk_size=5, overlap=2))
+    ing.caps = ing.plan_caps(docs)
+    fast, aux_f = ing.ingest(docs)
+    ing._force_page = True
+    page, aux_p = ing.ingest(docs)
+    ing._force_page = False
+    for f in dataclasses.fields(fast):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(fast, f.name)), np.asarray(getattr(page, f.name)), err_msg=f.name
+        )
+    assert aux_f["chunk_texts"] == aux_p["chunk_texts"]
+    assert aux_f["slot_words"] == aux_p["slot_words"]
+
+    # truncating caps: both paths fall to the overflow-aware loop and agree
+    from rag_docvqa_tpu.data.contract import Caps
+
+    ing2 = DocVQAIngestor(tok, ChunkSpec(chunk_size=5, overlap=2),
+                          Caps(max_pages=2, max_chunks=3, max_slots=12))
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        t_fast, _ = ing2.ingest(docs)
+        ing2._force_page = True
+        t_page, _ = ing2.ingest(docs)
+    for f in dataclasses.fields(t_fast):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(t_fast, f.name)), np.asarray(getattr(t_page, f.name)), err_msg=f.name
+        )
 
 
 def test_ingest_carries_layouts_in_aux(tmp_path):
